@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` exposes one entry
+per implemented operator from SURVEY.md §2; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (non-relational
+kernels are declared without an oracle → rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry():
+    from physioview_spark.plans import queries_relational
+
+    modules = [queries_relational]
+    try:
+        from physioview_spark.plans import queries_llm
+        modules.append(queries_llm)
+    except ImportError:
+        pass
+    try:
+        from physioview_spark.plans import queries_kernels
+        modules.append(queries_kernels)
+    except ImportError:
+        pass
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for m in modules:
+        qs.update(m.QUERIES)
+        oracles.update(m.ORACLE)
+    return qs, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: segmented SQA artifact
+    metrics over the events stream (A1+P5+P7 through the engine library)."""
+    qs, _ = _registry()
+    return qs["sqa_segment_artifacts"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

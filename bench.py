@@ -1,0 +1,75 @@
+"""Benchmark runner — one JSON line with per-query wall times.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Each query is
+executed to completion (collect on an already-aggregated result or a
+count for large outputs) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family. Large-output queries are drained
+# with count() (full execution, no driver materialization cost).
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_nations",
+    "order_priority_counts",
+    "sqa_segment_artifacts",
+    "ibi_series",
+    "asof_latest_order",
+    "orders_events_within_week",
+    "rolling_event_counts",
+    "dedup_keep_first",
+    "auc_two_level",
+]
+SMALL_OUTPUT = {
+    "pricing_summary", "top_revenue_nations", "order_priority_counts",
+    "global_summary", "event_type_pivot", "harmonic_mean_hr",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from physioview_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("physioview-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+
+    # JVM/codegen warm-up on the smallest table
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        if name in SMALL_OUTPUT:
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

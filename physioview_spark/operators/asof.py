@@ -1,0 +1,127 @@
+"""As-of (nearest) time-alignment join — the engine's J1/J2 operator.
+
+Parity: the reference aligns streams at different rates with
+``pd.merge_asof(..., direction='nearest')`` and a tolerance variant for beat
+edits (reference: physioview/physioview.py:287-303, 1748-1758). It also has
+an O(n*m) nested-loop nearest join (``get_e4_beats``, reference:
+physioview/physioview.py:561-603) which this operator replaces outright.
+
+Spark-first: no native as-of join, so: union the two sides tagged, run
+``last(value, ignorenulls=True)`` over an ordered window per group
+(backward pass), symmetric ``first`` over the following frame (forward
+pass), and pick the nearer for ``nearest``. One shuffle on (by, on); no
+Python boundary crossing. This beats ``applyInPandas(merge_asof)`` because
+it stays in Tungsten and AQE can still split skewed subjects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Join each left row to the nearest right row on ``on`` within ``by``.
+
+    ``tolerance`` is in the units of ``on`` (seconds if ``on`` is a
+    timestamp). Matched right columns come back as ``<col><suffix>`` plus
+    ``<on><suffix>`` (the matched key) — callers that need the reference's
+    "un-fill" semantics (value only at the insertion row) can compare
+    ``on`` equality afterwards.
+    """
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on and c not in by]
+
+    # Numeric ordering key. Timestamps become epoch MICROSECONDS (exact in
+    # a double up to ~2255 CE); NTZ goes through timestamp_diff so the key
+    # is independent of the session timezone. ``tolerance`` for timestamp
+    # keys is given in seconds and scaled here.
+    on_dtype = dict(left.dtypes).get(on, "")
+    if on_dtype == "timestamp_ntz":
+        key = F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(on),
+        ).cast("double")
+    elif on_dtype.startswith("timestamp"):
+        key = F.col(on).cast("double") * 1e6
+    else:
+        key = F.col(on).cast("double")
+    if tolerance is not None and on_dtype.startswith("timestamp"):
+        tolerance = float(tolerance) * 1e6
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__k", key)
+    rhs_proj = [F.col(on)] + [F.col(c) for c in by] + [
+        F.col(c).alias(f"{c}{suffix}") for c in right_cols
+    ]
+    rhs = (
+        right.select(*rhs_proj)
+        .withColumn("__side", F.lit(0))
+        .withColumn("__k", key)
+        .withColumn(f"{on}{suffix}", F.col("__k"))
+    )
+    tagged_cols = set(lhs.columns) | set(rhs.columns)
+    for c in tagged_cols:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None))
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    unioned = lhs.unionByName(rhs.select(*lhs.columns))
+
+    # Right rows sort before left rows at equal keys so an exact-timestamp
+    # match is visible to the backward pass (merge_asof includes equal keys).
+    w_back = (
+        Window.partitionBy(*by).orderBy("__k", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*by).orderBy("__k", F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
+    out = unioned
+    for c in carried:
+        if direction in ("backward", "nearest"):
+            out = out.withColumn(f"__b_{c}", F.last(c, ignorenulls=True).over(w_back))
+        if direction in ("forward", "nearest"):
+            out = out.withColumn(f"__f_{c}", F.first(c, ignorenulls=True).over(w_fwd))
+    out = out.where(F.col("__side") == 1)
+
+    if direction == "nearest":
+        d_back = F.col("__k") - F.col(f"__b_{on}{suffix}")
+        d_fwd = F.col(f"__f_{on}{suffix}") - F.col("__k")
+        # backward wins ties, matching merge_asof(direction='nearest')
+        use_back = F.when(
+            F.col(f"__f_{on}{suffix}").isNull(), F.lit(True)
+        ).when(
+            F.col(f"__b_{on}{suffix}").isNull(), F.lit(False)
+        ).otherwise(d_back <= d_fwd)
+        for c in carried:
+            out = out.withColumn(
+                c, F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+            )
+    elif direction == "backward":
+        for c in carried:
+            out = out.withColumn(c, F.col(f"__b_{c}"))
+    else:
+        for c in carried:
+            out = out.withColumn(c, F.col(f"__f_{c}"))
+
+    if tolerance is not None:
+        within = F.abs(F.col("__k") - F.col(f"{on}{suffix}")) <= F.lit(float(tolerance))
+        for c in carried:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+
+    keep = [c for c in left.columns] + [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
+    return out.select(*keep)

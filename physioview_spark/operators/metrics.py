@@ -1,0 +1,476 @@
+"""Cardiac SQA metrics — A1-A5 of the operator inventory, fully relational.
+
+Parity targets (behavior, not code):
+- ``get_artifacts``  — per-segment beat/artifact counts
+  (reference: pipeline/SQA.py:199-277)
+- ``get_missing``    — per-segment expected-beat model with the median-of-
+  5-beat-window-medians HR estimate, prev/next half-segment fallback,
+  last-valid-HR carry-forward, last-partial-segment rescale, leading-segment
+  backfill (reference: pipeline/SQA.py:503-629, _window_medians :1751-1764)
+- ``compute_metrics``— A1 join A2 + Invalid rule (reference: SQA.py:177-197)
+- rolling variant    — sliding size/step windows (reference: SQA.py:114-175)
+- ``get_seconds``    — per-second harmonic-mean HR (Graham 1978)
+  (reference: SQA.py:631-723)
+
+Spark-first design: the reference's per-segment Python loop with mutable
+``last_valid_hr`` state becomes a chain of window functions
+(``last(ignorenulls)`` for carry-forward, ``first(ignorenulls)`` over the
+following frame for backfill), so the whole computation is one shuffle on
+``(subject_id, segment)`` plus ordered windows per subject — no Python, no
+collect, scales per-subject to arbitrary cohort sizes. Only beat rows (a few
+per second) enter the window stages; the dense sample frame is touched once
+for per-subject extents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+B = "subject_id"
+
+
+def _sdiv(num, den) -> Column:
+    """ANSI-safe division (null on zero denominator)."""
+    return num / F.nullif(den, F.lit(0))
+
+
+
+def _arr_median(arr: Column) -> Column:
+    """Exact median of a (null-free) array column; null for empty arrays.
+
+    Spark disallows ``median`` over framed windows, so sliding medians are
+    ``collect_list`` over the frame (nulls dropped) + this expression."""
+    n = F.size(arr)
+    srt = F.sort_array(arr)
+    mid = F.element_at(srt, (n / 2 + 1).cast("int"))
+    lo = F.element_at(srt, (n / 2).cast("int"))
+    return (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(srt, ((n + 1) / 2).cast("int")))
+        .otherwise((lo + mid) / 2.0)
+    )
+
+
+def _subject_extents(samples: DataFrame, fs: float, seg_size: int) -> DataFrame:
+    """Per-subject sample count, segment count and per-segment spine.
+
+    ``n_seg = ceil(n_samples / (fs*seg_size))`` — the reference's segment
+    spine covers every segment, including beat-free ones
+    (reference: pipeline/SQA.py:243-244).
+    """
+    seg_len = int(fs * seg_size)
+    return (
+        samples.groupBy(B)
+        .agg(F.count(F.lit(1)).alias("n_samples"))
+        .withColumn("n_seg", F.ceil(F.col("n_samples") / seg_len))
+        .withColumn("segment", F.explode(F.sequence(F.lit(1), F.col("n_seg"))))
+        .withColumn(
+            "seg_start", ((F.col("segment") - 1) * seg_len).cast("long")
+        )
+        .withColumn(
+            "seg_end",
+            F.least(F.col("n_samples"), F.col("segment") * seg_len).cast("long"),
+        )
+        .withColumn("seg_n_samples", F.col("seg_end") - F.col("seg_start"))
+    )
+
+
+def _beats_frame(samples: DataFrame, fs: float, seg_size: int) -> DataFrame:
+    """Sparse beat rows with segment id, IBI (lag diff) and artifact flag."""
+    seg_len = int(fs * seg_size)
+    w = Window.partitionBy(B).orderBy("sample_idx")
+    return (
+        samples.where(F.col("beat") == 1)
+        .select(B, "sample_idx", "artifact")
+        .withColumn(
+            "ibi_ms",
+            (F.col("sample_idx") - F.lag("sample_idx").over(w)) / F.lit(fs) * 1000.0,
+        )
+        .withColumn(
+            "segment", (F.floor(F.col("sample_idx") / seg_len) + 1).cast("long")
+        )
+    )
+
+
+def get_artifacts(
+    samples: DataFrame, fs: float, seg_size: int = 60, with_ts: bool = True
+) -> DataFrame:
+    """Per-segment N Artifact / % Artifact (+ first segment timestamp).
+
+    One hash aggregation (partial+final via Catalyst); the first-timestamp
+    column uses ``min(ts)`` because ts is monotone in sample_idx.
+    """
+    seg_len = int(fs * seg_size)
+    seg = (F.floor(F.col("sample_idx") / seg_len) + 1).cast("long").alias("segment")
+    aggs = [
+        F.sum(F.when(F.col("beat") == 1, 1).otherwise(0)).alias("n_detected"),
+        F.sum(F.when(F.col("artifact") == 1, 1).otherwise(0)).alias("n_artifact"),
+    ]
+    if with_ts:
+        aggs.append(F.min("ts").alias("ts"))
+    out = samples.groupBy(B, seg).agg(*aggs)
+    out = out.withColumn(
+        "pct_artifact",
+        F.round(_sdiv(F.col("n_artifact"), F.col("n_detected")) * 100.0, 2),
+    )
+    cols = [B, "segment"] + (["ts"] if with_ts else []) + [
+        "n_detected", "n_artifact", "pct_artifact"
+    ]
+    return out.select(*cols)
+
+
+def _window_median_hrs(beats: DataFrame, win_size: int = 5) -> DataFrame:
+    """Per-beat sliding 5-beat window median HR, artifact-free windows only.
+
+    Mirrors ``_window_medians`` (reference: pipeline/SQA.py:1751-1764): a
+    window is the beat and its next ``win_size-1`` beats *within the same
+    segment*; windows containing any artifact are skipped; the median
+    ignores null IBIs (the recording's first beat has none), so an
+    all-null window yields a null median that still counts as "a window
+    existed" — that distinction gates the reference's fallback chain.
+    """
+    w = (
+        Window.partitionBy(B, "segment")
+        .orderBy("sample_idx")
+        .rowsBetween(0, win_size - 1)
+    )
+    return (
+        beats.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__any_art", F.max(F.col("artifact") == 1).over(w))
+        .withColumn("med_hr", _arr_median(F.collect_list(_sdiv(F.lit(60000.0), F.col("ibi_ms"))).over(w)))
+        .where((F.col("__n") == win_size) & ~F.coalesce("__any_art", F.lit(False)))
+        .select(B, "segment", "med_hr")
+    )
+
+
+def _half_slice_median_hrs(
+    beats: DataFrame,
+    extents: DataFrame,
+    fs: float,
+    seg_size: int,
+    which: str,
+    win_size: int = 5,
+) -> DataFrame:
+    """Median HRs over the last/first ``int(seg_size*0.5)`` *rows* of each
+    segment — the reference's adjacent-segment fallback slices
+    (reference: pipeline/SQA.py:560-570; note the slice length is in rows,
+    not seconds — behavior preserved).
+    """
+    k = int(seg_size * 0.5)
+    ext = extents.select(B, "segment", "seg_start", "seg_end")
+    j = beats.join(ext, on=[B, "segment"])
+    if which == "last":
+        j = j.where(F.col("sample_idx") >= F.col("seg_end") - k)
+    else:
+        j = j.where(F.col("sample_idx") < F.col("seg_start") + k)
+    w = (
+        Window.partitionBy(B, "segment")
+        .orderBy("sample_idx")
+        .rowsBetween(0, win_size - 1)
+    )
+    return (
+        j.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__any_art", F.max(F.col("artifact") == 1).over(w))
+        .withColumn("med_hr", _arr_median(F.collect_list(_sdiv(F.lit(60000.0), F.col("ibi_ms"))).over(w)))
+        .where((F.col("__n") == win_size) & ~F.coalesce("__any_art", F.lit(False)))
+        .groupBy(B, "segment")
+        .agg(
+            F.median("med_hr").alias(f"{which}_half_med"),
+            F.count(F.lit(1)).alias(f"{which}_half_n"),
+        )
+    )
+
+
+def get_missing(
+    samples: DataFrame, fs: float, seg_size: int = 60, with_ts: bool = True
+) -> DataFrame:
+    """Per-segment N Detected / N Expected / N Missing / % Missing.
+
+    The reference's sequential loop state becomes window functions:
+    carry-forward = ``last(ignorenulls)`` over preceding segments, leading
+    backfill = ``first(ignorenulls)`` over following segments (valid because
+    after carry-forward the nulls form a prefix).
+    """
+    beats = _beats_frame(samples, fs, seg_size)
+    extents = _subject_extents(samples, fs, seg_size)
+
+    seg_meds = _window_median_hrs(beats).groupBy(B, "segment").agg(
+        F.median("med_hr").alias("seg_med"), F.count(F.lit(1)).alias("seg_n_win")
+    )
+    prev_half = _half_slice_median_hrs(beats, extents, fs, seg_size, "last")
+    next_half = _half_slice_median_hrs(beats, extents, fs, seg_size, "first")
+
+    detected = beats.groupBy(B, "segment").agg(
+        F.count(F.lit(1)).alias("n_detected")
+    )
+
+    spine = extents.select(
+        B, "segment", "n_seg", "seg_n_samples"
+    )
+    m = (
+        spine.join(seg_meds, [B, "segment"], "left")
+        .join(
+            prev_half.withColumn("segment", F.col("segment") + 1),
+            [B, "segment"], "left",
+        )
+        .join(
+            next_half.withColumn("segment", F.col("segment") - 1),
+            [B, "segment"], "left",
+        )
+        .join(detected, [B, "segment"], "left")
+        .withColumn("n_detected", F.coalesce("n_detected", F.lit(0)))
+    )
+    # Fallback chain: own windows > prev-half windows > next-half windows;
+    # "windows existed" (count > 0) gates each stage even if the median is
+    # null (reference: SQA.py:561-572).
+    m = m.withColumn(
+        "exp_hr_raw",
+        F.when(F.coalesce("seg_n_win", F.lit(0)) > 0, F.col("seg_med"))
+        .when(F.coalesce("last_half_n", F.lit(0)) > 0, F.col("last_half_med"))
+        .when(F.coalesce("first_half_n", F.lit(0)) > 0, F.col("first_half_med")),
+    )
+    w_carry = (
+        Window.partitionBy(B).orderBy("segment")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = m.withColumn("exp_hr", F.last("exp_hr_raw", ignorenulls=True).over(w_carry))
+    m = m.withColumn(
+        "n_expected_f",
+        F.round(F.col("exp_hr") * (F.lit(seg_size) / 60.0)).cast("double"),
+    )
+    # Last partial segment: rescale by actual/nominal duration
+    # (reference: SQA.py:597-600).
+    m = m.withColumn(
+        "n_expected_f",
+        F.when(
+            F.col("segment") == F.col("n_seg"),
+            F.round(
+                F.col("n_expected_f")
+                * (F.col("seg_n_samples") / F.lit(fs) / F.lit(seg_size))
+            ),
+        ).otherwise(F.col("n_expected_f")),
+    )
+    w_backfill = (
+        Window.partitionBy(B).orderBy("segment")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    m = m.withColumn(
+        "n_expected",
+        F.first("n_expected_f", ignorenulls=True).over(w_backfill).cast("long"),
+    )
+    m = m.withColumn(
+        "n_missing",
+        F.greatest(F.lit(0), F.col("n_expected") - F.col("n_detected")),
+    ).withColumn(
+        "pct_missing",
+        F.round(_sdiv(F.col("n_missing"), F.col("n_expected")) * 100.0, 2),
+    )
+    cols = [B, "segment", "n_detected", "n_expected", "n_missing", "pct_missing"]
+    if with_ts:
+        ts = samples.groupBy(
+            B,
+            (F.floor(F.col("sample_idx") / int(fs * seg_size)) + 1)
+            .cast("long")
+            .alias("segment"),
+        ).agg(F.min("ts").alias("ts"))
+        m = m.join(ts, [B, "segment"], "left")
+        cols = [B, "segment", "ts"] + cols[2:]
+    return m.select(*cols)
+
+
+def compute_metrics(
+    samples: DataFrame,
+    fs: float,
+    seg_size: int = 60,
+    min_hr: float = 40.0,
+    with_ts: bool = True,
+) -> DataFrame:
+    """Segmented SQA metric frame = get_missing join get_artifacts + Invalid.
+
+    Invalid: fewer detected beats than ``min_hr`` implies for the segment,
+    or more than 220 (reference: pipeline/SQA.py:193-196).
+    """
+    missing = get_missing(samples, fs, seg_size, with_ts=with_ts)
+    artifacts = get_artifacts(samples, fs, seg_size, with_ts=False).drop("n_detected")
+    out = missing.join(artifacts, [B, "segment"], "left")
+    out = out.withColumn(
+        "invalid",
+        F.when(
+            (F.col("n_detected") < int(min_hr * (seg_size / 60.0)))
+            | (F.col("n_detected") > 220),
+            1,
+        ).cast("int"),
+    )
+    return out
+
+
+def compute_metrics_rolling(
+    samples: DataFrame,
+    fs: float,
+    rolling_window: int = 60,
+    rolling_step: int = 15,
+    seg_size: int = 60,
+    min_hr: float = 40.0,
+    with_ts: bool = True,
+) -> DataFrame:
+    """Sliding-window SQA metrics (reference: pipeline/SQA.py:114-175).
+
+    Windows start every ``rolling_step`` seconds and span
+    ``rolling_window`` seconds of samples; each beat lands in
+    ``window/step`` windows via ``sequence``+``explode`` (bounded fan-out),
+    then the same median/carry machinery as the segmented path runs per
+    (subject, moving_window). Streaming-shaped: identical semantics to
+    ``F.window(ts, window, step)`` group-bys.
+    """
+    step_len = int(fs * rolling_step)
+    win_len = int(fs * rolling_window)
+    beats = _beats_frame(samples, fs, seg_size).drop("segment")
+    extents = samples.groupBy(B).agg(
+        F.count(F.lit(1)).alias("n_samples"), F.min("ts").alias("__ts0")
+    ).withColumn("n_win", F.ceil(F.col("n_samples") / step_len))
+
+    # windows containing sample i: s in [ceil((i-win_len+1)/step), floor(i/step)]
+    lo = F.greatest(
+        F.lit(0), F.ceil((F.col("sample_idx") - win_len + 1) / F.lit(step_len))
+    )
+    hi = F.floor(F.col("sample_idx") / F.lit(step_len))
+    exploded = (
+        beats.join(extents.select(B, "n_win"), B)
+        .withColumn("mw", F.explode(F.sequence(lo, F.least(hi, F.col("n_win") - 1))))
+        .withColumn("win_start", F.col("mw") * step_len)
+    )
+
+    w5 = Window.partitionBy(B, "mw").orderBy("sample_idx").rowsBetween(0, 4)
+    # an IBI is only in-window if the previous beat is also in the window
+    wprev = Window.partitionBy(B, "mw").orderBy("sample_idx")
+    meds = (
+        exploded.withColumn("__rn", F.row_number().over(wprev))
+        .withColumn("ibi_in", F.when(F.col("__rn") > 1, F.col("ibi_ms")))
+        .withColumn("__n", F.count(F.lit(1)).over(w5))
+        .withColumn("__any_art", F.max(F.col("artifact") == 1).over(w5))
+        .withColumn("med_hr", _arr_median(F.collect_list(_sdiv(F.lit(60000.0), F.col("ibi_in"))).over(w5)))
+    )
+    win_meds = (
+        meds.where((F.col("__n") == 5) & ~F.coalesce("__any_art", F.lit(False)))
+        .groupBy(B, "mw")
+        .agg(F.median("med_hr").alias("win_med"), F.count(F.lit(1)).alias("n_win5"))
+    )
+    counts = exploded.groupBy(B, "mw").agg(
+        F.count(F.lit(1)).alias("n_detected"),
+        F.sum(F.when(F.col("artifact") == 1, 1).otherwise(0)).alias("n_artifact"),
+    )
+    spine = extents.withColumn(
+        "mw", F.explode(F.sequence(F.lit(0), F.col("n_win") - 1))
+    ).select(B, "mw", "__ts0")
+
+    m = (
+        spine.join(win_meds, [B, "mw"], "left")
+        .join(counts, [B, "mw"], "left")
+        .withColumn("n_detected", F.coalesce("n_detected", F.lit(0)))
+        .withColumn("n_artifact", F.coalesce("n_artifact", F.lit(0)))
+        .withColumn(
+            "exp_hr_raw",
+            F.when(F.coalesce("n_win5", F.lit(0)) > 0, F.col("win_med")),
+        )
+    )
+    w_carry = (
+        Window.partitionBy(B).orderBy("mw")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = (
+        m.withColumn("exp_hr", F.last("exp_hr_raw", ignorenulls=True).over(w_carry))
+        .withColumn(
+            "n_expected",
+            F.round(F.col("exp_hr") * (F.lit(rolling_window) / 60.0)).cast("long"),
+        )
+        .withColumn(
+            "n_missing",
+            F.greatest(F.lit(0), F.col("n_expected") - F.col("n_detected")),
+        )
+        .withColumn(
+            "pct_missing",
+            F.round(_sdiv(F.col("n_missing"), F.col("n_expected")) * 100.0, 2),
+        )
+        .withColumn(
+            "pct_artifact",
+            F.when(
+                F.col("n_detected") > 0,
+                F.round(_sdiv(F.col("n_artifact"), F.col("n_detected")) * 100.0, 2),
+            ),
+        )
+        .withColumn("moving_window", F.col("mw") + 1)
+        .withColumn(
+            "invalid",
+            F.when(
+                (F.col("n_detected") < int(min_hr * (seg_size / 60.0)))
+                | (F.col("n_detected") > 220),
+                1,
+            ).cast("int"),
+        )
+    )
+    cols = [B, "moving_window", "n_expected", "n_detected", "n_missing",
+            "pct_missing", "n_artifact", "pct_artifact", "invalid"]
+    if with_ts:
+        ts = samples.groupBy(
+            B, F.floor(F.col("sample_idx") / step_len).alias("mw")
+        ).agg(F.min("ts").alias("ts"))
+        m = m.join(ts, [B, "mw"], "left")
+        cols = [B, "moving_window", "ts"] + cols[2:]
+    return m.select(*cols)
+
+
+def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFrame:
+    """Per-second mean IBI / harmonic-mean HR / beat count (Graham 1978).
+
+    The reference evaluates each second against a context window of the
+    previous+current second (reference: pipeline/SQA.py:683-689); the
+    harmonic mean of HRs reduces to ``60000 / mean(IBI)``. A beat's IBI
+    belongs to a window only when its predecessor beat is inside too.
+    """
+    fs_i = int(fs)
+    w = Window.partitionBy(B).orderBy("sample_idx")
+    beats = (
+        samples.where(F.col("beat") == 1)
+        .select(B, "sample_idx")
+        .withColumn(
+            "ibi_ms",
+            (F.col("sample_idx") - F.lag("sample_idx").over(w)) / F.lit(fs) * 1000.0,
+        )
+        .withColumn("prev_idx", F.lag("sample_idx").over(w))
+        .withColumn("sec", F.floor(F.col("sample_idx") / fs_i))
+    )
+    spine = (
+        samples.groupBy(B)
+        .agg(F.count(F.lit(1)).alias("n_samples"))
+        .withColumn("n_sec", F.ceil(F.col("n_samples") / fs_i))
+        .withColumn("sec", F.explode(F.sequence(F.lit(0), F.col("n_sec") - 1)))
+        .select(B, "sec")
+    )
+    # each beat serves windows {sec, sec+1}; window s spans seconds {s-1, s}
+    exploded = beats.withColumn(
+        "wsec", F.explode(F.array(F.col("sec"), F.col("sec") + 1))
+    ).withColumn("win_start_idx", F.greatest(F.lit(0), (F.col("wsec") - 1) * fs_i))
+    window_stats = (
+        exploded.withColumn(
+            "ibi_in",
+            F.when(F.col("prev_idx") >= F.col("win_start_idx"), F.col("ibi_ms")),
+        )
+        .groupBy(B, F.col("wsec").alias("sec"))
+        .agg(F.avg("ibi_in").alias("mean_ibi"))
+    )
+    current = beats.groupBy(B, "sec").agg(F.count(F.lit(1)).alias("n_beats"))
+    out = (
+        spine.join(window_stats, [B, "sec"], "left")
+        .join(current, [B, "sec"], "left")
+        .withColumn("n_beats", F.coalesce("n_beats", F.lit(0)))
+        .withColumn("mean_hr", _sdiv(F.lit(60000.0), F.col("mean_ibi")))
+        .withColumn("second", F.col("sec") + 1)
+    )
+    cols = [B, "second", "mean_hr", "mean_ibi", "n_beats"]
+    if with_ts:
+        ts = samples.groupBy(
+            B, F.floor(F.col("sample_idx") / fs_i).alias("sec")
+        ).agg(F.min("ts").alias("ts"))
+        out = out.join(ts, [B, "sec"], "left")
+        cols = [B, "second", "ts", "mean_hr", "mean_ibi", "n_beats"]
+    return out.select(*cols)

@@ -1,0 +1,478 @@
+"""Declared relational queries + DuckDB oracles — the correctness gate.
+
+Each entry exercises a SURVEY §2 operator through the engine's library on
+the driver's synthetic tables. Column names/aliases match the oracle SQL
+exactly; all doubles are rounded identically on both sides; divisions are
+null-on-zero on both sides; timestamps are projected as epoch seconds so
+timezone conventions can't skew the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from physioview_spark.operators.asof import asof_join
+from physioview_spark.operators.ibi import compute_ibis
+from physioview_spark.operators.metrics import get_artifacts, get_seconds
+from physioview_spark.operators.spans import interval_join
+from physioview_spark.plans.common import (
+    EPOCH0, epoch_s, events_as_samples, ntz_lit, read, safe_div,
+)
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational coverage (scan/filter/agg/join; bench headliners)
+# ---------------------------------------------------------------------------
+
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+       ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+       COUNT(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate (partial+final)."""
+    li = read(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= ntz_lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q("top_revenue_nations", """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join rollup; dimension sides broadcast (nation/customer are
+    tiny vs lineitem — at 100 TB the fact table never shuffles for these)."""
+    li = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    n = read(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q("order_priority_counts", """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) + aggregate — TPC-H Q4 shape."""
+    o = read(spark, sf_dir, "orders")
+    li = read(spark, sf_dir, "lineitem")
+    o_f = o.where(
+        (F.col("o_orderdate") >= ntz_lit("1998-01-01"))
+        & (F.col("o_orderdate") < ntz_lit("2000-01-01"))
+    )
+    joined = o_f.join(
+        li,
+        (o_f.o_orderkey == li.l_orderkey) & (li.l_shipdate > o_f.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# SQA-shaped operators over the events stream (A1/P5/P7, W1, A5, W6, O5...)
+# ---------------------------------------------------------------------------
+
+@q("sqa_segment_artifacts", f"""
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT) AS sample_idx,
+         CASE WHEN event_type = 'purchase' THEN 1 END AS beat,
+         CASE WHEN event_type = 'error' THEN 1 END AS artifact
+  FROM events
+)
+SELECT subject_id,
+       CAST(FLOOR(sample_idx / 3600) + 1 AS BIGINT) AS segment,
+       COUNT(beat)     AS n_detected,
+       COUNT(artifact) AS n_artifact,
+       ROUND(COUNT(artifact) * 100.0 / NULLIF(COUNT(beat), 0), 2) AS pct_artifact,
+       CASE WHEN COUNT(beat) < 2 OR COUNT(beat) > 220 THEN 1 END AS invalid
+FROM s GROUP BY subject_id, segment
+""")
+def sqa_segment_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 get_artifacts + P5 segment ids + P7 invalid rule, events-as-beats
+    (1 Hz grid, 3600 s segments)."""
+    s = events_as_samples(spark, sf_dir)
+    out = get_artifacts(s, fs=1.0, seg_size=3600, with_ts=False)
+    return out.withColumn(
+        "invalid",
+        F.when((F.col("n_detected") < 2) | (F.col("n_detected") > 220), 1).cast("int"),
+    )
+
+
+@q("ibi_series", f"""
+WITH b AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT) AS sample_idx
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT subject_id, sample_idx,
+       ROUND(CAST((sample_idx - LAG(sample_idx) OVER
+              (PARTITION BY subject_id ORDER BY sample_idx)) * 1000 AS DOUBLE), 2) AS ibi_ms
+FROM b
+""")
+def ibi_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 compute_ibis: ordered lag diff over beat rows per subject."""
+    s = events_as_samples(spark, sf_dir).where(F.col("beat") == 1)
+    beats = s.select("subject_id", "sample_idx").dropDuplicates(
+        ["subject_id", "sample_idx"]
+    )
+    # dedup safeguard: two purchases in the same second are one grid point
+    out = compute_ibis(beats, fs=1.0)
+    return out.select(
+        "subject_id", "sample_idx", F.round("ibi_ms", 2).alias("ibi_ms")
+    )
+
+
+@q("asof_latest_order", """
+WITH e AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id,
+       o.o_orderkey AS matched_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS matched_epoch
+FROM e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""")
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as-of join (backward): each purchase event matched to the user's
+    most recent order at that time. Engine idiom: tagged union +
+    last(ignorenulls) ordered window — one shuffle, no Python."""
+    ev = read(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    o = read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    out = asof_join(ev, o, on="ts", by="user_id", direction="backward",
+                    right_cols=["o_orderkey"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("o_orderkey_r").alias("matched_orderkey"),
+        (F.col("ts_r") / 1e6).cast("long").alias("matched_epoch"),
+    )
+
+
+@q("orders_events_within_week", """
+SELECT o.o_orderkey, COUNT(e.event_id) AS n_events_week
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+""")
+def orders_events_within_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 interval join: events falling inside [orderdate, orderdate+7d]."""
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("hi"),
+    )
+    ev = read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = o.join(
+        ev,
+        (o.user_id == ev.user_id) & (ev.ts >= o.lo) & (ev.ts <= o.hi),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("event_id").alias("n_events_week")
+    )
+
+
+@q("rolling_event_counts", """
+WITH e AS (
+  SELECT user_id, ts,
+         CAST(FLOOR((epoch(ts) - 3600 + 900) / 900) AS BIGINT) AS w_lo,
+         CAST(FLOOR(epoch(ts) / 900) AS BIGINT) AS w_hi,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_beat
+  FROM events
+), x AS (
+  SELECT user_id, is_beat, gs.w AS w
+  FROM e, LATERAL (SELECT UNNEST(generate_series(e.w_lo, e.w_hi)) AS w) gs
+)
+SELECT user_id, CAST(w * 900 AS BIGINT) AS window_start_epoch,
+       COUNT(*) AS n_events, CAST(SUM(is_beat) AS BIGINT) AS n_beats
+FROM x GROUP BY user_id, w
+""")
+def rolling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W3 sliding windows: 3600 s window, 900 s step, via F.window —
+    Catalyst's native sliding-window expansion (streaming-ready verbatim)."""
+    ev = read(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("window", F.window("ts", "3600 seconds", "900 seconds"))
+        .groupBy("user_id", "window")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_beats"),
+        )
+        .select(
+            "user_id",
+            epoch_s(F.col("window.start")).alias("window_start_epoch"),
+            "n_events", "n_beats",
+        )
+    )
+    return out
+
+
+@q("harmonic_mean_hr", """
+SELECT CAST(user_id AS VARCHAR) AS subject_id,
+       COUNT(*) AS n_beats,
+       ROUND(1.0 / NULLIF(AVG(1.0 / NULLIF(value, 0)), 0), 4) AS harmonic_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+""")
+def harmonic_mean_hr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 harmonic-mean aggregation (Graham 1978 form: 1/mean(1/x))."""
+    ev = read(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return ev.groupBy(
+        F.col("user_id").cast("string").alias("subject_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_beats"),
+        F.round(
+            safe_div(
+                F.lit(1.0),
+                F.avg(safe_div(F.lit(1.0), F.nullif(F.col("value"), F.lit(0.0)))),
+            ),
+            4,
+        ).alias("harmonic_value"),
+    )
+
+
+@q("dedup_keep_first", """
+SELECT user_id, event_type, event_id AS first_event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS first_epoch
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+""")
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O6 dedup-keep-first: row_number over (key) ordered by ts."""
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("event_id").alias("first_event_id"),
+            epoch_s("ts").alias("first_epoch"),
+        )
+    )
+
+
+@q("carry_forward_daily", """
+WITH spine AS (
+  SELECT u.user_id, gs.d AS day
+  FROM (SELECT DISTINCT user_id FROM events) u,
+       LATERAL (SELECT UNNEST(generate_series(1, 30)) AS d) gs
+), daily AS (
+  SELECT user_id, CAST(date_part('day', ts) AS BIGINT) AS day,
+         ROUND(AVG(value), 4) AS day_avg
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, day
+)
+SELECT s.user_id, s.day,
+       LAST_VALUE(d.day_avg IGNORE NULLS) OVER
+         (PARTITION BY s.user_id ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_avg
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""")
+def carry_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 last-valid carry-forward over a dense spine (sequence+explode),
+    the reference's last_valid_hr propagation as a window function."""
+    ev = read(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.dayofmonth("ts").cast("long").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    )
+    spine = (
+        ev.select("user_id").distinct()
+        .withColumn("day", F.explode(F.sequence(F.lit(1), F.lit(30))))
+        .withColumn("day", F.col("day").cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("carried_avg", F.last("day_avg", ignorenulls=True).over(w))
+        .select("user_id", "day", "carried_avg")
+    )
+
+
+@q("event_type_pivot", """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+""")
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 pivoted flag counts (fixed column set, conditional aggregation)."""
+    ev = read(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "purchase", "error", "signup", "view"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@q("auc_two_level", """
+WITH per_min AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS minute,
+         SUM(value) AS min_sum
+  FROM events GROUP BY user_id, minute
+)
+SELECT user_id, minute, ROUND(min_sum, 2) AS auc,
+       ROUND((min_sum - MIN(min_sum) OVER (PARTITION BY user_id)) /
+             NULLIF(MAX(min_sum) OVER (PARTITION BY user_id) -
+                    MIN(min_sum) OVER (PARTITION BY user_id), 0), 6) AS auc_minmax
+FROM per_min
+""")
+def auc_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 two-level AUC: pre-aggregate per minute, then min-max normalize
+    per subject (window min/max over the small pre-agg, not raw rows)."""
+    ev = read(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", (F.floor(epoch_s("ts") / 60)).cast("long").alias("minute")
+    ).agg(F.sum("value").alias("min_sum"))
+    w = Window.partitionBy("user_id")
+    return per_min.select(
+        "user_id", "minute",
+        F.round("min_sum", 2).alias("auc"),
+        F.round(
+            safe_div(
+                F.col("min_sum") - F.min("min_sum").over(w),
+                F.nullif(
+                    F.max("min_sum").over(w) - F.min("min_sum").over(w), F.lit(0.0)
+                ),
+            ),
+            6,
+        ).alias("auc_minmax"),
+    )
+
+
+@q("global_summary", """
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 4) AS mean_value,
+       ROUND(MEDIAN(value), 4) AS median_value,
+       ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+       ROUND(QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25), 4) AS iqr_value
+FROM events
+""")
+def global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A13 whole-table rollup incl. exact median and IQR (quartile
+    deviation input for the CBD test)."""
+    ev = read(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(
+            F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25)), 4
+        ).alias("iqr_value"),
+    )
+
+
+@q("json_props_extract", """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+""")
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14-shaped semi-structured ingestion: JSON field extraction + agg."""
+    ev = read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.round(F.avg(k), 4).alias("avg_k")
+    )
+
+
+@q("acc_magnitude", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(SQRT(l_quantity * l_quantity + l_discount * l_discount
+                  + l_tax * l_tax), 6) AS magnitude,
+       ROUND(l_quantity / (64.0 * 32) * 9.81, 6) AS converted
+FROM lineitem WHERE l_orderkey < 500
+""")
+def acc_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 scalar derivations: 3-column vector magnitude + the E4
+    G-force→m/s² conversion shape ((x/(sensitivity*fs))*9.81)."""
+    li = read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    mag = F.sqrt(
+        F.col("l_quantity") ** 2 + F.col("l_discount") ** 2 + F.col("l_tax") ** 2
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(mag, 6).alias("magnitude"),
+        F.round(F.col("l_quantity") / (64.0 * 32) * 9.81, 6).alias("converted"),
+    )

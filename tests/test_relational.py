@@ -1,0 +1,161 @@
+"""Unit tests for the relational operator core on tiny synthetic frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from physioview_spark.operators.segment import segment_data
+from physioview_spark.operators.ibi import compute_ibis, attach_ibis
+from physioview_spark.operators.asof import asof_join
+from physioview_spark.operators.spans import interval_join, expand_spans, flag_spans
+from physioview_spark.operators.metrics import (
+    compute_metrics, get_artifacts, get_missing, get_seconds,
+)
+
+
+def _samples(spark, beats, n=600, fs=10.0, artifacts=()):
+    """Dense sample frame at fs with beat/artifact flags at given indices."""
+    rows = [
+        (
+            "s1",
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i / fs),
+            1.0 if i in set(beats) else None,
+            1.0 if i in set(artifacts) else None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "subject_id string, sample_idx long, ts timestamp, beat double, artifact double"
+    )
+
+
+def test_segment_data(spark):
+    df = _samples(spark, beats=[], n=100, fs=10.0)
+    out = segment_data(df, fs=10.0, seg_size=2)  # 20 samples per segment
+    got = {r["sample_idx"]: r["segment"] for r in out.collect()}
+    assert got[0] == 1 and got[19] == 1 and got[20] == 2 and got[99] == 5
+
+
+def test_compute_ibis(spark):
+    beats = [0, 10, 20, 35, 50]  # at fs=10: ibis = 1000,1000,1500,1500 ms
+    df = _samples(spark, beats=beats, n=60, fs=10.0)
+    b = df.where(F.col("beat") == 1).select("subject_id", "sample_idx")
+    out = compute_ibis(b, fs=10.0).orderBy("sample_idx").collect()
+    assert [r["ibi_ms"] for r in out] == [None, 1000.0, 1000.0, 1500.0, 1500.0]
+    full = attach_ibis(df, fs=10.0)
+    assert full.where(F.col("ibi_ms").isNotNull()).count() == 4
+
+
+def test_asof_join_directions(spark):
+    left = spark.createDataFrame(
+        [("a", 5.0), ("a", 10.0), ("a", 99.0)], "k string, t double"
+    )
+    right = spark.createDataFrame(
+        [("a", 4.0, "w"), ("a", 9.0, "x"), ("a", 11.0, "y")], "k string, t double, v string"
+    )
+    back = {
+        r["t"]: r["v_r"]
+        for r in asof_join(left, right, on="t", by="k", direction="backward").collect()
+    }
+    assert back == {5.0: "w", 10.0: "x", 99.0: "y"}
+    fwd = {
+        r["t"]: r["v_r"]
+        for r in asof_join(left, right, on="t", by="k", direction="forward").collect()
+    }
+    assert fwd == {5.0: "x", 10.0: "y", 99.0: None}
+    near = {
+        r["t"]: r["v_r"]
+        for r in asof_join(left, right, on="t", by="k", direction="nearest").collect()
+    }
+    assert near == {5.0: "w", 10.0: "x", 99.0: "y"}
+    # tolerance clips far matches
+    tol = {
+        r["t"]: r["v_r"]
+        for r in asof_join(
+            left, right, on="t", by="k", direction="nearest", tolerance=2.0
+        ).collect()
+    }
+    assert tol == {5.0: "w", 10.0: "x", 99.0: None}
+
+
+def test_interval_and_spans(spark):
+    pts = spark.createDataFrame(
+        [("s1", i) for i in range(10)], "subject_id string, sample_idx long"
+    )
+    spans = spark.createDataFrame(
+        [("s1", 2, 4), ("s1", 7, 8)], "subject_id string, `from` long, `to` long"
+    )
+    joined = interval_join(pts, spans, "sample_idx", by=["subject_id"])
+    assert joined.count() == 5  # 2,3,4,7,8
+    expanded = expand_spans(spans)
+    assert expanded.count() == 5
+    flagged = flag_spans(pts, spans)
+    flagged_ix = sorted(
+        r["sample_idx"] for r in flagged.where(F.col("unusable") == 1).collect()
+    )
+    assert flagged_ix == [2, 3, 4, 7, 8]
+
+
+def test_get_artifacts_counts(spark):
+    # fs=10, seg=2s => 20-sample segments; beats every 10 samples
+    beats = list(range(0, 600, 10))
+    arts = [100, 110, 305]
+    df = _samples(spark, beats=beats, n=600, fs=10.0, artifacts=arts)
+    out = {r["segment"]: r for r in get_artifacts(df, 10.0, 2).collect()}
+    assert all(out[s]["n_detected"] == 2 for s in out)
+    assert out[6]["n_artifact"] == 2 and out[16]["n_artifact"] == 1
+    assert out[6]["pct_artifact"] == 100.0
+
+
+def test_get_missing_regular_rhythm(spark):
+    # Perfectly regular beats at 2 Hz (every 5 samples at fs=10): HR=120 bpm.
+    beats = list(range(0, 600, 5))
+    df = _samples(spark, beats=beats, n=600, fs=10.0)
+    out = {r["segment"]: r for r in get_missing(df, 10.0, 10).collect()}
+    # 60s of data in 10s segments: 6 segments, 20 beats each, HR 120
+    assert len(out) == 6
+    for s, r in out.items():
+        assert r["n_detected"] == 20
+        assert r["n_expected"] == 20  # 120 bpm * (10/60)
+        assert r["n_missing"] == 0
+    m = compute_metrics(df, 10.0, 10, min_hr=40.0)
+    rows = {r["segment"]: r for r in m.collect()}
+    assert rows[1]["invalid"] is None or rows[1]["invalid"] != 1
+
+
+def test_get_missing_gap_detected(spark):
+    # Regular 1 Hz beats but a dead zone in segment 2 (samples 100-199).
+    beats = [i for i in range(0, 600, 10) if not (100 <= i < 200)]
+    df = _samples(spark, beats=beats, n=600, fs=10.0)
+    out = {r["segment"]: r for r in get_missing(df, 10.0, 10).collect()}
+    assert out[2]["n_detected"] == 0
+    assert out[2]["n_expected"] == 10  # carried from segment 1 (HR 60)
+    assert out[2]["n_missing"] == 10
+    assert out[2]["pct_missing"] == 100.0
+
+
+def test_get_seconds_harmonic(spark):
+    # Beats every 5 samples at fs=10 → IBI 500 ms everywhere.
+    beats = list(range(0, 100, 5))
+    df = _samples(spark, beats=beats, n=100, fs=10.0)
+    out = {r["second"]: r for r in get_seconds(df, 10.0).collect()}
+    assert len(out) == 10
+    # second 1 window = second 0 only: beats 0,5 -> one IBI of 500ms
+    assert out[1]["mean_ibi"] == 500.0
+    assert out[1]["mean_hr"] == 120.0
+    assert out[1]["n_beats"] == 2
+    # middle seconds: window = prev+current
+    assert out[5]["mean_ibi"] == 500.0 and out[5]["n_beats"] == 2
+
+
+def test_entry_smoke(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 15
