@@ -161,3 +161,139 @@ def annotate_eda(
         return pdf[cols + ["filtered", "phasic", "tonic", "scr"]]
 
     return df.groupBy(by).applyInPandas(run, schema=schema)
+
+
+def compute_hrv(
+    beats: DataFrame,
+    fs: float,
+    window_length: int = 60,
+    window_step: int = 15,
+    by: str = "subject_id",
+) -> DataFrame:
+    """A11: HRV features over sliding windows of the IBI series.
+
+    Input: beat rows (subject_id, sample_idx). Each beat lands in
+    ``window/step`` windows via sequence+explode (relational fan-out), then
+    a grouped Arrow kernel computes the td/fd/nl feature set per
+    (subject, window) — the classic grouped-aggregate pandas UDF shape
+    (reference: physioview/physioview.py:1022-1089, via flirt).
+    """
+    from pyspark.sql import functions as F
+
+    from physioview_spark.functions.kernels_hrv import FEATURE_NAMES, hrv_features
+
+    step_len = int(fs * window_step)
+    win_len = int(fs * window_length)
+    lo = F.greatest(
+        F.lit(0), F.ceil((F.col("sample_idx") - win_len + 1) / F.lit(step_len))
+    )
+    hi = F.floor(F.col("sample_idx") / F.lit(step_len))
+    exploded = beats.select(by, "sample_idx").withColumn(
+        "window_id", F.explode(F.sequence(lo, hi))
+    )
+    schema = T.StructType(
+        [
+            T.StructField(by, T.StringType(), False),
+            T.StructField("window_id", T.LongType(), False),
+        ]
+        + [T.StructField(f, T.DoubleType(), True) for f in FEATURE_NAMES]
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ix = np.sort(pdf["sample_idx"].to_numpy())
+        nn = np.diff(ix) / fs * 1000.0
+        feats = hrv_features(nn)
+        row = {by: key[0], "window_id": key[1], **feats}
+        return pd.DataFrame([row])
+
+    return exploded.groupBy(by, "window_id").applyInPandas(run, schema=schema)
+
+
+def correct_beats(
+    beats: DataFrame,
+    fs: float,
+    by: str = "subject_id",
+    **kwargs,
+) -> DataFrame:
+    """Q4: Hegarty-Craver correction per subject; returns the corrected
+    beat rows with per-beat flag and IBI (sparse frame).
+    """
+    from physioview_spark.functions.kernels_correction import correct_interval
+
+    schema = T.StructType([
+        T.StructField(by, T.StringType(), False),
+        T.StructField("sample_idx", T.LongType(), False),
+        T.StructField("ibi_ms", T.DoubleType(), True),
+        T.StructField("flag", T.StringType(), True),
+    ])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ix = np.sort(pdf["sample_idx"].to_numpy())
+        subject = pdf[by].iloc[0]
+        _, _, corrected = correct_interval(ix, fs, **kwargs)
+        return pd.DataFrame({
+            by: subject,
+            "sample_idx": corrected["beat"].astype(np.int64),
+            "ibi_ms": corrected["ibi_ms"],
+            "flag": [None if f is None else str(f) for f in corrected["flag"]],
+        })
+
+    return beats.select(by, "sample_idx").groupBy(by).applyInPandas(
+        run, schema=schema
+    )
+
+
+def corrected_segment_summary(
+    original_beats: DataFrame,
+    fs: float,
+    seg_size: int = 60,
+    by: str = "subject_id",
+    **kwargs,
+) -> DataFrame:
+    """A8 get_corrected rollup: per-segment corrections count/%, plus
+    pivoted Correct/Short/Long/Extra Long flag counts
+    (reference: pipeline/SQA.py:1417-1512). Relational after the per-
+    subject correction kernel; segment = ceil(beat / (seg_size*fs)).
+    """
+    from pyspark.sql import functions as F
+
+    from physioview_spark.functions.kernels_correction import correct_interval
+
+    orig_schema = T.StructType([
+        T.StructField(by, T.StringType(), False),
+        T.StructField("sample_idx", T.LongType(), False),
+        T.StructField("correction", T.IntegerType(), True),
+    ])
+
+    def run_orig(pdf: pd.DataFrame) -> pd.DataFrame:
+        ix = np.sort(pdf["sample_idx"].to_numpy())
+        subject = pdf[by].iloc[0]
+        _, original, _ = correct_interval(ix, fs, **kwargs)
+        return pd.DataFrame({
+            by: subject,
+            "sample_idx": original["beat"].astype(np.int64),
+            "correction": original["correction"].astype(np.int32),
+        })
+
+    orig = original_beats.select(by, "sample_idx").groupBy(by).applyInPandas(
+        run_orig, schema=orig_schema
+    )
+    corrected = correct_beats(original_beats, fs, by=by, **kwargs)
+
+    seg_len = int(seg_size * fs)
+    seg_of = lambda c: F.ceil(F.col(c) / seg_len).cast("long")  # noqa: E731
+    o = orig.groupBy(by, seg_of("sample_idx").alias("segment")).agg(
+        F.sum("correction").alias("n_corrected"),
+        F.count(F.lit(1)).alias("__n"),
+    ).withColumn(
+        "pct_corrected",
+        F.round(F.col("n_corrected") / F.nullif(F.col("__n"), F.lit(0)) * 100.0, 2),
+    ).drop("__n")
+    flag_counts = corrected.groupBy(
+        by, seg_of("sample_idx").alias("segment")
+    ).agg(*[
+        F.sum(F.when(F.col("flag") == f, 1).otherwise(0)).alias(
+            f.lower().replace(" ", "_"))
+        for f in ["Correct", "Short", "Long", "Extra Long"]
+    ])
+    return flag_counts.join(o, [by, "segment"], "inner")

@@ -1,0 +1,186 @@
+"""EDA quality metrics (A6) — Kleckner 2017 rules, fully relational.
+
+Parity (reference: pipeline/SQA.py:2040-2300):
+- Rule 1: EDA outside [eda_min, eda_max] µS
+- Rule 2: |slope| > eda_max_slope µS/s (slope restarts at each
+  segment/window boundary — the reference computes rules per slice)
+- Rule 3: TEMP outside [temp_min, temp_max] °C
+- Rule 4: invalid spread ±invalid_spread_dur s around any rule violation
+- Segmented mode drops the partial tail segment (len // seg_len);
+  rolling mode emits windows while a full window fits.
+
+Spark-first: rule masks are ``when`` columns; Rule 4's neighbor spread is
+a windowed max over ±spread rows within the slice; per-segment counts are
+one hash aggregation. No Python crossing at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+B = "subject_id"
+
+
+def _sdiv(num, den):
+    return num / F.nullif(den, F.lit(0))
+
+
+def eda_quality_flags(
+    samples: DataFrame,
+    fs: float,
+    seg_len: int,
+    eda_col: str = "eda",
+    temp_col: str | None = "temp",
+    eda_min: float = 0.2,
+    eda_max: float = 40.0,
+    eda_max_slope: float = 5.0,
+    temp_min: float = 20.0,
+    temp_max: float = 40.0,
+    invalid_spread_dur: float = 2.5,
+    seg_col: str = "segment",
+) -> DataFrame:
+    """Annotate the sample frame with rule masks + the spread invalid flag.
+
+    ``seg_len`` is the slice length in samples; slices restart the slope
+    and the neighbor spread (reference behavior).
+    """
+    has_temp = temp_col is not None and temp_col in samples.columns
+    df = samples.withColumn(seg_col, F.floor(F.col("sample_idx") / seg_len))
+    w = Window.partitionBy(B, seg_col).orderBy("sample_idx")
+
+    slope = (F.col(eda_col) - F.lag(eda_col).over(w)) * F.lit(fs)
+    df = df.withColumn("__slope", F.coalesce(slope, F.lit(0.0)))
+    df = df.withColumn(
+        "out_of_range",
+        (F.col(eda_col) < eda_min) | (F.col(eda_col) > eda_max),
+    ).withColumn("excessive_slope", F.abs(F.col("__slope")) > eda_max_slope)
+    if has_temp:
+        df = df.withColumn(
+            "temp_out_of_range",
+            (F.col(temp_col) < temp_min) | (F.col(temp_col) > temp_max),
+        )
+        rule_invalid = (
+            F.col("out_of_range") | F.col("excessive_slope")
+            | F.col("temp_out_of_range")
+        )
+    else:
+        df = df.withColumn("temp_out_of_range", F.lit(None).cast("boolean"))
+        rule_invalid = F.col("out_of_range") | F.col("excessive_slope")
+    df = df.withColumn("__rule_invalid", rule_invalid)
+
+    spread = int(invalid_spread_dur * fs)
+    w_spread = w.rowsBetween(-spread, spread)
+    df = df.withColumn(
+        "invalid",
+        F.coalesce(F.max("__rule_invalid").over(w_spread), F.lit(False)),
+    )
+    return df.drop("__slope", "__rule_invalid")
+
+
+def compute_eda_metrics(
+    samples: DataFrame,
+    fs: float,
+    seg_size: int = 60,
+    rolling_window: int | None = None,
+    rolling_step: int = 15,
+    scr_col: str | None = "scr",
+    **rule_kwargs,
+) -> DataFrame:
+    """Per-segment (or sliding-window) EDA QA metric frame.
+
+    Output columns mirror the reference metric schema: n/% valid, n/%
+    invalid, out-of-range, excessive-slope, temp-out-of-range counts and
+    percentages, N SCRs.
+    """
+    if rolling_window is not None:
+        return _rolling(samples, fs, rolling_window, rolling_step, scr_col,
+                        **rule_kwargs)
+    seg_len = int(seg_size * fs)
+    flagged = eda_quality_flags(samples, fs, seg_len, **rule_kwargs)
+    # drop the partial tail segment: only segments with seg_len samples
+    counts = flagged.groupBy(B, "segment").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(~F.col("invalid"), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("invalid"), 1).otherwise(0)).alias("n_invalid"),
+        F.sum(F.when(F.col("out_of_range"), 1).otherwise(0)).alias("out_of_range"),
+        F.sum(F.when(F.col("excessive_slope"), 1).otherwise(0)).alias(
+            "excessive_slope"),
+        F.sum(F.when(F.col("temp_out_of_range"), 1).otherwise(0)).alias(
+            "temp_out_of_range"),
+        *( [F.sum(F.when(F.col(scr_col) == 1, 1).otherwise(0)).alias("n_scrs")]
+           if scr_col and scr_col in samples.columns else [] ),
+    )
+    out = counts.where(F.col("__n") == seg_len)
+    pct = lambda c: F.round(_sdiv(F.col(c) * 100.0, F.col("__n")), 2)  # noqa: E731
+    out = (
+        out.withColumn("segment", F.col("segment") + 1)
+        .withColumn("pct_valid", pct("n_valid"))
+        .withColumn("pct_invalid", pct("n_invalid"))
+        .withColumn("pct_out_of_range", pct("out_of_range"))
+        .withColumn("pct_excessive_slope", pct("excessive_slope"))
+        .withColumn("pct_temp_out_of_range", pct("temp_out_of_range"))
+    )
+    cols = [B, "segment", "n_valid", "pct_valid", "n_invalid", "pct_invalid",
+            "out_of_range", "pct_out_of_range", "excessive_slope",
+            "pct_excessive_slope", "temp_out_of_range", "pct_temp_out_of_range"]
+    if scr_col and scr_col in samples.columns:
+        cols.append("n_scrs")
+    return out.select(*cols)
+
+
+def _rolling(
+    samples: DataFrame, fs: float, rolling_window: int, rolling_step: int,
+    scr_col: str | None, **rule_kwargs,
+) -> DataFrame:
+    """Sliding-window variant: explode each sample into its windows, then
+    the same rule masks per (subject, window).
+
+    The rule masks are computed on the whole-recording grid here (slope
+    defined at window boundaries), the one deliberate deviation from the
+    reference's per-slice recompute — at window step 15 s each sample would
+    otherwise need window-local slopes for every overlapping window."""
+    step_len = int(fs * rolling_step)
+    win_len = int(fs * rolling_window)
+    flagged = eda_quality_flags(samples, fs, seg_len=1 << 62, **rule_kwargs)
+    extents = samples.groupBy(B).agg(F.count(F.lit(1)).alias("n_samples"))
+    n_win = (F.floor((F.col("n_samples") - win_len) / step_len) + 1)
+    lo = F.greatest(
+        F.lit(0), F.ceil((F.col("sample_idx") - win_len + 1) / F.lit(step_len))
+    )
+    hi = F.floor(F.col("sample_idx") / F.lit(step_len))
+    exploded = (
+        flagged.join(extents, B)
+        .withColumn("__nw", n_win)
+        .withColumn(
+            "mw", F.explode(F.sequence(lo, F.least(hi, F.col("__nw") - 1)))
+        )
+    )
+    counts = exploded.groupBy(B, "mw").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(~F.col("invalid"), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("invalid"), 1).otherwise(0)).alias("n_invalid"),
+        F.sum(F.when(F.col("out_of_range"), 1).otherwise(0)).alias("out_of_range"),
+        F.sum(F.when(F.col("excessive_slope"), 1).otherwise(0)).alias(
+            "excessive_slope"),
+        F.sum(F.when(F.col("temp_out_of_range"), 1).otherwise(0)).alias(
+            "temp_out_of_range"),
+        *( [F.sum(F.when(F.col(scr_col) == 1, 1).otherwise(0)).alias("n_scrs")]
+           if scr_col and scr_col in samples.columns else [] ),
+    )
+    pct = lambda c: F.round(_sdiv(F.col(c) * 100.0, F.col("__n")), 2)  # noqa: E731
+    out = (
+        counts.where(F.col("__n") == win_len)
+        .withColumn("moving_window", F.col("mw") + 1)
+        .withColumn("pct_valid", pct("n_valid"))
+        .withColumn("pct_invalid", pct("n_invalid"))
+        .withColumn("pct_out_of_range", pct("out_of_range"))
+        .withColumn("pct_excessive_slope", pct("excessive_slope"))
+        .withColumn("pct_temp_out_of_range", pct("temp_out_of_range"))
+    )
+    cols = [B, "moving_window", "n_valid", "pct_valid", "n_invalid",
+            "pct_invalid", "out_of_range", "pct_out_of_range",
+            "excessive_slope", "pct_excessive_slope", "temp_out_of_range",
+            "pct_temp_out_of_range"]
+    if scr_col and scr_col in samples.columns:
+        cols.append("n_scrs")
+    return out.select(*cols)

@@ -105,3 +105,97 @@ def kernel_seconds_hr(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _synth_frame(spark, "ecg", fs=250.0, duration=30.0, subjects=1)
     annotated = annotate_cardiac(df, fs=250.0, detector="pantompkins")
     return get_seconds(annotated, fs=250.0, with_ts=False)
+
+
+@q("kernel_beat_correction")
+def kernel_beat_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 Hegarty-Craver correction + A8 per-segment rollup on beats with
+    injected missing/extra defects."""
+    import numpy as np
+
+    from physioview_spark.functions.spark_kernels import corrected_segment_summary
+
+    fs = 250.0
+    clean = np.arange(0, 250 * 120, 200)
+    missing = np.delete(clean, [40, 80])
+    extra = np.sort(np.append(clean, [clean[30] + 90, clean[90] + 70]))
+    rows = [("s_missing", int(b)) for b in missing] + [
+        ("s_extra", int(b)) for b in extra
+    ]
+    beats = spark.createDataFrame(rows, "subject_id string, sample_idx long")
+    out = corrected_segment_summary(beats, fs, seg_size=30)
+    return out.orderBy("subject_id", "segment")
+
+
+@q("kernel_hrv_features")
+def kernel_hrv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 HRV features over sliding windows of detected beats on
+    synthetic ECG (time + frequency + nonlinear domains)."""
+    from physioview_spark.functions.spark_kernels import annotate_cardiac, compute_hrv
+
+    df = _synth_frame(spark, "ecg", fs=250.0, duration=120.0, subjects=1)
+    annotated = annotate_cardiac(df, fs=250.0, detector="pantompkins")
+    beats = annotated.where(F.col("beat") == 1).select("subject_id", "sample_idx")
+    hrv = compute_hrv(beats, fs=250.0, window_length=60, window_step=30)
+    return hrv.select(
+        "subject_id", "window_id",
+        *[F.round(F.col(c), 4).alias(c) for c in
+          ["num_ibis", "mean_nni", "sdnn", "rmssd", "pnni_50", "mean_hr",
+           "lf", "hf", "sd1", "sd2"]],
+    ).orderBy("subject_id", "window_id")
+
+
+@q("kernel_eda_quality_metrics")
+def kernel_eda_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 Kleckner EDA QA metrics (segmented) with temperature rule."""
+    import numpy as np
+
+    from physioview_spark.operators.eda_metrics import compute_eda_metrics
+    from physioview_spark.testing import synth_eda
+
+    fs = 4.0
+    rows = []
+    for s in range(2):
+        x, _ = synth_eda(fs=fs, duration=300.0, seed=11 + s)
+        temp = np.full(len(x), 33.0)
+        temp[100 * s: 100 * s + 20] = 15.0
+        rows += [
+            (f"s{s}", i, float(x[i]), float(temp[i])) for i in range(len(x))
+        ]
+    df = spark.createDataFrame(
+        rows, "subject_id string, sample_idx long, eda double, temp double"
+    )
+    return compute_eda_metrics(df, fs, seg_size=60).orderBy(
+        "subject_id", "segment"
+    )
+
+
+@q("kernel_acc_auc")
+def kernel_acc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/A7: magnitude + two-level AUC (segmented, zscore-normalized
+    rolling) on synthetic 3-axis accelerometry."""
+    from physioview_spark.operators.acc import compute_auc, compute_magnitude
+    from physioview_spark.testing import synth_acc
+
+    fs = 32.0
+    x, y, z = synth_acc(fs=fs, duration=300.0)
+    rows = [
+        ("s0", i, float(x[i]), float(y[i]), float(z[i])) for i in range(len(x))
+    ]
+    df = spark.createDataFrame(
+        rows, "subject_id string, sample_idx long, x double, y double, z double"
+    )
+    m = compute_magnitude(df)
+    seg = compute_auc(m, fs, seg_size=60).withColumnRenamed("segment", "win")
+    roll = compute_auc(
+        m, fs, rolling_window=60, rolling_step=15, norm="zscore"
+    ).withColumnRenamed("moving_window", "win").withColumnRenamed("auc", "auc_z")
+    return (
+        seg.join(roll, ["subject_id", "win"], "outer")
+        .select(
+            "subject_id", "win",
+            F.round("auc", 4).alias("auc"),
+            F.round("auc_z", 4).alias("auc_z"),
+        )
+        .orderBy("subject_id", "win")
+    )

@@ -1,0 +1,183 @@
+"""Correction machine (Q4), HRV (A11), EDA QA (A6), ACC AUC (A7) tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from physioview_spark.functions.kernels_correction import correct_interval
+from physioview_spark.functions.kernels_hrv import hrv_features
+
+
+class TestCorrection:
+    FS = 250.0
+
+    def test_clean_rhythm_unchanged(self):
+        clean = np.arange(0, 250 * 120, 200)
+        cb, orig, corr = correct_interval(clean, self.FS)
+        assert len(cb) == len(clean)
+        assert np.array_equal(cb, clean)
+        assert orig["correction"].sum() == 0
+
+    def test_missing_beat_restored(self):
+        clean = np.arange(0, 250 * 120, 200)
+        missing = np.delete(clean, 40)
+        cb, orig, corr = correct_interval(missing, self.FS)
+        assert len(cb) == len(clean)
+        assert np.all(np.diff(cb) > 0)  # monotone invariant
+        assert any(abs(b - clean[40]) < 20 for b in cb)
+
+    def test_extra_beat_merged(self):
+        clean = np.arange(0, 250 * 120, 200)
+        extra = np.sort(np.append(clean, clean[50] + 90))
+        cb, orig, corr = correct_interval(extra, self.FS)
+        assert len(cb) == len(clean)
+        assert np.max(np.abs(np.diff(cb) - 200)) == 0
+
+    def test_ibis_within_bpm_limits(self):
+        rng = np.random.RandomState(3)
+        # messy rhythm: jittered beats + dropouts
+        beats = np.cumsum(rng.randint(150, 260, size=300))
+        beats = np.delete(beats, [50, 51, 120])
+        cb, orig, corr = correct_interval(beats, self.FS)
+        ibis = np.diff(cb)
+        # corrected IBIs respect 40-200 bpm limits modulo the final beat
+        assert np.all(ibis[:-1] <= np.floor(self.FS * 60 / 40))
+        assert np.all(np.diff(cb) > 0)
+
+
+class TestHRV:
+    def test_time_domain_known_values(self):
+        nn = np.array([800.0, 810, 790, 805, 795, 820, 780])
+        f = hrv_features(nn, domains=("td",))
+        assert abs(f["mean_nni"] - np.mean(nn)) < 1e-9
+        assert abs(f["sdnn"] - np.std(nn, ddof=1)) < 1e-9
+        diff = np.diff(nn)
+        assert abs(f["rmssd"] - np.sqrt(np.mean(diff ** 2))) < 1e-9
+        assert f["nni_20"] == np.sum(np.abs(diff) > 20)
+
+    def test_frequency_domain_detects_hf_modulation(self):
+        # IBI series modulated at 0.25 Hz (respiratory band) -> HF dominant
+        t = np.arange(0, 300, 0.8)
+        nn = 800.0 + 50.0 * np.sin(2 * np.pi * 0.25 * t)
+        f = hrv_features(nn, domains=("fd",))
+        assert f["hf"] > f["lf"]
+        assert abs(f["hf_peak"] - 0.25) < 0.05
+
+    def test_poincare(self):
+        nn = np.array([800.0, 850, 800, 850, 800, 850])
+        f = hrv_features(nn, domains=("nl",))
+        diff = np.diff(nn)
+        assert abs(f["sd1"] - np.sqrt(np.var(diff, ddof=1) / 2)) < 1e-9
+
+
+class TestEDAMetrics:
+    def test_kleckner_rules(self, spark):
+        import datetime as dt
+
+        from physioview_spark.operators.eda_metrics import compute_eda_metrics
+
+        fs = 4.0
+        n = int(fs * 300)  # 5 segments of 60 s
+        eda = np.full(n, 5.0)
+        temp = np.full(n, 33.0)
+        eda[100:105] = 0.1          # Rule 1: below 0.2 µS (segment 1)
+        eda[500] = 15.0             # Rule 2: slope (15-5)*4 = 40 µS/s (seg 2)
+        temp[900:910] = 15.0        # Rule 3: below 20 °C (segment 4)
+        rows = [
+            ("s1", i, float(eda[i]), float(temp[i])) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "subject_id string, sample_idx long, eda double, temp double"
+        )
+        out = {r["segment"]: r for r in compute_eda_metrics(df, fs, 60).collect()}
+        assert len(out) == 5
+        assert out[1]["out_of_range"] == 5
+        # rule 2 fires on both edges of each step (into and out of the dip /
+        # spike); sample 500 lives in segment 3 (500 // 240 == 2)
+        assert out[1]["excessive_slope"] == 2
+        assert out[3]["excessive_slope"] == 2
+        assert out[2]["excessive_slope"] == 0 and out[2]["n_invalid"] == 0
+        assert out[4]["temp_out_of_range"] == 10
+        # rule 4 spreads ±2.5 s (10 samples at 4 Hz), ends inclusive:
+        # violations at 100..105 -> invalid 90..115 = 26 samples
+        assert out[1]["n_invalid"] == 26
+        assert out[4]["n_invalid"] == 30
+        assert out[5]["n_invalid"] == 0 and out[5]["pct_valid"] == 100.0
+
+    def test_rolling_mode(self, spark):
+        from physioview_spark.operators.eda_metrics import compute_eda_metrics
+
+        fs = 4.0
+        n = int(fs * 120)
+        rows = [("s1", i, 5.0, 33.0) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "subject_id string, sample_idx long, eda double, temp double"
+        )
+        out = compute_eda_metrics(df, fs, rolling_window=60, rolling_step=15).collect()
+        assert len(out) == 5  # (120-60)/15 + 1
+        assert all(r["pct_valid"] == 100.0 for r in out)
+
+
+class TestACC:
+    def test_magnitude_and_auc(self, spark):
+        from physioview_spark.operators.acc import (
+            compute_auc, compute_magnitude, convert_acc,
+        )
+
+        fs = 8.0
+        n = int(fs * 120)
+        rows = [("s1", i, 3.0, 4.0, 0.0) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "subject_id string, sample_idx long, x double, y double, z double"
+        )
+        m = compute_magnitude(df)
+        assert m.select(F.min("magnitude"), F.max("magnitude")).first() == (5.0, 5.0)
+        auc = {r["segment"]: r["auc"] for r in compute_auc(m, fs, 60).collect()}
+        assert abs(auc[1] - 5.0 * n / 2) < 1e-6  # 60 s x 8 Hz x 5.0
+        rolled = compute_auc(m, fs, rolling_window=60, rolling_step=15)
+        assert rolled.count() == 8  # windows starting every 15 s over 120 s
+        conv = convert_acc(df, fs, sensitivity=64.0)
+        got = conv.select("x").first()[0]
+        assert abs(got - 3.0 / (64.0 * fs) * 9.81) < 1e-9
+
+
+class TestSparkCorrectionHRV:
+    def test_correct_beats_and_summary(self, spark):
+        from physioview_spark.functions.spark_kernels import (
+            correct_beats, corrected_segment_summary,
+        )
+
+        fs = 250.0
+        clean = np.arange(0, 250 * 120, 200)
+        missing = np.delete(clean, 40)
+        rows = [("s1", int(b)) for b in missing] + [("s2", int(b)) for b in clean]
+        beats = spark.createDataFrame(rows, "subject_id string, sample_idx long")
+        corrected = correct_beats(beats, fs)
+        per_subj = {
+            r["subject_id"]: r["n"]
+            for r in corrected.groupBy("subject_id").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert per_subj == {"s1": len(clean), "s2": len(clean)}
+        summary = corrected_segment_summary(beats, fs, seg_size=60)
+        rows = {(r["subject_id"], r["segment"]): r for r in summary.collect()}
+        assert rows[("s1", 1)]["n_corrected"] >= 1
+        assert rows[("s2", 1)]["n_corrected"] == 0
+        assert rows[("s2", 1)]["correct"] > 0
+
+    def test_compute_hrv_windows(self, spark):
+        from physioview_spark.functions.spark_kernels import compute_hrv
+
+        fs = 250.0
+        clean = np.arange(0, 250 * 120, 200)  # 800 ms IBIs, 75 bpm
+        beats = spark.createDataFrame(
+            [("s1", int(b)) for b in clean], "subject_id string, sample_idx long"
+        )
+        hrv = compute_hrv(beats, fs, window_length=60, window_step=15)
+        rows = hrv.collect()
+        assert len(rows) >= 6
+        full = [r for r in rows if r["num_ibis"] and r["num_ibis"] >= 70]
+        assert full and all(abs(r["mean_nni"] - 800.0) < 1e-6 for r in full)
+        assert all(r["sdnn"] == 0.0 for r in full)
