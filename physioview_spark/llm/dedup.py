@@ -1,0 +1,218 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale stance (the point of each design):
+- exact: one hash-groupBy — a single shuffle on a 16-byte key at any scale.
+- jaccard: shingle-explode + self-join on shingle. Quadratic in the worst
+  case; it is the *verifier*, not the scale path.
+- minhash_lsh: signature = per-seed min of md5(seed||shingle) (string
+  minhash — lexicographic min of an avalanche hash is a valid permutation
+  sample, and reproduces bit-for-bit in any engine with md5). Bands of
+  rows hash to buckets; only same-bucket pairs are candidates — the
+  classic sub-quadratic near-dup path for 100 TB corpora.
+- simhash: 32-bit weighted-bit signature; near-dups = signatures within
+  Hamming distance d (bucketed by rotated prefixes at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from physioview_spark.llm.text import word_shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Clusters of byte-identical texts: (hash, size, member ids)."""
+    h = df.select(id_col, F.md5(F.col(text_col)).alias("text_hash"))
+    return (
+        h.groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .where(F.col("cluster_size") > 1)
+    )
+
+
+def shingle_frame(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) rows."""
+    return df.select(
+        id_col, F.explode(word_shingles(text_col, k)).alias("shingle")
+    ).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold (exact, via
+    |A∩B| / (|A|+|B|-|A∩B|) from a shingle self-join)."""
+    sh = shingle_frame(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col(f"a.shingle") == F.col(f"b.shingle"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / F.nullif(F.col("n_a") + F.col("n_b") - F.col("n_common"),
+                           F.lit(0)),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, seed, minhash) rows: minhash = min over shingles of
+    md5(seed || '|' || shingle). Engine-portable by construction."""
+    sh = shingle_frame(df, text_col, id_col, k)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    exploded = sh.select(id_col, "shingle", seeds)
+    return exploded.groupBy(id_col, "seed").agg(
+        F.min(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
+                           F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band
+    (band = hash of ``band_size`` consecutive minhash values)."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    bands = sig.withColumn(
+        "band", F.floor(F.col("seed") / band_size)
+    ).groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash"))))
+        .alias("band_hash")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash: sum ±1 per bit over token hashes, take signs.
+
+    Token hash = first 8 hex chars of md5 (32 bits via conv). JVM-side
+    throughout (explode + bitwise ops + groupBy)."""
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.lower(w)
+            )
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sig = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(bits)),
+        F.lit(0),
+    )
+    return agg.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming.
+
+    Small-corpus exact pass (self-join + popcount); at scale, bucket by
+    ``max_hamming+1`` signature chunks first (pigeonhole) so only
+    same-chunk pairs join."""
+    sig = simhash(df, text_col, id_col, bits)
+    chunk_bits = bits // (max_hamming + 1)
+    chunks = sig.select(
+        id_col, "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(max_hamming))).alias("c"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftright(simhash, CAST(c * {chunk_bits} AS INT))")
+        .bitwiseAND(F.lit((1 << chunk_bits) - 1)),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

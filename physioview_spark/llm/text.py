@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side (built-in pyspark.sql.functions, whole-stage codegen): token
+counting, quality scoring, n-gram language ID, document fingerprinting.
+Designed so every expression has an exact ANSI-SQL twin for the DuckDB
+oracle (same regexes, same tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword inventories for the heuristic language ID.
+# Deliberately small + common so the heuristic is cheap and deterministic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "est", "une", "pour"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty text -> empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, F.size(tokens(text_col)).cast("long"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    heuristics + a composite [0,1] quality score."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tok = F.size(tokens(text_col)).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    sw = LANG_STOPWORDS["en"]
+    n_stop = F.size(
+        F.filter(tokens(text_col), lambda w: F.lower(w).isin(sw))
+    ).cast("long")
+    safe = lambda num, den: num / F.nullif(den, F.lit(0))  # noqa: E731
+    df = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("mean_word_len", F.round(safe(n_alpha, n_tok), 4))
+        .withColumn("punct_ratio", F.round(safe(n_punct, n_chars), 4))
+        .withColumn("digit_ratio", F.round(safe(n_digit, n_chars), 4))
+        .withColumn("stopword_ratio", F.round(safe(n_stop, n_tok), 4))
+    )
+    score = (
+        F.least(safe(F.col("n_tokens"), F.lit(50.0)), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.15
+        + (1.0 - F.least(F.col("digit_ratio") * 5.0, F.lit(1.0))) * 0.15
+    )
+    return df.withColumn("quality_score", F.round(score, 4))
+
+
+def detect_language(df: DataFrame, text_col: str = "text",
+                    out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID; ties break to the alphabetically first
+    language (deterministic, oracle-reproducible)."""
+    toks = F.transform(tokens(text_col), lambda w: F.lower(w))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings ('w1 w2 w3'); fewer than k words -> the
+    whole text as one shingle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    joined = F.array_join(toks, " ")
+    idx = F.sequence(F.lit(0), n - k)
+    mk = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.when(n <= k, F.array(joined)).otherwise(mk)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3,
+                out_col: str = "fingerprint") -> DataFrame:
+    """Order-invariant document fingerprint: lexicographic min of the md5s
+    of the k-word shingles (a 1-permutation MinHash)."""
+    sh = word_shingles(text_col, k)
+    return df.withColumn(
+        out_col, F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    )

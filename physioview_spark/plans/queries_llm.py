@@ -1,0 +1,239 @@
+"""LLM-data-pipeline queries + DuckDB oracles over documents/embeddings.
+
+Covers: text analysis (tokens, quality, language ID, fingerprint), dedup
+(exact, Jaccard, MinHash signatures + LSH candidates, SimHash), similarity
+search (brute-force cosine top-k, LSH-bucketed ANN), multimodal binary
+plumbing. SQL-expressible ops carry exact oracles; LSH/SimHash/multimodal
+are rows-only with golden tests in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from physioview_spark.llm import dedup, similarity, text
+from physioview_spark.plans.common import read
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+@q("doc_token_stats", """
+SELECT source,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)), 4) AS avg_tokens,
+       CAST(MAX(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens
+FROM documents GROUP BY source
+""")
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace), aggregated by source."""
+    docs = read(spark, sf_dir, "documents")
+    counted = text.token_count(docs)
+    return counted.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+@q("doc_quality_scores", """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS mean_word_len,
+       ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) AS punct_ratio,
+       ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) AS digit_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS stopword_ratio,
+       ROUND(
+         LEAST(n_tokens / 50.0, 1.0) * 0.4
+         + LEAST(ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) * 5.0, 1.0) * 0.3
+         + (1.0 - LEAST(ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) * 10.0, 1.0)) * 0.15
+         + (1.0 - LEAST(ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) * 5.0, 1.0)) * 0.15,
+       4) AS quality_score
+FROM t
+""")
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    return text.quality_score(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "mean_word_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+@q("doc_exact_dedup", """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
+SELECT text_hash, COUNT(*) AS cluster_size, MIN(doc_id) AS keeper_id
+FROM h GROUP BY text_hash
+""")
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters (singletons included so the output is stable
+    even on a duplicate-free corpus)."""
+    docs = read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+@q("doc_minhash_signatures", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+), seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+)
+SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+       MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+FROM seeded GROUP BY doc_id, seed
+""")
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations via seeded md5 string-min) —
+    engine-portable by construction."""
+    docs = read(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, k=3, num_hashes=8)
+
+
+@q("doc_jaccard_pairs", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE doc_id < 50
+), sh AS (
+  SELECT DISTINCT doc_id, UNNEST(t) AS shingle FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) /
+             NULLIF(sa.n_sh + sb.n_sh - n_common, 0), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / NULLIF(sa.n_sh + sb.n_sh - n_common, 0)
+      >= 0.5
+""")
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-Jaccard near-dup pairs on a doc_id<50 slice (the
+    verifier for the LSH candidate path)."""
+    docs = read(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return dedup.jaccard_pairs(docs, k=1, threshold=0.5)
+
+
+@q("embedding_cosine_topk", """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings c, q
+  WHERE q.vec_id != c.vec_id
+)
+SELECT query_id, match_id, sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, match_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+""")
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 query vectors —
+    JVM-side zip_with/aggregate dot products."""
+    emb = read(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    )
+
+
+@q("doc_language_id")
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID vs the labeled lang column (rows-only:
+    the tie-break CASE chain is checked in tests instead of SQL)."""
+    docs = read(spark, sf_dir, "documents")
+    out = text.detect_language(docs)
+    return out.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    ).orderBy("lang", "lang_pred")
+
+
+@q("doc_fingerprints", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+)
+SELECT doc_id, MIN(md5(shingle)) AS fingerprint
+FROM sh GROUP BY doc_id
+""")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@q("doc_simhash_near_dups")
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + pigeonhole-bucketed near-dup pairs (Spark-side
+    bit ops; no portable SQL twin)."""
+    docs = read(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=2).orderBy("id_a", "id_b")
+
+
+@q("doc_minhash_lsh_candidates")
+def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs (banded signatures; sub-quadratic scale
+    path; verified against exact Jaccard in tests)."""
+    docs = read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, k=3, num_hashes=8, band_size=2)
+
+
+@q("embedding_ann_lsh")
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (deterministic md5 hyperplanes): bucketed
+    candidates, exact re-rank; recall vs brute force asserted in tests."""
+    emb = read(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=4, dim=64
+    )
+
+
+@q("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode/feature plumbing via mapInPandas (deterministic
+    fake codec; corrupt payloads surface as valid=false rows)."""
+    from physioview_spark.llm.multimodal import extract_image_features, fake_image_table
+
+    imgs = fake_image_table(spark, n=64, corrupt_every=10)
+    return extract_image_features(imgs).orderBy("doc_id")

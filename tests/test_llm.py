@@ -1,0 +1,135 @@
+"""Golden tests for the LLM-data operators: LSH recall vs exact methods,
+simhash identity, language ID on known text, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from physioview_spark.llm import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (2, "a completely different sentence about spark query engines and joins"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (4, "machine learning pipelines deduplicate training data at scale"),
+        (5, "el gato y el perro estan en la casa de que los vecinos"),
+        (6, "der hund und die katze sind nicht in das haus ein mit"),
+        (7, "the cat and the dog are in that house of it is"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_clone(spark, docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["cluster_size"] == 2 and out[0]["keeper_id"] == 0
+
+
+def test_jaccard_and_lsh_candidates_agree(spark, docs):
+    exact = dedup.jaccard_pairs(docs, k=3, threshold=0.5)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert (0, 3) in exact_pairs  # identical docs
+    assert (0, 1) in exact_pairs  # one-word difference
+    cand = dedup.minhash_lsh_candidates(docs, k=3, num_hashes=8, band_size=2)
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    # LSH must recall the identical pair; near-identical with high prob
+    assert (0, 3) in cand_pairs
+    assert (0, 1) in cand_pairs
+
+
+def test_simhash_identity_and_distance(spark, docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sig[0] == sig[3]
+    near = dedup.simhash_near_dups(docs, max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in near.collect()}
+    assert pairs.get((0, 3)) == 0
+
+
+def test_language_id_known_sentences(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in text.detect_language(docs).collect()}
+    assert out[0] == "en"
+    assert out[5] == "es"
+    assert out[6] == "de"
+    assert out[7] == "en"
+
+
+def test_token_count_and_fingerprint(spark, docs):
+    counted = {r["doc_id"]: r["n_tokens"]
+               for r in text.token_count(docs).collect()}
+    assert counted[0] == 13
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[3]  # identical docs -> identical fingerprint
+    assert fp[0] != fp[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.randn(16).astype(np.float32)  # near-dup
+    rows = [(i, [float(v) for v in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = similarity.cosine_topk(
+        vectors.where(F.col("vec_id") == 3), vectors, k=3
+    ).collect()
+    assert out[0]["match_id"] == 7 and out[0]["sim"] > 0.999
+    # verify against numpy
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in vectors.collect()}
+    q = rows[3]
+    sims = {
+        i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in rows.items() if i != 3
+    }
+    best = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:3]
+    assert [r["match_id"] for r in out] == best
+
+
+def test_lsh_topk_recall(spark, vectors):
+    exact = similarity.cosine_topk(
+        vectors.where(F.col("vec_id") < 10), vectors, k=3
+    )
+    approx = similarity.lsh_topk(
+        vectors.where(F.col("vec_id") < 10), vectors, k=3,
+        n_planes=2, dim=16,
+    )
+    e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # 2 planes / 4 buckets: expect decent recall
+    # the engineered near-dup pair must survive LSH bucketing
+    assert (3, 7) in a
+
+
+def test_embedding_near_dups(spark, vectors):
+    out = similarity.embedding_near_dups(
+        vectors, threshold=0.99, n_planes=2, dim=16
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(3, 7)}
+
+
+def test_multimodal_decode_plumbing(spark):
+    from physioview_spark.llm.multimodal import (
+        _decode, encode_fake_image, extract_image_features, fake_image_table,
+    )
+
+    imgs = fake_image_table(spark, n=30, corrupt_every=10)
+    feats = {r["doc_id"]: r for r in extract_image_features(imgs).collect()}
+    assert len(feats) == 30
+    bad = [i for i, r in feats.items() if not r["valid"]]
+    assert bad == [9, 19, 29]
+    # features match a direct numpy computation of the same payload
+    img, w, h, c = _decode(encode_fake_image(4, width=8 + (4 % 5) * 4, height=8))
+    assert feats[4]["width"] == w and feats[4]["valid"]
+    assert abs(feats[4]["mean_intensity"] - round(float(img.mean()), 4)) < 1e-9
