@@ -177,3 +177,77 @@ def sliding_max(x: np.ndarray, w: int) -> np.ndarray:
     lo = np.arange(n)          # window i covers xp[i : i+w]
     hi = lo + w - 1
     return np.maximum(bwd[lo], fwd[hi])
+
+
+def fourier_resample(x: np.ndarray, num: int) -> np.ndarray:
+    """Fourier-domain resampling to exactly ``num`` samples (K20 parity —
+    the reference calls ``scipy.signal.resample`` for ACC<->BVP/EDA
+    alignment, reference: physioview/physioview.py:305-318, 1364-1370).
+
+    rFFT -> truncate or zero-pad the spectrum -> irFFT, with the Nyquist
+    bin split/folded symmetrically so real signals stay real and energy is
+    conserved.
+    """
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n == 0 or num == n:
+        return x.copy()
+    xf = np.fft.rfft(x)
+    n_out_bins = num // 2 + 1
+    yf = np.zeros(n_out_bins, dtype=complex)
+    ncopy = min(len(xf), n_out_bins)
+    yf[:ncopy] = xf[:ncopy]
+    # Nyquist-bin handling for even lengths (split on upsample, fold on
+    # downsample) keeps the inverse transform exactly real.
+    if num > n and n % 2 == 0 and ncopy > n // 2:
+        yf[n // 2] *= 0.5
+    elif num < n and num % 2 == 0 and len(xf) > num // 2:
+        yf[num // 2] = xf[num // 2].real
+    y = np.fft.irfft(yf, num)
+    return y * (float(num) / n)
+
+
+def resample_poly(x: np.ndarray, up: int, down: int,
+                  numtaps_per_phase: int = 10) -> np.ndarray:
+    """Polyphase rational-ratio resampling (K19 parity — the reference uses
+    ``scipy.signal.resample_poly(up, down)`` after a gcd reduction,
+    reference: pipeline/EDA.py:484-518).
+
+    Zero-stuff by ``up``, FIR low-pass at min(1/up, 1/down) x Nyquist
+    (windowed sinc, Hamming), stride by ``down``. Output length
+    ``ceil(len(x) * up / down)`` matching the classical convention.
+    """
+    from physioview_spark.dsp.design import firwin
+
+    x = np.asarray(x, dtype=float)
+    g = np.gcd(int(up), int(down))
+    up, down = int(up) // g, int(down) // g
+    if up == 1 and down == 1:
+        return x.copy()
+    n_out = -(-len(x) * up // down)
+    # windowed-sinc anti-alias / anti-image filter, gain `up`
+    max_rate = max(up, down)
+    numtaps = 2 * numtaps_per_phase * max_rate + 1
+    h = firwin(numtaps, 1.0 / max_rate) * up
+    xu = np.zeros(len(x) * up)
+    xu[::up] = x
+    y = fftconvolve(xu, h, mode="full")
+    delay = (numtaps - 1) // 2
+    y = y[delay: delay + len(x) * up]
+    return y[::down][:n_out]
+
+
+def decimate_fir(x: np.ndarray, factor: int,
+                 numtaps: int = 129) -> np.ndarray:
+    """Render decimation (K21 parity): anti-alias FIR (129 taps, cutoff
+    ``0.45 / factor`` x Nyquist, Hamming) then stride ``::factor``
+    (reference: dashboard/utils.py:494-581, target ~250 Hz via
+    ``ds_factor = fs // 250`` at :529)."""
+    from physioview_spark.dsp.design import firwin
+
+    x = np.asarray(x, dtype=float)
+    if factor <= 1:
+        return x.copy()
+    h = firwin(numtaps, 0.45 / factor * 2.0)
+    y = fftconvolve(x, h, mode="same")
+    return y[::factor]

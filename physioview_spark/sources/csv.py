@@ -1,0 +1,101 @@
+"""Generic CSV ingest with column mapping — S6/S7/S9 parity.
+
+- ``load_signal_csv``: reads one or many CSVs, maps arbitrary user headers
+  to the canonical schema (Timestamp / <dtype> / X / Y / Z / TEMP), adds an
+  explicit ``sample_idx`` (replacing the reference's positional index) and
+  a ``subject_id`` from the file name (reference: dashboard/utils.py:437-492).
+- Batch mode is ONE multi-file scan with ``input_file_name()`` — Spark's
+  partition-parallel read replaces the reference's sequential per-file loop
+  (reference: dashboard/callbacks.py:743-892), the single biggest
+  scalability win over the original.
+- ``infer_unix_unit``: s/ms/µs inference from the median magnitude
+  (reference: dashboard/utils.py:308-325).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def infer_unix_unit(df: DataFrame, ts_col: str) -> str | None:
+    """Infer Unix timestamp unit from the median magnitude."""
+    med = df.select(
+        F.median(F.col(ts_col).cast("double")).alias("m")
+    ).first()["m"]
+    if med is None:
+        return None
+    if 1e8 < med < 2e9:
+        return "s"
+    if 1e11 < med < 2e13:
+        return "ms"
+    if 1e14 < med < 2e16:
+        return "us"
+    return None
+
+
+def _to_timestamp(col, unit: str):
+    c = F.col(col).cast("double")
+    scale = {"s": 1.0, "ms": 1e3, "us": 1e6}[unit]
+    return F.timestamp_micros((c / scale * 1e6).cast("long"))
+
+
+def load_signal_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    dtype: str,
+    header_map: dict[str, str],
+    fs: float | None = None,
+    has_ts: bool = True,
+) -> DataFrame:
+    """Read CSV(s) into the canonical sample frame.
+
+    ``header_map``: user header -> canonical name ('ts', the dtype value
+    column, 'x','y','z','temp'). ``sample_idx`` is assigned per subject in
+    file order (row_number over a monotonic id — stable for text files).
+    """
+    raw = spark.read.csv(path, header=True, inferSchema=True)
+    subject = F.regexp_replace(
+        F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.csv$", ""
+    )
+    df = raw.withColumn("subject_id", subject).withColumn(
+        "__mono", F.monotonically_increasing_id()
+    )
+    selected = [F.col("subject_id"), F.col("__mono")]
+    for user_col, canon in header_map.items():
+        selected.append(F.col(f"`{user_col}`").alias(canon))
+    df = df.select(*selected)
+    w = Window.partitionBy("subject_id").orderBy("__mono")
+    df = df.withColumn("sample_idx", F.row_number().over(w) - 1).drop("__mono")
+
+    if has_ts and "ts" in df.columns:
+        dt = dict(df.dtypes)["ts"]
+        if dt in ("bigint", "double", "int"):
+            unit = infer_unix_unit(df, "ts")
+            if unit is not None:
+                df = df.withColumn("ts", _to_timestamp("ts", unit))
+            elif fs:
+                # numeric but not unix: treat as seconds-elapsed at fs
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        (F.col("ts").cast("double") * 1e6).cast("long")
+                    ),
+                )
+        elif dt == "string":
+            df = df.withColumn("ts", F.to_timestamp("ts"))
+    front = ["subject_id", "sample_idx"] + (["ts"] if "ts" in df.columns else [])
+    rest = [c for c in df.columns if c not in front]
+    return df.select(*front, *rest)
+
+
+def write_stage(df: DataFrame, base_dir: str, stage: str,
+                fmt: str = "parquet") -> str:
+    """Stage materialization sink (replaces the reference's per-subject
+    temp CSVs, reference: dashboard/callbacks.py:859-888): one partitioned
+    parquet dataset per stage, partitioned by subject for pruned re-reads."""
+    out = os.path.join(base_dir, stage)
+    (df.write.mode("overwrite").partitionBy("subject_id")
+     .format(fmt).save(out))
+    return out

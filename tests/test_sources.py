@@ -1,0 +1,288 @@
+"""Source/sink tests: CSV mapping (S6/S7), EDF (S1/S2), E4 ZIP (S3-S5),
+Beat Editor JSON round-trip + edit application (S13/S14/Q5), and the
+resampling kernels they depend on (K19-K21)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- CSV S6/S7
+
+class TestCsvSource:
+    def _write_csvs(self, tmp_path, n_files=3, n_rows=50):
+        paths = []
+        for i in range(n_files):
+            p = tmp_path / f"subj{i}.csv"
+            with open(p, "w") as f:
+                f.write("time_s,ecg_mv\n")
+                for j in range(n_rows):
+                    f.write(f"{1700000000 + i * 1000 + j * 0.008:.3f},"
+                            f"{np.sin(j / 5.0):.6f}\n")
+            paths.append(str(p))
+        return paths
+
+    def test_batch_scan_subjects_and_sample_idx(self, spark, tmp_path):
+        from physioview_spark.sources import load_signal_csv
+
+        self._write_csvs(tmp_path)
+        df = load_signal_csv(
+            spark, str(tmp_path), "ecg",
+            header_map={"time_s": "ts", "ecg_mv": "ecg"})
+        rows = df.groupBy("subject_id").agg(
+            F.count("*").alias("n"),
+            F.min("sample_idx").alias("lo"),
+            F.max("sample_idx").alias("hi")).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert (r["n"], r["lo"], r["hi"]) == (50, 0, 49)
+
+    def test_unix_unit_inference(self, spark, tmp_path):
+        from physioview_spark.sources import load_signal_csv
+
+        self._write_csvs(tmp_path, n_files=1)
+        df = load_signal_csv(
+            spark, str(tmp_path / "subj0.csv"), "ecg",
+            header_map={"time_s": "ts", "ecg_mv": "ecg"})
+        assert dict(df.dtypes)["ts"].startswith("timestamp")
+        first = df.orderBy("sample_idx").first()
+        assert first["ts"].year == 2023  # 1700000000 epoch-seconds
+
+
+# ---------------------------------------------------------------- EDF S1/S2
+
+class TestEdfSource:
+    def _make_edf(self, tmp_path, fs_ecg=256, fs_acc=32, seconds=4):
+        from physioview_spark.sources import write_edf_bytes
+
+        rng = np.random.default_rng(7)
+        n = fs_ecg * seconds
+        ecg_uv = 500.0 * np.sin(2 * np.pi * 1.2 * np.arange(n) / fs_ecg)
+        m = fs_acc * seconds
+        signals = [
+            {"label": "ECG0", "fs": fs_ecg, "data": ecg_uv, "dim": "uV"},
+            {"label": "X", "fs": fs_acc, "data": rng.normal(0, 1, m)},
+            {"label": "Y", "fs": fs_acc, "data": rng.normal(0, 1, m)},
+            {"label": "Z", "fs": fs_acc, "data": 9.8 + rng.normal(0, .1, m)},
+        ]
+        p = str(tmp_path / "rec1.edf")
+        with open(p, "wb") as f:
+            f.write(write_edf_bytes(signals))
+        return p, ecg_uv
+
+    def test_roundtrip_decode(self, tmp_path, spark):
+        from physioview_spark.sources import read_edf_bytes
+
+        p, ecg_uv = self._make_edf(tmp_path)
+        with open(p, "rb") as f:
+            _, signals = read_edf_bytes(f.read())
+        got = next(s for s in signals if s["label"] == "ECG0")
+        assert got["fs"] == 256
+        # int16 quantization bounds the round-trip error
+        span = ecg_uv.max() - ecg_uv.min()
+        assert np.max(np.abs(got["data"] - ecg_uv)) < span / 65000, \
+            "EDF round-trip exceeded quantization error"
+
+    def test_load_actiwave_distributed(self, tmp_path, spark):
+        from physioview_spark.sources import load_actiwave
+
+        p, ecg_uv = self._make_edf(tmp_path)
+        frames = load_actiwave(spark, str(tmp_path))
+        ecg = frames["ecg"].orderBy("sample_idx").toPandas()
+        assert list(ecg["subject_id"].unique()) == ["rec1"]
+        assert ecg["fs"].iloc[0] == 256.0
+        # uV -> mV scaling (reference physioview.py:91)
+        assert np.allclose(ecg["ecg"].values, ecg_uv / 1000.0, atol=1e-4)
+        acc = frames["acc"].toPandas()
+        assert {"x", "y", "z", "magnitude"} <= set(acc.columns)
+        assert np.allclose(
+            acc["magnitude"],
+            np.sqrt(acc.x ** 2 + acc.y ** 2 + acc.z ** 2), atol=1e-12)
+
+    def test_channel_fs_probe(self, tmp_path, spark):
+        from physioview_spark.sources import get_channel_fs
+
+        p, _ = self._make_edf(tmp_path)
+        with open(p, "rb") as f:
+            payload = f.read()
+        assert get_channel_fs(payload, "ecg") == 256.0
+        assert get_channel_fs(payload, "nope") is None
+
+
+# ------------------------------------------------------------- E4 S3/S4/S5
+
+class TestEmpaticaSource:
+    START = 1700000000.0
+
+    def _make_zip(self, tmp_path):
+        from physioview_spark.sources import write_e4_zip
+
+        rng = np.random.default_rng(11)
+        bvp = np.sin(2 * np.pi * 1.1 * np.arange(64 * 10) / 64.0)
+        acc = rng.integers(-64, 64, size=(32 * 10, 3)).astype(float)
+        eda = 2.0 + 0.1 * np.sin(np.arange(4 * 10) / 4.0)
+        hr = 60.0 + rng.normal(0, 2, 10)
+        temp = 33.0 + rng.normal(0, .05, 4 * 10)
+        ibi = np.column_stack([
+            np.cumsum(np.full(9, 0.9)), np.full(9, 0.9)])
+        p = str(tmp_path / "e4subj.zip")
+        write_e4_zip(p, self.START, acc=acc, bvp=bvp, eda=eda, hr=hr,
+                     temp=temp, ibi=ibi)
+        return p, bvp, acc, ibi
+
+    def test_streams_units_and_grid(self, spark, tmp_path):
+        from physioview_spark.sources import load_empatica
+
+        p, bvp, acc, ibi = self._make_zip(tmp_path)
+        frames = load_empatica(spark, p)
+
+        b = frames["bvp"].orderBy("sample_idx").toPandas()
+        assert len(b) == len(bvp) and b["fs"].iloc[0] == 64.0
+        assert np.allclose(b["bvp"], bvp, atol=1e-6)
+        # ts grid spacing = 1/fs
+        dt = np.diff(b["ts"].values.astype("datetime64[us]").astype(np.int64))
+        assert np.all(dt == int(1e6 / 64))
+
+        a = frames["acc"].orderBy("sample_idx").toPandas()
+        # raw/64*9.81 conversion (reference physioview.py:370-372)
+        assert np.allclose(a[["x", "y", "z"]].values,
+                           acc / 64.0 * 9.81, atol=1e-6)
+
+        i = frames["ibi"].orderBy("ts").toPandas()
+        assert np.allclose(i["ibi"], ibi[:, 1] * 1000.0)  # s -> ms
+
+    def test_align_hrv_unfill(self, spark, tmp_path):
+        from physioview_spark.sources import align_hrv, load_empatica
+
+        p, bvp, _, ibi = self._make_zip(tmp_path)
+        frames = load_empatica(spark, p)
+        aligned = align_hrv(frames["bvp"], frames["ibi"], frames["hr"])
+        pdf = aligned.orderBy("sample_idx").toPandas()
+        assert len(pdf) == len(bvp)
+        # un-fill: exactly one BVP row per IBI event carries the value
+        assert int(pdf["ibi"].notna().sum()) == len(ibi)
+        assert int(pdf["hr"].notna().sum()) == 10
+
+
+# ------------------------------------------------- Beat editor S13/S14/Q5
+
+class TestBeatEditor:
+    def _samples(self, spark, n=1000, fs=100.0):
+        import pandas as pd
+
+        beats = np.full(n, np.nan)
+        beats[50::100] = 1.0
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "ts": (np.int64(1700000000) * 1000000
+                   + np.arange(n, dtype=np.int64) * 10000
+                   ).astype("datetime64[us]"),
+            "signal": np.sin(np.arange(n) / 7.0),
+            "beat": beats,
+        })
+        return spark.createDataFrame(pdf), pdf
+
+    def test_sink_roundtrip(self, spark, tmp_path):
+        from physioview_spark.sources import write_beat_editor_json
+
+        df, pdf = self._samples(spark)
+        out = str(tmp_path / "editor")
+        write_beat_editor_json(df, out, fs=100.0, signal_col="signal")
+        back = spark.read.json(out + "/subject_id=s1")
+        rows = back.orderBy("Timestamp").collect()
+        assert len(rows) == 1000
+        assert {"Timestamp", "Segment", "Signal", "Beat"} <= set(back.columns)
+        assert rows[0]["Timestamp"] == 1700000000 * 1000  # epoch ms
+        assert rows[0]["Segment"] == 1
+
+    def test_process_edits_ts_mode(self, spark, tmp_path):
+        from physioview_spark.sources import (process_beat_edits,
+                                              read_beat_edits)
+
+        df, pdf = self._samples(spark)
+        base_ms = 1700000000 * 1000
+        edits = [
+            {"x": base_ms + 50 * 10, "editType": "DELETE"},   # beat @50
+            {"x": base_ms + 200 * 10, "editType": "ADD"},     # new beat @200
+            {"x": base_ms + 201 * 10 + 1, "editType": "ADD"}, # within 2ms of 201
+            {"from": base_ms + 340 * 10, "to": base_ms + 360 * 10,
+             "editType": "UNUSABLE"},                          # beat @350
+        ]
+        epath = str(tmp_path / "s1_edited.json")
+        with open(epath, "w") as f:
+            for e in edits:
+                f.write(json.dumps(e) + "\n")
+        edf = read_beat_edits(spark, epath)
+        assert edf.first()["subject_id"] == "s1"
+
+        out = process_beat_edits(df, edf).orderBy("sample_idx").toPandas()
+        assert out.loc[50, "deleted_beat"] == 1.0
+        assert np.isnan(out.loc[50, "edited"])
+        assert out.loc[200, "added_beat"] == 1.0
+        assert out.loc[200, "edited"] == 1.0
+        assert out.loc[201, "added_beat"] == 1.0
+        # unusable span kills the beat at 350 but keeps the flag rows
+        assert out.loc[350, "unusable"] == 1.0
+        assert np.isnan(out.loc[350, "edited"])
+        assert out.loc[150, "edited"] == 1.0  # untouched beat survives
+        n_final = int(out["edited"].notna().sum())
+        # 10 original - 1 deleted - 1 unusable + 2 added
+        assert n_final == 10
+
+    def test_process_edits_sample_mode(self, spark):
+        from physioview_spark.sources import process_beat_edits
+
+        df, pdf = self._samples(spark)
+        edits = spark.createDataFrame(
+            [(150.4, None, None, "DELETE", "s1"),
+             (600.0, None, None, "ADD", "s1"),
+             (None, 40.0, 60.0, "UNUSABLE", "s1")],
+            "x double, `from` double, `to` double, editType string, "
+            "subject_id string")
+        out = process_beat_edits(df, edits, use_ts=False) \
+            .orderBy("sample_idx").toPandas()
+        assert out.loc[150, "deleted_beat"] == 1.0  # 150.4 -> nearest 150
+        assert out.loc[600, "edited"] == 1.0
+        assert out.loc[50, "unusable"] == 1.0
+        assert np.isnan(out.loc[50, "edited"])
+
+
+# ------------------------------------------------------- resampling K19-21
+
+class TestResampling:
+    def test_fourier_resample_band_limited_exact(self):
+        from physioview_spark.dsp.apply import fourier_resample
+
+        t = np.arange(512) / 64.0
+        x = np.sin(2 * np.pi * 2.0 * t)
+        up = fourier_resample(x, 1024)
+        assert len(up) == 1024
+        assert np.max(np.abs(up[::2] - x)) < 1e-9
+
+    def test_resample_poly_ratio_and_len(self):
+        from physioview_spark.dsp.apply import resample_poly
+
+        x = np.sin(2 * np.pi * 1.0 * np.arange(400) / 40.0)
+        y = resample_poly(x, 2, 5)
+        assert len(y) == 160
+        ref = np.sin(2 * np.pi * 1.0 * np.arange(160) / 16.0)
+        assert np.max(np.abs(y[16:-16] - ref[16:-16])) < 5e-3
+
+    def test_decimate_fir_antialias(self):
+        from physioview_spark.dsp.apply import decimate_fir
+
+        fs, factor = 1000, 4
+        t = np.arange(8000) / fs
+        lo = np.sin(2 * np.pi * 5 * t)
+        hi = np.sin(2 * np.pi * 400 * t)  # above decimated Nyquist
+        y = decimate_fir(lo + hi, factor)
+        assert len(y) == 2000
+        ref = np.sin(2 * np.pi * 5 * np.arange(2000) / (fs / factor))
+        # the 400 Hz component must be attenuated away
+        assert np.max(np.abs(y[100:-100] - ref[100:-100])) < 0.05
