@@ -1,0 +1,20 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY §2.9): its rolling/segment SQA
+metrics are the streaming-shaped operators. Here they are expressed so
+ONE definition runs identically under batch and under Structured
+Streaming (watermark + event-time windows) — live ingest becomes a
+`readStream` swap, not a rewrite.
+"""
+
+from physioview_spark.streaming.rolling import (
+    streaming_rolling_sqa, streaming_seconds_hr, streaming_segment_sqa,
+    with_watermark_if_streaming,
+)
+from physioview_spark.streaming.stateful import streaming_ibis
+
+__all__ = [
+    "streaming_rolling_sqa", "streaming_seconds_hr",
+    "streaming_segment_sqa", "with_watermark_if_streaming",
+    "streaming_ibis",
+]

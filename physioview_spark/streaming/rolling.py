@@ -1,0 +1,124 @@
+"""Event-time windowed SQA metrics, batch/streaming-polymorphic.
+
+Parity: segmented metrics (A1/A3, reference: pipeline/SQA.py:161-196),
+rolling metrics (A4, reference: pipeline/SQA.py:114-175), per-second
+harmonic-mean HR (A5, reference: pipeline/SQA.py:631-723 — Graham 1978).
+
+Spark-first: all three are pure event-time window aggregations
+(`F.window(ts, size [, slide])`), which Catalyst compiles to hash
+aggregations in batch and to incremental stateful aggregations under
+Structured Streaming. The SAME function body serves both: pass a batch
+DataFrame or a `readStream` DataFrame. A watermark is attached only in
+streaming mode so late data is bounded and state can be evicted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_watermark_if_streaming(df: DataFrame, ts_col: str,
+                                delay: str) -> DataFrame:
+    """Attach an event-time watermark when (and only when) ``df`` is a
+    streaming DataFrame — keeps operator definitions batch/streaming
+    polymorphic."""
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def streaming_segment_sqa(
+    samples: DataFrame,
+    seg_seconds: int = 60,
+    min_hr: float = 40.0,
+    watermark: str = "2 minutes",
+    beat_col: str = "beat",
+    artifact_col: str = "artifact",
+) -> DataFrame:
+    """Tumbling-window segment SQA: detected/artifact counts, artifact %,
+    and the Invalid rule (P7: detected < min_hr*(seg/60) or > 220,
+    reference: pipeline/SQA.py:193-196) per (subject, segment window).
+    """
+    df = with_watermark_if_streaming(samples, "ts", watermark)
+    detected = F.sum(F.when(F.col(beat_col) == 1, 1).otherwise(0))
+    artifacts = F.sum(F.when(F.col(artifact_col) == 1, 1).otherwise(0))
+    lo = min_hr * (seg_seconds / 60.0)
+    return (
+        df.groupBy("subject_id", F.window("ts", f"{seg_seconds} seconds"))
+        .agg(detected.alias("n_detected"), artifacts.alias("n_artifact"))
+        .select(
+            "subject_id",
+            F.col("window.start").alias("segment_start"),
+            "n_detected",
+            "n_artifact",
+            F.when(F.col("n_detected") > 0,
+                   F.col("n_artifact") / F.col("n_detected") * 100.0)
+             .otherwise(F.lit(0.0)).alias("pct_artifact"),
+            ((F.col("n_detected") < F.lit(lo))
+             | (F.col("n_detected") > F.lit(220.0 * seg_seconds / 60.0)))
+            .cast("int").alias("invalid"),
+        )
+    )
+
+
+def streaming_rolling_sqa(
+    samples: DataFrame,
+    window_seconds: int = 300,
+    step_seconds: int = 15,
+    watermark: str = "10 minutes",
+    beat_col: str = "beat",
+    artifact_col: str = "artifact",
+) -> DataFrame:
+    """Sliding-window SQA (A4): size/step windows over beat + artifact
+    flags. In streaming this is incremental multi-window state; in batch
+    Catalyst expands each row into its covering windows (same results)."""
+    df = with_watermark_if_streaming(samples, "ts", watermark)
+    return (
+        df.groupBy(
+            "subject_id",
+            F.window("ts", f"{window_seconds} seconds",
+                     f"{step_seconds} seconds"),
+        )
+        .agg(
+            F.sum(F.when(F.col(beat_col) == 1, 1).otherwise(0))
+            .alias("n_detected"),
+            F.sum(F.when(F.col(artifact_col) == 1, 1).otherwise(0))
+            .alias("n_artifact"),
+        )
+        .select(
+            "subject_id",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_detected", "n_artifact",
+        )
+    )
+
+
+def streaming_seconds_hr(
+    beats: DataFrame,
+    watermark: str = "30 seconds",
+    ibi_col: str = "ibi_ms",
+) -> DataFrame:
+    """Per-second beat stats (A5): N beats, mean IBI, harmonic-mean HR
+    ``1/mean(1/hr)`` (Graham 1978, reference: pipeline/SQA.py:666-669).
+
+    Input: beat events only (one row per detected beat, with its IBI in
+    ms). The reference's ±1 s context window becomes a 3 s sliding window
+    with 1 s step, centered by construction.
+    """
+    df = with_watermark_if_streaming(beats, "ts", watermark)
+    hr = F.lit(60000.0) / F.col(ibi_col)
+    return (
+        df.where(F.col(ibi_col).isNotNull() & (F.col(ibi_col) > 0))
+        .groupBy("subject_id", F.window("ts", "3 seconds", "1 second"))
+        .agg(
+            F.count(F.lit(1)).alias("n_beats"),
+            F.avg(F.col(ibi_col)).alias("mean_ibi_ms"),
+            (F.lit(1.0) / F.avg(F.lit(1.0) / hr)).alias("harmonic_hr"),
+        )
+        .select(
+            "subject_id",
+            # label = the center second of the 3 s window
+            F.timestamp_add("SECOND", F.lit(1), F.col("window.start"))
+            .alias("second"),
+            "n_beats", "mean_ibi_ms", "harmonic_hr",
+        )
+    )

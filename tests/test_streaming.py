@@ -1,0 +1,153 @@
+"""Structured Streaming tests: the windowed SQA operators must produce
+identical results in batch and streaming mode (availableNow trigger,
+memory sink), and the stateful IBI operator must carry state across
+micro-batches."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = ("subject_id string, ts timestamp, beat double, artifact double")
+
+
+REAL_END = pd.Timestamp("2024-01-01 00:05:00")
+
+
+def _sample_frame(n_subj=3, seconds=300, beat_every=1.0):
+    rows = []
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    for s in range(n_subj):
+        rng = np.random.default_rng(s)
+        t = 0.0
+        while t < seconds:
+            ts = base + np.timedelta64(int(t * 1e6), "us")
+            rows.append((f"s{s}", pd.Timestamp(ts),
+                         1.0, 1.0 if rng.random() < 0.1 else None))
+            t += beat_every * (0.9 + 0.2 * rng.random())
+        # sentinel far past the real range: advances the watermark so
+        # append mode flushes every real window before availableNow ends
+        rows.append((f"s{s}",
+                     pd.Timestamp(base + np.timedelta64(2, "h")),
+                     None, None))
+    return pd.DataFrame(rows, columns=["subject_id", "ts", "beat",
+                                       "artifact"])
+
+
+@pytest.fixture(scope="module")
+def beat_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "beats")
+    pdf = _sample_frame()
+    spark.createDataFrame(pdf, SCHEMA).repartition(4).write.parquet(p)
+    return p
+
+
+def _run_stream(spark, stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append" if stream_df.isStreaming else "complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _collect_sorted(df, cols):
+    return [tuple(r) for r in
+            df.select(*cols).orderBy(*cols).collect()]
+
+
+class TestWindowedParity:
+    def test_segment_sqa_batch_vs_stream(self, spark, beat_parquet):
+        from physioview_spark.streaming import streaming_segment_sqa
+
+        batch = spark.read.parquet(beat_parquet)
+        stream = spark.readStream.schema(SCHEMA).parquet(beat_parquet)
+
+        got_b = streaming_segment_sqa(batch)
+        q = (streaming_segment_sqa(stream)
+             .writeStream.format("memory").queryName("seg_sqa")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got_s = spark.table("seg_sqa")
+
+        cols = ["subject_id", "segment_start", "n_detected", "n_artifact",
+                "invalid"]
+        got_b = got_b.where(F.col("segment_start") < F.lit(REAL_END))
+        got_s = got_s.where(F.col("segment_start") < F.lit(REAL_END))
+        assert _collect_sorted(got_b, cols) == _collect_sorted(got_s, cols)
+        # sanity: ~60 beats/min -> never invalid at default thresholds
+        assert all(r["invalid"] == 0 for r in got_b.collect())
+
+    def test_rolling_sqa_batch_vs_stream(self, spark, beat_parquet):
+        from physioview_spark.streaming import streaming_rolling_sqa
+
+        batch = spark.read.parquet(beat_parquet)
+        stream = spark.readStream.schema(SCHEMA).parquet(beat_parquet)
+        got_b = streaming_rolling_sqa(batch, 60, 15)
+        q = (streaming_rolling_sqa(stream, 60, 15)
+             .writeStream.format("memory").queryName("roll_sqa")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got_s = spark.table("roll_sqa")
+        cols = ["subject_id", "window_start", "n_detected", "n_artifact"]
+        got_b = got_b.where(F.col("window_start") < F.lit(REAL_END))
+        got_s = got_s.where(F.col("window_start") < F.lit(REAL_END))
+        assert _collect_sorted(got_b, cols) == _collect_sorted(got_s, cols)
+
+    def test_seconds_hr_harmonic_mean(self, spark):
+        from physioview_spark.streaming import streaming_seconds_hr
+
+        # two beats with known IBIs inside one centered window
+        pdf = pd.DataFrame({
+            "subject_id": ["a", "a", "a"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:10.0", "2024-01-01 00:00:10.8",
+                 "2024-01-01 00:00:11.6"]),
+            "ibi_ms": [None, 800.0, 800.0],
+        })
+        df = spark.createDataFrame(pdf)
+        out = streaming_seconds_hr(df).toPandas()
+        row = out[out["second"] == pd.Timestamp("2024-01-01 00:00:10")]
+        assert not row.empty
+        # hr = 75 bpm for both beats -> harmonic mean = 75
+        assert abs(row.iloc[0]["harmonic_hr"] - 75.0) < 1e-9
+
+
+class TestStatefulIbi:
+    def test_state_carries_across_microbatches(self, spark, tmp_path):
+        from physioview_spark.streaming import streaming_ibis
+
+        # two parquet files -> maxFilesPerTrigger=1 forces 2 micro-batches
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        f1 = pd.DataFrame({
+            "subject_id": ["a"] * 3,
+            "ts": [base + pd.Timedelta(seconds=s) for s in (0.0, 0.8, 1.7)],
+        })
+        f2 = pd.DataFrame({
+            "subject_id": ["a"] * 2,
+            "ts": [base + pd.Timedelta(seconds=s) for s in (2.5, 3.1)],
+        })
+        p = str(tmp_path / "beats")
+        sch = "subject_id string, ts timestamp"
+        spark.createDataFrame(f1, sch).coalesce(1).write.mode(
+            "append").parquet(p)
+        spark.createDataFrame(f2, sch).coalesce(1).write.mode(
+            "append").parquet(p)
+
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(p))
+        q = (streaming_ibis(stream)
+             .writeStream.format("memory").queryName("ibi_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = (spark.table("ibi_stream").orderBy("ts").toPandas())
+
+        batch = streaming_ibis(spark.read.parquet(p)).orderBy("ts").toPandas()
+        # same IBIs whether the 2.5s beat arrived in a later micro-batch
+        # (needs the carried last-beat state) or all at once
+        np.testing.assert_allclose(
+            got["ibi_ms"].values.astype(float),
+            batch["ibi_ms"].values.astype(float), equal_nan=True)
+        assert np.isnan(got["ibi_ms"].iloc[0])
+        assert list(got["ibi_ms"].iloc[1:]) == [800.0, 900.0, 800.0, 600.0]
