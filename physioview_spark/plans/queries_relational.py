@@ -81,22 +81,30 @@ JOIN nation n   ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """)
 def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join rollup; dimension sides broadcast (nation/customer are
-    tiny vs lineitem — at 100 TB the fact table never shuffles for these)."""
+    """Multi-join rollup. The fact table is pre-aggregated to one row per
+    order BEFORE joining (partial agg on the join key), so (a) the
+    order-level join input shrinks ~4x, and (b) the per-nation
+    ``COUNT(DISTINCT o_orderkey)`` degenerates to a plain ``count`` —
+    one lineitem shuffle total instead of a join shuffle plus a distinct
+    expand. Dimension sides broadcast (at 100 TB the fact table shuffles
+    exactly once, on its natural key)."""
     li = read(spark, sf_dir, "lineitem")
     o = read(spark, sf_dir, "orders")
     c = read(spark, sf_dir, "customer")
     n = read(spark, sf_dir, "nation")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("order_rev"))
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
         )
     )
 
