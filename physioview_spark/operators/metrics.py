@@ -61,7 +61,9 @@ def _subject_extents(samples: DataFrame, fs: float, seg_size: int) -> DataFrame:
     seg_len = int(fs * seg_size)
     return (
         samples.groupBy(B)
-        .agg(F.count(F.lit(1)).alias("n_samples"))
+        # grid length from the index, not the row count: identical on a
+        # dense frame, correct when the caller passes a sparse one
+        .agg((F.max("sample_idx") + 1).alias("n_samples"))
         .withColumn("n_seg", F.ceil(F.col("n_samples") / seg_len))
         .withColumn("segment", F.explode(F.sequence(F.lit(1), F.col("n_seg"))))
         .withColumn(

@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from physioview_spark.operators.asof import asof_join
 from physioview_spark.operators.ibi import compute_ibis
-from physioview_spark.operators.metrics import get_artifacts, get_seconds
+from physioview_spark.operators.metrics import (
+    get_artifacts, get_missing, get_seconds,
+)
 from physioview_spark.operators.spans import interval_join
 from physioview_spark.plans.common import (
     EPOCH0, epoch_s, events_as_samples, ntz_lit, read, safe_div,
@@ -483,4 +485,194 @@ def acc_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.round(mag, 6).alias("magnitude"),
         F.round(F.col("l_quantity") / (64.0 * 32) * 9.81, 6).alias("converted"),
+    )
+
+
+@q("sqa_missing_segments", f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT) AS sec,
+         event_type
+  FROM events
+), b0 AS (SELECT DISTINCT subject_id, sec FROM ev
+         WHERE event_type='purchase' AND CAST(subject_id AS BIGINT) % 10 = 0),
+e0 AS (SELECT DISTINCT subject_id, sec FROM ev WHERE event_type='error'),
+m0 AS (SELECT subject_id, MIN(sec) AS m0 FROM b0 GROUP BY subject_id),
+beats AS (
+  SELECT b0.subject_id, b0.sec - m0.m0 AS idx,
+         CASE WHEN e0.sec IS NOT NULL THEN 1.0 END AS artifact
+  FROM b0 JOIN m0 USING (subject_id)
+  LEFT JOIN e0 ON e0.subject_id = b0.subject_id AND e0.sec = b0.sec
+),
+ext AS (
+  SELECT subject_id, MAX(idx) + 1 AS n_grid,
+         CAST(CEIL((MAX(idx) + 1) / 600.0) AS BIGINT) AS n_seg
+  FROM beats GROUP BY subject_id
+),
+spine AS (
+  SELECT subject_id, gs.seg AS segment, n_seg,
+         (gs.seg - 1) * 600 AS seg_start,
+         LEAST(n_grid, gs.seg * 600) AS seg_end
+  FROM ext, LATERAL (SELECT UNNEST(generate_series(1, n_seg)) AS seg) gs
+),
+bi AS (
+  SELECT subject_id, idx, artifact,
+         CAST((idx - LAG(idx) OVER (PARTITION BY subject_id ORDER BY idx))
+              * 1000 AS DOUBLE) AS ibi_ms,
+         CAST(FLOOR(idx / 600) + 1 AS BIGINT) AS segment
+  FROM beats
+),
+w5 AS (
+  SELECT subject_id, segment,
+         COUNT(*) OVER w AS n5,
+         BOOL_OR(artifact = 1) OVER w AS anyart,
+         MEDIAN(60000.0 / NULLIF(ibi_ms, 0)) OVER w AS med_hr
+  FROM bi
+  WINDOW w AS (PARTITION BY subject_id, segment ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+),
+segmed AS (
+  SELECT subject_id, segment, MEDIAN(med_hr) AS seg_med,
+         COUNT(*) AS seg_n_win
+  FROM w5 WHERE n5 = 5 AND NOT COALESCE(anyart, FALSE)
+  GROUP BY subject_id, segment
+),
+lastslice AS (
+  SELECT bi.subject_id, bi.segment, bi.idx, bi.artifact, bi.ibi_ms
+  FROM bi JOIN spine ON spine.subject_id = bi.subject_id
+                    AND spine.segment = bi.segment
+  WHERE bi.idx >= spine.seg_end - 300
+),
+lw AS (
+  SELECT subject_id, segment,
+         COUNT(*) OVER w AS n5, BOOL_OR(artifact = 1) OVER w AS anyart,
+         MEDIAN(60000.0 / NULLIF(ibi_ms, 0)) OVER w AS med_hr
+  FROM lastslice
+  WINDOW w AS (PARTITION BY subject_id, segment ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+),
+lasthalf AS (
+  SELECT subject_id, segment, MEDIAN(med_hr) AS last_half_med,
+         COUNT(*) AS last_half_n
+  FROM lw WHERE n5 = 5 AND NOT COALESCE(anyart, FALSE)
+  GROUP BY subject_id, segment
+),
+firstslice AS (
+  SELECT bi.subject_id, bi.segment, bi.idx, bi.artifact, bi.ibi_ms
+  FROM bi JOIN spine ON spine.subject_id = bi.subject_id
+                    AND spine.segment = bi.segment
+  WHERE bi.idx < spine.seg_start + 300
+),
+fw AS (
+  SELECT subject_id, segment,
+         COUNT(*) OVER w AS n5, BOOL_OR(artifact = 1) OVER w AS anyart,
+         MEDIAN(60000.0 / NULLIF(ibi_ms, 0)) OVER w AS med_hr
+  FROM firstslice
+  WINDOW w AS (PARTITION BY subject_id, segment ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+),
+firsthalf AS (
+  SELECT subject_id, segment, MEDIAN(med_hr) AS first_half_med,
+         COUNT(*) AS first_half_n
+  FROM fw WHERE n5 = 5 AND NOT COALESCE(anyart, FALSE)
+  GROUP BY subject_id, segment
+),
+det AS (
+  SELECT subject_id, segment, COUNT(*) AS n_detected
+  FROM bi GROUP BY subject_id, segment
+),
+j AS (
+  SELECT sp.subject_id, sp.segment, sp.n_seg,
+         sp.seg_end - sp.seg_start AS seg_n_samples,
+         sm.seg_med, sm.seg_n_win,
+         lh.last_half_med, lh.last_half_n,
+         fh.first_half_med, fh.first_half_n,
+         COALESCE(det.n_detected, 0) AS n_detected
+  FROM spine sp
+  LEFT JOIN segmed sm USING (subject_id, segment)
+  LEFT JOIN (SELECT subject_id, segment + 1 AS segment,
+                    last_half_med, last_half_n FROM lasthalf) lh
+         USING (subject_id, segment)
+  LEFT JOIN (SELECT subject_id, segment - 1 AS segment,
+                    first_half_med, first_half_n FROM firsthalf) fh
+         USING (subject_id, segment)
+  LEFT JOIN det USING (subject_id, segment)
+),
+chain AS (
+  SELECT *,
+    CASE WHEN COALESCE(seg_n_win, 0) > 0 THEN seg_med
+         WHEN COALESCE(last_half_n, 0) > 0 THEN last_half_med
+         WHEN COALESCE(first_half_n, 0) > 0 THEN first_half_med
+    END AS exp_hr_raw
+  FROM j
+),
+carry AS (
+  SELECT *, LAST_VALUE(exp_hr_raw IGNORE NULLS) OVER
+      (PARTITION BY subject_id ORDER BY segment
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exp_hr
+  FROM chain
+),
+expf AS (
+  SELECT *,
+    CASE WHEN segment = n_seg
+         THEN ROUND(ROUND(exp_hr * 10.0) * seg_n_samples / 600.0)
+         ELSE ROUND(exp_hr * 10.0) END AS n_expected_f
+  FROM carry
+),
+bf AS (
+  SELECT *, CAST(FIRST_VALUE(n_expected_f IGNORE NULLS) OVER
+      (PARTITION BY subject_id ORDER BY segment
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      AS n_expected
+  FROM expf
+)
+SELECT subject_id, segment, n_detected, n_expected,
+       GREATEST(0, n_expected - n_detected) AS n_missing,
+       ROUND(GREATEST(0, n_expected - n_detected) * 100.0
+             / NULLIF(n_expected, 0), 2) AS pct_missing
+FROM bf
+""")
+def sqa_missing_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 get_missing end-to-end: the expected-beat model (5-beat sliding
+    median HR over artifact-free windows, per-segment median-of-medians,
+    prev/next half-segment fallback, last-valid carry-forward, partial
+    last-segment rescale, leading backfill, n_missing = max(0, exp-det)).
+
+    Beats = distinct purchase seconds per user, rebased to a 1 Hz grid;
+    artifact = an error event in the same second (exercises the
+    artifact-free window gate). W2/W6/W7 are all inside this plan.
+    """
+    s = events_as_samples(spark, sf_dir)
+    # every 10th subject: keeps the correctness gate fast while still
+    # covering hundreds of segments per subject
+    beats = (s.where((F.col("beat") == 1)
+                     & (F.col("user_id") % 10 == 0))
+             .select("subject_id", "sample_idx").distinct())
+    errors = (s.where(F.col("artifact") == 1)
+              .select("subject_id", "sample_idx").distinct()
+              .withColumn("artifact", F.lit(1.0)))
+    m0 = beats.groupBy("subject_id").agg(F.min("sample_idx").alias("m0"))
+    rebased = (
+        beats.join(m0, "subject_id")
+        .select(
+            "subject_id",
+            (F.col("sample_idx") - F.col("m0")).alias("__orig_off"),
+            F.col("sample_idx").alias("__orig_idx"),
+        )
+    )
+    samples = (
+        rebased
+        .join(errors.withColumnRenamed("sample_idx", "__orig_idx"),
+              ["subject_id", "__orig_idx"], "left")
+        .select(
+            "subject_id",
+            F.col("__orig_off").alias("sample_idx"),
+            F.lit(1.0).alias("beat"),
+            "artifact",
+        )
+    )
+    out = get_missing(samples, fs=1.0, seg_size=600, with_ts=False)
+    return out.select(
+        "subject_id", "segment", "n_detected", "n_expected", "n_missing",
+        "pct_missing",
     )
