@@ -125,3 +125,85 @@ def asof_join(
 
     keep = [c for c in left.columns] + [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
     return out.select(*keep)
+
+
+def interp_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    value_col: str,
+    by: list[str] | str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear-interpolation alignment join (K22 parity — the reference
+    resizes TEMP onto the EDA grid with ``interp1d(..., kind='linear',
+    fill_value='extrapolate')``, reference: pipeline/SQA.py:2436-2447).
+
+    For each left row, the right series is sampled at the left key:
+    interior keys blend the bracketing right values linearly; keys outside
+    the right range extrapolate from the edge pair (interp1d semantics).
+    Implementation: two as-of passes (backward + forward) where the right
+    side also carries its lagged/led neighbor, so the edge slopes ride
+    along — fully relational, two shuffles, no Python.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    out_col = out_col or f"{value_col}_interp"
+
+    w = Window.partitionBy(*by).orderBy(on)
+    r = (
+        right.select(*by, on, value_col)
+        .withColumn("__pk", F.lag(on).over(w))
+        .withColumn("__pv", F.lag(value_col).over(w))
+        .withColumn("__nk", F.lead(on).over(w))
+        .withColumn("__nv", F.lead(value_col).over(w))
+    )
+    def _num(c):
+        return F.col(c).cast("double")
+
+    b = asof_join(
+        left, r.select(*by, on, value_col, "__pk", "__pv"),
+        on=on, by=by, direction="backward", suffix="_b",
+    )
+    f = asof_join(
+        b, r.select(*by, on, value_col, "__nk", "__nv"),
+        on=on, by=by, direction="forward", suffix="_f",
+    )
+    # asof_join returns the matched key as epoch-us double for timestamps;
+    # rebuild the left key on the same scale
+    dt = dict(left.dtypes).get(on, "")
+    if dt == "timestamp_ntz":
+        k = F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col(on),
+        ).cast("double")
+        scale = 1e6
+    elif dt.startswith("timestamp"):
+        k = F.col(on).cast("double") * 1e6
+        scale = 1e6
+    else:
+        k = F.col(on).cast("double")
+        scale = 1.0
+
+    kb, vb = F.col(f"{on}_b"), F.col(f"{value_col}_b")
+    kf, vf = F.col(f"{on}_f"), F.col(f"{value_col}_f")
+    pk, pv = F.col("__pk_b").cast("double") * F.lit(scale), F.col("__pv_b")
+    nk, nv = F.col("__nk_f").cast("double") * F.lit(scale), F.col("__nv_f")
+
+    interior = vb + (vf - vb) * (k - kb) / F.nullif(kf - kb, F.lit(0.0))
+    extrap_hi = vb + (vb - pv) * (k - kb) / F.nullif(kb - pk, F.lit(0.0))
+    extrap_lo = vf + (vf - nv) * (k - kf) / F.nullif(kf - nk, F.lit(0.0))
+    out = f.withColumn(
+        out_col,
+        F.when(kb.isNull() & kf.isNull(), F.lit(None).cast("double"))
+        .when(kb.isNull(), F.coalesce(extrap_lo, vf))
+        .when(kf.isNull(), F.coalesce(extrap_hi, vb))
+        .when(kf == kb, vb)
+        .otherwise(interior),
+    )
+    drop = [f"{on}_b", f"{on}_f", f"{value_col}_b", f"{value_col}_f",
+            "__pk_b", "__pv_b", "__nk_f", "__nv_f"]
+    return out.drop(*drop)

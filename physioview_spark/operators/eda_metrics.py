@@ -184,3 +184,91 @@ def _rolling(
     if scr_col and scr_col in samples.columns:
         cols.append("n_scrs")
     return out.select(*cols)
+
+
+def compute_eda_features(
+    samples: DataFrame,
+    value_cols: list[str] = ("phasic", "tonic"),
+    window_seconds: int = 180,
+    step_seconds: int = 60,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A12 parity: statistical features over rolling windows of the
+    phasic/tonic (or any signal) columns — the reference delegates to
+    ``flirt.eda.get_eda_features(window_length=180, window_step_size=60)``
+    (reference: pipeline/EDA.py:451-482).
+
+    Spark-first: a flirt-style feature set that is pure relational window
+    aggregation — mean/std/min/max/range/rms/sum/count, linear trend
+    (``regr_slope`` on seconds-since-epoch), IQR and 5/95 percentiles via
+    exact interpolated ``percentile`` — over ``F.window`` sliding windows.
+    No UDF: one shuffle per feature frame, streaming-ready verbatim.
+    """
+    # whole-second trend axis: slope per second, robust to sub-second
+    # jitter in the sample timestamps
+    sec = F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    ).cast("double")
+    df = samples.withColumn("__sec", sec).withColumn(
+        "__w", F.window(ts_col, f"{window_seconds} seconds",
+                        f"{step_seconds} seconds"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in value_cols:
+        v = F.col(c)
+        aggs += [
+            F.avg(v).alias(f"{c}_mean"),
+            F.stddev_samp(v).alias(f"{c}_std"),
+            F.min(v).alias(f"{c}_min"),
+            F.max(v).alias(f"{c}_max"),
+            (F.max(v) - F.min(v)).alias(f"{c}_range"),
+            F.sqrt(F.avg(v * v)).alias(f"{c}_rms"),
+            F.sum(v).alias(f"{c}_sum"),
+            F.expr(f"regr_slope({c}, __sec)").alias(f"{c}_slope"),
+            (F.percentile(v, F.lit(0.75)) - F.percentile(v, F.lit(0.25)))
+            .alias(f"{c}_iqr"),
+            F.percentile(v, F.lit(0.05)).alias(f"{c}_pct05"),
+            F.percentile(v, F.lit(0.95)).alias(f"{c}_pct95"),
+        ]
+    feat_cols = [a for a in (
+        f for c in value_cols for f in (
+            f"{c}_mean", f"{c}_std", f"{c}_min", f"{c}_max", f"{c}_range",
+            f"{c}_rms", f"{c}_sum", f"{c}_slope", f"{c}_iqr",
+            f"{c}_pct05", f"{c}_pct95",
+        ))]
+    return (
+        df.groupBy("subject_id", "__w")
+        .agg(*aggs)
+        .select(
+            "subject_id",
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "n", *feat_cols,
+        )
+    )
+
+
+def eda_summary(metrics: DataFrame,
+                samples: DataFrame | None = None,
+                tonic_col: str = "tonic") -> DataFrame:
+    """A10 parity: whole-recording EDA rollup (reference:
+    dashboard/utils.py:633-686) — per subject: mean SCRs/segment and mean
+    quality percentages from the metric frame, plus the median tonic SCL
+    from the sample frame when provided."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(F.avg("pct_valid"), 2).alias("avg_pct_valid"),
+        F.round(F.avg("pct_invalid"), 2).alias("avg_pct_invalid"),
+        F.round(F.avg("pct_out_of_range"), 2).alias("avg_pct_out_of_range"),
+        F.round(F.avg("pct_excessive_slope"), 2)
+        .alias("avg_pct_excessive_slope"),
+    ]
+    if "n_scrs" in metrics.columns:
+        aggs.append(F.round(F.avg("n_scrs"), 2).alias("avg_scrs_per_segment"))
+    out = metrics.groupBy(B).agg(*aggs)
+    if samples is not None and tonic_col in samples.columns:
+        scl = samples.groupBy(B).agg(
+            F.round(F.median(tonic_col), 4).alias("median_tonic_scl"))
+        out = out.join(scl, B, "left")
+    return out

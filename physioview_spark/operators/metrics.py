@@ -476,3 +476,22 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
         out = out.join(ts, [B, "sec"], "left")
         cols = [B, "second", "ts", "mean_hr", "mean_ibi", "n_beats"]
     return out.select(*cols)
+
+
+def cardiac_summary(metrics: DataFrame) -> DataFrame:
+    """A9 parity: whole-recording rollup of the segmented SQA metric frame
+    (reference: dashboard/utils.py:584-631) — per subject: segment count,
+    mean detected beats, segments with any missing / any artifact /
+    invalid, and mean percentages. One tiny hash aggregation."""
+    return metrics.groupBy(B).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(F.avg("n_detected"), 2).alias("avg_n_detected"),
+        F.sum(F.when(F.col("n_missing") > 0, 1).otherwise(0))
+        .alias("segs_with_missing"),
+        F.sum(F.when(F.col("n_artifact") > 0, 1).otherwise(0))
+        .alias("segs_with_artifact"),
+        F.sum(F.when(F.col("invalid") == 1, 1).otherwise(0))
+        .alias("segs_invalid"),
+        F.round(F.avg("pct_missing"), 2).alias("avg_pct_missing"),
+        F.round(F.avg("pct_artifact"), 2).alias("avg_pct_artifact"),
+    )

@@ -676,3 +676,53 @@ def sqa_missing_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subject_id", "segment", "n_detected", "n_expected", "n_missing",
         "pct_missing",
     )
+
+
+@q("eda_rolling_features", """
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id, ts, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE CAST(user_id AS BIGINT) % 20 = 0
+), x AS (
+  SELECT subject_id, value, sec,
+         gs.w AS w
+  FROM s, LATERAL (SELECT UNNEST(generate_series(
+         CAST(FLOOR((sec - 180 + 60) / 60) AS BIGINT),
+         CAST(FLOOR(sec / 60.0) AS BIGINT))) AS w) gs
+)
+SELECT subject_id,
+       CAST(w * 60 AS BIGINT) AS window_start_epoch,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS v_mean,
+       ROUND(STDDEV_SAMP(value), 6) AS v_std,
+       ROUND(MIN(value), 6) AS v_min,
+       ROUND(MAX(value), 6) AS v_max,
+       ROUND(MAX(value) - MIN(value), 6) AS v_range,
+       ROUND(SQRT(AVG(value * value)), 6) AS v_rms,
+       ROUND(REGR_SLOPE(value, sec), 6) AS v_slope,
+       ROUND(QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25), 6)
+           AS v_iqr,
+       ROUND(QUANTILE_CONT(value, 0.05), 6) AS v_pct05,
+       ROUND(QUANTILE_CONT(value, 0.95), 6) AS v_pct95
+FROM x GROUP BY subject_id, w
+""")
+def eda_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 compute_eda_features: flirt-style statistical features over
+    180 s / 60 s sliding windows, fully relational (mean/std/min/max/
+    range/rms/slope/IQR/percentiles via window aggregation — no UDF)."""
+    from physioview_spark.operators.eda_metrics import compute_eda_features
+
+    ev = read(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    s = ev.select(
+        F.col("user_id").cast("string").alias("subject_id"), "ts", "value")
+    out = compute_eda_features(
+        s, value_cols=["value"], window_seconds=180, step_seconds=60)
+    r6 = lambda c: F.round(F.col(c), 6).alias(c.replace("value_", "v_"))  # noqa: E731
+    return out.select(
+        "subject_id",
+        epoch_s(F.col("window_start")).alias("window_start_epoch"),
+        "n",
+        r6("value_mean"), r6("value_std"), r6("value_min"), r6("value_max"),
+        r6("value_range"), r6("value_rms"), r6("value_slope"),
+        r6("value_iqr"), r6("value_pct05"), r6("value_pct95"),
+    ).drop("value_sum")

@@ -184,3 +184,18 @@ def process_beat_edits(
                  .when(is_del | unusable, F.lit(None).cast("double"))
                  .when(beat, one))
             .drop("edit_type_e", "__pt"))
+
+
+def rescale_edit_indices(
+    edits: DataFrame, source_fs: float, target_fs: float
+) -> DataFrame:
+    """K23 parity: remap edit sample indices between sampling rates,
+    ``rint(ix * target/source)`` (reference: dashboard/utils.py:860-868).
+    Applies to ``x`` and to ``from``/``to`` span bounds when present."""
+    scale = float(target_fs) / float(source_fs)
+    out = edits
+    for c in ("x", "from", "to"):
+        if c in edits.columns:
+            out = out.withColumn(
+                c, F.round(F.col(c) * scale).cast("double"))
+    return out

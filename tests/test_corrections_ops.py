@@ -1,0 +1,218 @@
+"""Tests for Q6 accept/revert, Q7 boundary nulling, K22 interp join,
+K23 edit-index rescale, A9/A10 summaries, A12 rolling features."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestQ7BoundaryNulling:
+    def test_null_before_and_after_each_block(self, spark):
+        from physioview_spark.operators.corrections import (
+            null_boundary_values, unusable_blocks,
+        )
+
+        n = 100
+        ibi = np.full(n, np.nan)
+        ibi[10::10] = 800.0          # ibis at 10,20,...,90
+        art = np.full(n, np.nan)
+        art[25] = 1.0
+        art[55] = 1.0
+        unusable = np.full(n, np.nan)
+        unusable[40:46] = 1.0        # one block [40,45]
+        unusable[70:76] = 1.0        # second block [70,75]
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "ibi_ms": ibi, "artifact": art, "unusable": unusable,
+        })
+        df = spark.createDataFrame(pdf)
+
+        blocks = unusable_blocks(df).orderBy("lo").collect()
+        assert [(b["lo"], b["hi"]) for b in blocks] == [(40, 45), (70, 75)]
+
+        out = (null_boundary_values(df)
+               .orderBy("sample_idx").toPandas())
+        # block [40,45]: last ibi before = idx 40 is unusable but ibi[40]
+        # is at 40 -> actually beats at 10..90 step 10: last before 40 is
+        # 30, first after 45 is 50; block [70,75]: last before = 60 wait,
+        # 70 is inside block; first after 75 is 80.
+        killed = {30, 50, 60, 80}
+        for i in range(n):
+            if i in killed:
+                assert np.isnan(out.loc[i, "ibi_ms"]), f"idx {i} not nulled"
+            elif not np.isnan(ibi[i]):
+                survives = i not in killed
+                assert survives == (not np.isnan(out.loc[i, "ibi_ms"]))
+        # artifacts: last before [40,45] is 25; first after is 55
+        assert np.isnan(out.loc[25, "artifact"])
+        assert np.isnan(out.loc[55, "artifact"])
+
+    def test_ibi_at_40_is_inside_block(self, spark):
+        from physioview_spark.operators.corrections import (
+            null_boundary_values,
+        )
+        # value exactly at block start stays (only strictly-before rows
+        # are "before"), matching loc[:s-1]
+        pdf = pd.DataFrame({
+            "subject_id": ["a"] * 6,
+            "sample_idx": np.arange(6, dtype=np.int64),
+            "ibi_ms": [np.nan, 700.0, np.nan, 800.0, np.nan, 900.0],
+            "unusable": [np.nan, np.nan, np.nan, 1.0, 1.0, np.nan],
+        })
+        out = (null_boundary_values(spark.createDataFrame(pdf),
+                                    value_cols=["ibi_ms"])
+               .orderBy("sample_idx").toPandas())
+        assert np.isnan(out.loc[1, "ibi_ms"])   # last before block
+        assert np.isnan(out.loc[5, "ibi_ms"])   # first after block
+        assert out.loc[3, "ibi_ms"] == 800.0    # inside block untouched
+
+
+class TestQ6AcceptRevert:
+    def _frame(self, spark):
+        n = 3000
+        fs = 10.0
+        beat = np.full(n, np.nan)
+        beat[50::9] = 1.0                     # ~0.9s ibis
+        corrected = np.full(n, np.nan)
+        corrected[50::10] = 1.0               # corrected: exactly 1s ibis
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "beat": beat, "corrected": corrected,
+            "artifact": np.full(n, np.nan),
+        })
+        return spark.createDataFrame(pdf), fs
+
+    def test_accept_swaps_and_redetects(self, spark):
+        from physioview_spark.operators.corrections import (
+            accept_corrections, revert_corrections,
+        )
+
+        df, fs = self._frame(spark)
+        acc = accept_corrections(df, fs).orderBy("sample_idx").toPandas()
+        # beats now at corrected positions
+        got_beats = set(acc.index[acc["beat"] == 1])
+        assert got_beats == set(range(50, 3000, 10))
+        # originals preserved
+        assert set(acc.index[acc["original_beat"] == 1]) == \
+            set(range(50, 3000, 9))
+        # revert restores
+        rev = revert_corrections(
+            spark.createDataFrame(acc), fs).orderBy("sample_idx").toPandas()
+        assert set(rev.index[rev["beat"] == 1]) == set(range(50, 3000, 9))
+
+
+class TestK22InterpJoin:
+    def test_linear_interp_and_extrapolate(self, spark):
+        from physioview_spark.operators.asof import interp_join
+
+        left = spark.createDataFrame(
+            [("a", float(k)) for k in range(0, 11)],
+            "subject_id string, k double")
+        # right series: v = 2*k + 1 sampled at k = 2, 4, 6, 8
+        right = spark.createDataFrame(
+            [("a", 2.0, 5.0), ("a", 4.0, 9.0), ("a", 6.0, 13.0),
+             ("a", 8.0, 17.0)],
+            "subject_id string, k double, v double")
+        out = (interp_join(left, right, on="k", value_col="v",
+                           by="subject_id")
+               .orderBy("k").toPandas())
+        # exact linear function -> interp AND extrapolation reproduce it
+        np.testing.assert_allclose(
+            out["v_interp"].values, 2 * out["k"].values + 1, atol=1e-9)
+
+    def test_single_right_point_clamps(self, spark):
+        from physioview_spark.operators.asof import interp_join
+
+        left = spark.createDataFrame(
+            [("a", 0.0), ("a", 5.0), ("a", 9.0)],
+            "subject_id string, k double")
+        right = spark.createDataFrame(
+            [("a", 4.0, 7.0)], "subject_id string, k double, v double")
+        out = interp_join(left, right, on="k", value_col="v",
+                          by="subject_id").orderBy("k").toPandas()
+        # no neighbor to build a slope -> nearest-fill
+        assert list(out["v_interp"]) == [7.0, 7.0, 7.0]
+
+
+class TestK23Rescale:
+    def test_rescale_indices(self, spark):
+        from physioview_spark.sources.beat_editor import (
+            rescale_edit_indices,
+        )
+
+        edits = spark.createDataFrame(
+            [(100.0, None, None, "ADD"), (None, 50.0, 99.0, "UNUSABLE")],
+            "x double, `from` double, `to` double, editType string")
+        out = rescale_edit_indices(edits, source_fs=500.0, target_fs=250.0) \
+            .collect()
+        assert out[0]["x"] == 50.0
+        assert (out[1]["from"], out[1]["to"]) == (25.0, 50.0)
+
+
+class TestSummaries:
+    def test_cardiac_summary(self, spark):
+        from physioview_spark.operators.metrics import cardiac_summary
+
+        m = spark.createDataFrame(
+            [("s1", 1, 60, 62, 2, 3.23, 1, 1.67, None),
+             ("s1", 2, 58, 60, 2, 3.33, 0, 0.0, None),
+             ("s1", 3, 10, 60, 50, 83.33, 0, 0.0, 1)],
+            "subject_id string, segment long, n_detected long, "
+            "n_expected long, n_missing long, pct_missing double, "
+            "n_artifact long, pct_artifact double, invalid int")
+        out = cardiac_summary(m).collect()[0]
+        assert out["n_segments"] == 3
+        assert out["segs_with_missing"] == 3
+        assert out["segs_with_artifact"] == 1
+        assert out["segs_invalid"] == 1
+        assert out["avg_n_detected"] == round((60 + 58 + 10) / 3, 2)
+
+    def test_eda_summary_with_scl(self, spark):
+        from physioview_spark.operators.eda_metrics import eda_summary
+
+        m = spark.createDataFrame(
+            [("s1", 1, 90.0, 10.0, 0.0, 0.0, 3),
+             ("s1", 2, 80.0, 20.0, 5.0, 1.0, 5)],
+            "subject_id string, segment long, pct_valid double, "
+            "pct_invalid double, pct_out_of_range double, "
+            "pct_excessive_slope double, n_scrs long")
+        s = spark.createDataFrame(
+            [("s1", i, 2.0 + 0.1 * i) for i in range(5)],
+            "subject_id string, sample_idx long, tonic double")
+        out = eda_summary(m, samples=s).collect()[0]
+        assert out["avg_pct_valid"] == 85.0
+        assert out["avg_scrs_per_segment"] == 4.0
+        assert out["median_tonic_scl"] == 2.2
+
+
+class TestA12Features:
+    def test_rolling_features_values(self, spark):
+        from physioview_spark.operators.eda_metrics import (
+            compute_eda_features,
+        )
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        n = 360
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(n)],
+            "phasic": np.linspace(0.0, 1.0, n),
+            "tonic": np.full(n, 5.0),
+        })
+        out = compute_eda_features(
+            spark.createDataFrame(pdf), value_cols=["phasic", "tonic"],
+            window_seconds=180, step_seconds=60).toPandas()
+        full = out[out["n"] == 180].sort_values("window_start")
+        assert len(full) >= 2
+        row = full.iloc[0]
+        assert abs(row["tonic_mean"] - 5.0) < 1e-9
+        assert abs(row["tonic_std"]) < 1e-9
+        # linear ramp: slope = 1/359 per second
+        assert abs(row["phasic_slope"] - 1.0 / 359.0) < 1e-9
+        assert abs(row["phasic_range"]
+                   - (179.0 / 359.0 - row["phasic_min"] * 0)) < 1.0
