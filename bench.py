@@ -28,6 +28,8 @@ HEADLINE = [
     "rolling_event_counts",
     "dedup_keep_first",
     "auc_two_level",
+    "sqa_missing_segments",
+    "eda_rolling_features",
 ]
 SMALL_OUTPUT = {
     "pricing_summary", "top_revenue_nations", "order_priority_counts",

@@ -297,3 +297,59 @@ def corrected_segment_summary(
         for f in ["Correct", "Short", "Long", "Extra Long"]
     ])
     return flag_counts.join(o, [by, "segment"], "inner")
+
+
+def apply_kernel_chunked(
+    df: DataFrame,
+    kernel: Callable[[np.ndarray], np.ndarray],
+    value_col: str,
+    out_col: str,
+    chunk_len: int = 1 << 22,
+    halo: int = 1 << 14,
+    by: str = "subject_id",
+) -> DataFrame:
+    """Halo-chunked kernel application for recordings too long for one
+    task (SURVEY §7.4: a 24 h @ 1024 Hz recording is ~88 M samples — one
+    ``applyInPandas`` group would serialize it through a single worker).
+
+    Overlap-and-discard: every row is exploded into its own chunk plus,
+    within ``halo`` samples of a boundary, the adjacent chunk; the kernel
+    runs per (subject, chunk) on core+halo and only core rows are kept.
+    Exact for FIR/moving-average kernels with halo >= filter length; for
+    zero-phase IIR (``filtfilt_fft``) the reflected-pad transient decays
+    inside the halo, so choose halo >= several impulse-response lengths.
+    Parallelism becomes (subjects x chunks) — a single 100 GB recording
+    fans out across the cluster instead of pinning one executor.
+    """
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    cols = list(df.columns)
+
+    pos = F.col("sample_idx") % chunk_len
+    own = F.floor(F.col("sample_idx") / chunk_len).cast("long")
+    chunk_sets = F.array_compact(
+        F.array(
+            own,
+            F.when(pos < halo, own - 1),
+            F.when(pos >= chunk_len - halo, own + 1),
+        )
+    )
+    exploded = (
+        df.withColumn("__chunk", F.explode(chunk_sets))
+        .where(F.col("__chunk") >= 0)
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk = key[1]
+        pdf = pdf.sort_values("sample_idx").reset_index(drop=True)
+        pdf[out_col] = kernel(pdf[value_col].to_numpy())
+        core = pdf[(pdf["sample_idx"] // chunk_len) == chunk]
+        return core[cols + [out_col]]
+
+    return (
+        exploded.groupBy(by, "__chunk")
+        .applyInPandas(run, schema=schema)
+    )

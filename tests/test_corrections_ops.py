@@ -216,3 +216,50 @@ class TestA12Features:
         assert abs(row["phasic_slope"] - 1.0 / 359.0) < 1e-9
         assert abs(row["phasic_range"]
                    - (179.0 / 359.0 - row["phasic_min"] * 0)) < 1.0
+
+
+class TestHaloChunkedKernels:
+    def test_chunked_equals_whole_recording(self, spark):
+        """Overlap-and-discard chunking must reproduce the whole-recording
+        filter output (halo absorbs the zero-phase transient)."""
+        from physioview_spark.functions.spark_kernels import (
+            apply_kernel, apply_kernel_chunked, default_filter,
+        )
+
+        fs, n = 250.0, 50_000
+        rng = np.random.default_rng(3)
+        sig = (np.sin(2 * np.pi * 1.1 * np.arange(n) / fs)
+               + 0.2 * rng.normal(size=n))
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "ecg": sig,
+        })
+        df = spark.createDataFrame(pdf)
+        filt = default_filter("ECG", fs)
+        whole = (apply_kernel(df, filt, "ecg", "f")
+                 .orderBy("sample_idx").toPandas()["f"].to_numpy())
+        chunked = (apply_kernel_chunked(
+            df, filt, "ecg", "f", chunk_len=16384, halo=4096)
+            .orderBy("sample_idx").toPandas()["f"].to_numpy())
+        assert len(chunked) == n
+        np.testing.assert_allclose(chunked, whole, atol=1e-9)
+
+    def test_chunked_moving_average_exact(self, spark):
+        from physioview_spark.dsp.apply import moving_average
+        from physioview_spark.functions.spark_kernels import (
+            apply_kernel_chunked,
+        )
+
+        n = 10_000
+        x = np.random.default_rng(0).normal(size=n)
+        pdf = pd.DataFrame({
+            "subject_id": "a",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "v": x,
+        })
+        out = (apply_kernel_chunked(
+            spark.createDataFrame(pdf), lambda a: moving_average(a, 33),
+            "v", "ma", chunk_len=2048, halo=64)
+            .orderBy("sample_idx").toPandas()["ma"].to_numpy())
+        np.testing.assert_allclose(out, moving_average(x, 33), atol=1e-12)
