@@ -1,0 +1,190 @@
+"""Property-based tests (hypothesis) for the invariants SURVEY §5 implies.
+
+NumPy-level kernels get wide random sweeps; Spark-level operators get a
+few examples each (session round-trips are expensive) with the pandas
+reference implementation as the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# ------------------------------------------------------------- numpy level
+
+@st.composite
+def beat_trains(draw, min_beats=8, max_beats=120):
+    """Plausible beat index trains: 40-200 bpm at fs=100 with jitter."""
+    n = draw(st.integers(min_beats, max_beats))
+    fs = 100.0
+    ibis = draw(st.lists(
+        st.floats(min_value=0.3, max_value=1.5, allow_nan=False),
+        min_size=n, max_size=n))
+    ix = np.cumsum(np.array([1.0] + ibis) * fs).astype(np.int64)
+    return ix, fs
+
+
+class TestCorrectionProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(beat_trains())
+    def test_corrected_beats_monotone_and_bounded(self, train):
+        from physioview_spark.functions.kernels_correction import (
+            correct_interval,
+        )
+
+        ix, fs = train
+        _, _, corrected = correct_interval(ix, fs)
+        beats = corrected["beat"]
+        assert np.all(np.diff(beats) > 0), "corrected beats not monotone"
+        # corrected beats stay inside the original recording span
+        assert beats[0] >= ix[0] - int(2.0 * fs)
+        assert beats[-1] <= ix[-1] + int(2.0 * fs)
+
+    @settings(max_examples=40, deadline=None)
+    @given(beat_trains())
+    def test_artifact_indices_subset_of_beats(self, train):
+        from physioview_spark.functions.kernels_artifacts import (
+            identify_artifacts,
+        )
+
+        ix, fs = train
+        for method in ("hegarty", "cbd", "both"):
+            arts = identify_artifacts(ix, fs, method=method)
+            assert set(arts).issubset(set(ix)), method
+
+
+class TestDspProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(64, 2048), st.integers(1, 5))
+    def test_fourier_resample_roundtrip(self, n, factor):
+        from physioview_spark.dsp.apply import fourier_resample
+
+        rng = np.random.default_rng(n)
+        # band-limit: keep content below Nyquist/factor so the down-leg
+        # is information-preserving
+        x = np.zeros(n)
+        for k in range(1, max(2, n // (4 * factor)), 3):
+            x += np.sin(2 * np.pi * k * np.arange(n) / n + k)
+        up = fourier_resample(x, n * factor)
+        back = fourier_resample(up, n)
+        np.testing.assert_allclose(back, x, atol=1e-8)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(16, 512))
+    def test_moving_average_w1_identity(self, n):
+        from physioview_spark.dsp.apply import moving_average
+
+        x = np.random.default_rng(n).normal(size=n)
+        np.testing.assert_allclose(moving_average(x, 1), x)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(100, 1000), st.integers(2, 8))
+    def test_decimate_preserves_length_contract(self, n, factor):
+        from physioview_spark.dsp.apply import decimate_fir
+
+        x = np.random.default_rng(7).normal(size=n)
+        y = decimate_fir(x, factor)
+        assert len(y) == int(np.ceil(n / factor))
+
+
+# ------------------------------------------------------------- spark level
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 40))
+    n_right = draw(st.integers(1, 40))
+    left_keys = sorted(draw(st.lists(
+        st.integers(0, 10_000), min_size=n_left, max_size=n_left,
+        unique=True)))
+    right_keys = sorted(draw(st.lists(
+        st.integers(0, 10_000), min_size=n_right, max_size=n_right,
+        unique=True)))
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
+    tol = draw(st.sampled_from([None, 5.0, 100.0]))
+    return left_keys, right_keys, direction, tol
+
+
+class TestAsofVsPandas:
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(asof_case())
+    def test_matches_merge_asof(self, spark, case):
+        from physioview_spark.operators.asof import asof_join
+
+        left_keys, right_keys, direction, tol = case
+        lp = pd.DataFrame({"k": np.array(left_keys, dtype=np.float64)})
+        rp = pd.DataFrame({
+            "k": np.array(right_keys, dtype=np.float64),
+            "v": np.arange(len(right_keys), dtype=np.float64),
+        })
+        expected = pd.merge_asof(
+            lp, rp, on="k", direction=direction,
+            tolerance=tol if tol is None else float(tol))
+
+        sl = spark.createDataFrame(lp.assign(subject_id="a"))
+        sr = spark.createDataFrame(rp.assign(subject_id="a"))
+        got = (asof_join(sl, sr, on="k", by="subject_id",
+                         direction=direction, tolerance=tol)
+               .orderBy("k").toPandas())
+        np.testing.assert_allclose(
+            got["v_r"].to_numpy(dtype=float),
+            expected["v"].to_numpy(dtype=float),
+            equal_nan=True,
+            err_msg=f"direction={direction} tol={tol}")
+
+
+class TestMetricsInvariants:
+    def test_missing_identity_and_pct_bounds(self, spark):
+        """n_missing == max(0, n_expected - n_detected); percentages in
+        [0, 100] — over a randomized multi-subject frame."""
+        from physioview_spark.operators.metrics import compute_metrics
+
+        rng = np.random.default_rng(42)
+        frames = []
+        for s in range(5):
+            n = 6000
+            beat = np.full(n, np.nan)
+            pos = np.cumsum(rng.integers(40, 180, size=80))
+            pos = pos[pos < n]
+            beat[pos] = 1.0
+            art = np.full(n, np.nan)
+            art[pos[rng.random(len(pos)) < 0.15]] = 1.0
+            frames.append(pd.DataFrame({
+                "subject_id": f"s{s}",
+                "sample_idx": np.arange(n, dtype=np.int64),
+                "beat": beat, "artifact": art,
+            }))
+        df = spark.createDataFrame(pd.concat(frames))
+        m = compute_metrics(df, fs=100.0, seg_size=10,
+                            with_ts=False).toPandas()
+        assert len(m) > 0
+        exp = np.maximum(0, m["n_expected"] - m["n_detected"])
+        valid = m["n_expected"].notna()
+        np.testing.assert_array_equal(
+            m.loc[valid, "n_missing"], exp[valid])
+        for c in ("pct_missing", "pct_artifact"):
+            v = m[c].dropna()
+            assert ((v >= 0) & (v <= 100)).all(), c
+
+    def test_eda_pct_valid_invalid_sum(self, spark):
+        from physioview_spark.operators.eda_metrics import (
+            compute_eda_metrics,
+        )
+
+        rng = np.random.default_rng(1)
+        n = 4000
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "eda": np.clip(2.0 + rng.normal(0, 3.0, n), -1, 50),
+            "temp": 33.0 + rng.normal(0, 4.0, n),
+        })
+        m = compute_eda_metrics(spark.createDataFrame(pdf), fs=4.0,
+                                seg_size=60, scr_col=None).toPandas()
+        assert len(m) > 0
+        np.testing.assert_allclose(
+            m["pct_valid"] + m["pct_invalid"], 100.0, atol=0.02)
