@@ -443,7 +443,8 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
     )
     spine = (
         samples.groupBy(B)
-        .agg(F.count(F.lit(1)).alias("n_samples"))
+        # grid length from the index (see _subject_extents)
+        .agg((F.max("sample_idx") + 1).alias("n_samples"))
         .withColumn("n_sec", F.ceil(F.col("n_samples") / fs_i))
         .withColumn("sec", F.explode(F.sequence(F.lit(0), F.col("n_sec") - 1)))
         .select(B, "sec")

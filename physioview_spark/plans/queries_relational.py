@@ -726,3 +726,77 @@ def eda_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("value_range"), r6("value_rms"), r6("value_slope"),
         r6("value_iqr"), r6("value_pct05"), r6("value_pct95"),
     ).drop("value_sum")
+
+
+@q("seconds_hr_context", f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT) AS sec
+  FROM events
+  WHERE event_type = 'purchase' AND CAST(user_id AS BIGINT) % 100 = 0
+), b0 AS (SELECT DISTINCT subject_id, sec FROM ev),
+m0 AS (SELECT subject_id, MIN(sec) AS m0 FROM b0 GROUP BY subject_id),
+beats AS (
+  SELECT subject_id, (sec - m0) // 60 AS idx
+  FROM b0 JOIN m0 USING (subject_id)
+),
+bi AS (
+  SELECT subject_id, idx,
+         CAST((idx - LAG(idx) OVER (PARTITION BY subject_id ORDER BY idx))
+              * 1000 AS DOUBLE) AS ibi_ms,
+         LAG(idx) OVER (PARTITION BY subject_id ORDER BY idx) AS prev_idx
+  FROM beats
+),
+spine AS (
+  SELECT subject_id, gs.sec AS sec
+  FROM (SELECT subject_id, MAX(idx) AS mx FROM beats GROUP BY subject_id) m,
+       LATERAL (SELECT UNNEST(generate_series(0, mx)) AS sec) gs
+),
+expl AS (
+  SELECT subject_id, idx, ibi_ms, prev_idx, w.wsec AS wsec
+  FROM bi, LATERAL (SELECT UNNEST([idx, idx + 1]) AS wsec) w
+),
+winstats AS (
+  SELECT subject_id, wsec AS sec,
+         AVG(CASE WHEN prev_idx >= GREATEST(0, wsec - 1)
+                  THEN ibi_ms END) AS mean_ibi
+  FROM expl GROUP BY subject_id, wsec
+),
+cur AS (
+  SELECT subject_id, idx AS sec, COUNT(*) AS n_beats
+  FROM bi GROUP BY subject_id, idx
+)
+SELECT s.subject_id, s.sec + 1 AS second,
+       ROUND(60000.0 / NULLIF(w.mean_ibi, 0), 4) AS mean_hr,
+       ROUND(w.mean_ibi, 4) AS mean_ibi,
+       COALESCE(c.n_beats, 0) AS n_beats
+FROM spine s
+LEFT JOIN winstats w USING (subject_id, sec)
+LEFT JOIN cur c USING (subject_id, sec)
+""")
+def seconds_hr_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 get_seconds end-to-end: per-second beat count, mean IBI over the
+    previous+current-second context window (an IBI counts only when its
+    predecessor beat is inside the window too), harmonic-mean HR
+    (= 60000/mean(IBI), Graham 1978). Beats = distinct purchase seconds
+    rebased to a 1-unit grid (1 unit = 1 minute of real time)."""
+    s = events_as_samples(spark, sf_dir)
+    b0 = (s.where((F.col("beat") == 1) & (F.col("user_id") % 100 == 0))
+          .select("subject_id", "sample_idx").distinct())
+    m0 = b0.groupBy("subject_id").agg(F.min("sample_idx").alias("m0"))
+    samples = (
+        b0.join(m0, "subject_id")
+        .select(
+            "subject_id",
+            ((F.col("sample_idx") - F.col("m0")) / 60)
+            .cast("long").alias("sample_idx"),
+            F.lit(1.0).alias("beat"),
+        )
+    )
+    out = get_seconds(samples, fs=1.0, with_ts=False)
+    return out.select(
+        "subject_id", "second",
+        F.round("mean_hr", 4).alias("mean_hr"),
+        F.round("mean_ibi", 4).alias("mean_ibi"),
+        "n_beats",
+    )
