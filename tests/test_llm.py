@@ -133,3 +133,48 @@ def test_multimodal_decode_plumbing(spark):
     img, w, h, c = _decode(encode_fake_image(4, width=8 + (4 % 5) * 4, height=8))
     assert feats[4]["width"] == w and feats[4]["valid"]
     assert abs(feats[4]["mean_intensity"] - round(float(img.mean()), 4)) < 1e-9
+
+
+class TestMultimodalAudioVideo:
+    def test_audio_features_and_corruption(self, spark):
+        from physioview_spark.llm.multimodal import (
+            encode_fake_audio, extract_audio_features,
+        )
+
+        rows = []
+        for i in range(12):
+            p = encode_fake_audio(i, sample_rate=8000, seconds=0.5)
+            if i % 5 == 4:
+                p = p[:7]  # truncated header -> invalid
+            rows.append((i, bytearray(p)))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = extract_audio_features(df).orderBy("doc_id").toPandas()
+        assert len(out) == 12
+        ok = out[out["valid"]]
+        assert len(ok) == 10
+        assert (ok["duration_s"] == 0.5).all()
+        assert (ok["rms_loudness"] > 0.1).all()
+        assert (~out.loc[~out["valid"], "sample_rate"].notna()).all()
+
+    def test_video_frame_sampling_one_to_many(self, spark):
+        from physioview_spark.llm.multimodal import (
+            encode_fake_video, sample_video_frames,
+        )
+
+        rows = [(i, bytearray(encode_fake_video(i, n_frames=24, fps=12.0)))
+                for i in range(3)]
+        rows.append((99, bytearray(b"nonsense")))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = sample_video_frames(df, every_k=4).toPandas()
+        # 24 frames / every 4 = 6 sampled frames per valid doc
+        assert len(out) == 18
+        per_doc = out.groupby("doc_id").size()
+        assert set(per_doc.index) == {0, 1, 2}
+        assert (per_doc == 6).all()
+        first = out[out["frame_idx"] == 0]
+        assert first["motion"].isna().all()
+        later = out[out["frame_idx"] > 0]
+        assert later["motion"].notna().all()
+        # ts = frame/fps
+        row = out[(out.doc_id == 0) & (out.frame_idx == 8)].iloc[0]
+        assert abs(row["ts_s"] - 8 / 12.0) < 1e-6  # operator rounds to 6dp
