@@ -164,3 +164,94 @@ def embedding_near_dups(
             "sim",
         )
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 7,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids (pyspark.ml, trained on a
+    sample when given). Returns plain Python lists — the centroid table is
+    tiny (n_centroids x dim) and ships to executors as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus.select(F.col(vec_col).alias("__v"))
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    feats = df.select(array_to_vector(
+        F.transform("__v", lambda x: x.cast("double"))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances from ``vec`` to each centroid,
+    evaluated JVM-side (centroids are literal arrays)."""
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, lit_c,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        dists.append(d)
+    return F.array(*dists)
+
+
+def assign_ivf_bucket(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (argmin over the literal centroid table)."""
+    d = _centroid_dists(vec, centroids)
+    return F.array_position(d, F.array_min(d)).cast("int") - 1
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their
+    nearest-centroid bucket; each query probes its ``n_probe`` closest
+    buckets and re-ranks exactly inside them.
+
+    The scale path next to LSH: the corpus is scanned once to assign
+    buckets (pure JVM expressions), the probe join is an equi-join on
+    bucket id with the (small) query side broadcast — no cross product,
+    and recall is tunable via n_probe instead of hash width.
+    """
+    c = corpus.select(
+        F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("bucket", assign_ivf_bucket(F.col("__cv"), centroids))
+
+    qd = queries.select(
+        F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__d", _centroid_dists(F.col("__qv"), centroids))
+    # n_probe nearest buckets: sort (dist, idx) pairs, take the head
+    pairs = F.transform(
+        F.col("__d"),
+        lambda d, i: F.struct(d.alias("d"), i.alias("bucket")))
+    probes = F.slice(F.array_sort(pairs), 1, n_probe)
+    q = (qd.withColumn("bucket", F.explode(probes["bucket"]))
+         .select("query_id", "__qv", "bucket"))
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )

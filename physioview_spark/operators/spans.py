@@ -89,3 +89,33 @@ def flag_spans(
         flag_col, F.lit(1.0)
     )
     return samples.join(marked, on=[*by, point_col], how="left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side with a
+    random bucket and explode the right side across all buckets, so one
+    hot key spreads over ``salt_buckets`` shuffle partitions.
+
+    AQE's skew-join split (enabled in the session factory) handles most
+    skew at runtime; explicit salting is for the pathological case — a
+    single subject/key holding a double-digit percentage of the data —
+    where even a split partition pins one task per side. Right side must
+    be the smaller input (it is replicated ``salt_buckets`` times).
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(on, str):
+        on = [on]
+    lhs = left.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    rhs = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return lhs.join(rhs, on + ["__salt"], how).drop("__salt")

@@ -229,6 +229,47 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("embedding_ann_ivf")
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (pyspark.ml), corpus bucketed by
+    nearest centroid (pure JVM argmin expressions), queries probe their
+    n_probe closest buckets and re-rank exactly — the tunable-recall scale
+    path next to LSH. Recall vs brute force asserted in tests."""
+    emb = read(spark, sf_dir, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 10), emb, cents, k=5, n_probe=3
+    )
+
+
+@q("multimodal_audio_features")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio binary-column plumbing: PCM decode seam, loudness/duration/
+    zero-crossing features via row-local mapInPandas."""
+    from physioview_spark.llm.multimodal import (
+        encode_fake_audio, extract_audio_features,
+    )
+
+    rows = [(i, bytearray(encode_fake_audio(i, seconds=0.5)))
+            for i in range(32)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return extract_audio_features(df).orderBy("doc_id")
+
+
+@q("multimodal_video_frames")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame with
+    motion deltas (UDTF-shaped mapInPandas)."""
+    from physioview_spark.llm.multimodal import (
+        encode_fake_video, sample_video_frames,
+    )
+
+    rows = [(i, bytearray(encode_fake_video(i, n_frames=24, fps=12.0)))
+            for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return sample_video_frames(df, every_k=4).orderBy("doc_id", "frame_idx")
+
+
 @q("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode/feature plumbing via mapInPandas (deterministic

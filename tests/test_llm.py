@@ -178,3 +178,54 @@ class TestMultimodalAudioVideo:
         # ts = frame/fps
         row = out[(out.doc_id == 0) & (out.frame_idx == 8)].iloc[0]
         assert abs(row["ts_s"] - 8 / 12.0) < 1e-6  # operator rounds to 6dp
+
+
+class TestIvfAnn:
+    def test_ivf_recall_vs_exact(self, spark, sf_dir):
+        from physioview_spark.llm.similarity import (
+            cosine_topk, ivf_topk, train_ivf_centroids,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cols = emb.columns
+        id_col = "vec_id" if "vec_id" in cols else cols[0]
+        vec_col = next(c for c, t in emb.dtypes if t.startswith("array"))
+        corpus = emb.select(id_col, vec_col)
+        queries = corpus.limit(8)
+
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=8, vec_col=vec_col)
+        assert len(centroids) == 8
+
+        exact = cosine_topk(queries, corpus, k=5, q_id=id_col,
+                            c_id=id_col, vec_col=vec_col).toPandas()
+        approx = ivf_topk(queries, corpus, centroids, k=5, n_probe=4,
+                          q_id=id_col, c_id=id_col,
+                          vec_col=vec_col).toPandas()
+
+        # per-query recall@5 of the IVF result against the exact top-5
+        recalls = []
+        for qid, grp in exact.groupby("query_id"):
+            truth = set(grp["match_id"])
+            got = set(approx[approx["query_id"] == qid]["match_id"])
+            recalls.append(len(truth & got) / len(truth))
+        assert np.mean(recalls) >= 0.5, recalls
+        # every approx hit must carry the correct exact cosine
+        merged = approx.merge(
+            exact, on=["query_id", "match_id"], suffixes=("_a", "_e"))
+        np.testing.assert_allclose(merged["sim_a"], merged["sim_e"])
+
+    def test_bucket_assignment_total(self, spark, sf_dir):
+        from physioview_spark.llm.similarity import (
+            assign_ivf_bucket, train_ivf_centroids,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vec_col = next(c for c, t in emb.dtypes if t.startswith("array"))
+        cents = train_ivf_centroids(emb, n_centroids=4, vec_col=vec_col)
+        got = emb.withColumn(
+            "b", assign_ivf_bucket(F.col(vec_col), cents))
+        stats = got.groupBy("b").count().collect()
+        assert {r["b"] for r in stats} <= {0, 1, 2, 3}
+        assert sum(r["count"] for r in stats) == emb.count()

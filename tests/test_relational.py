@@ -159,3 +159,25 @@ def test_entry_smoke(spark, sf_dir):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 15
+
+
+class TestSaltedJoin:
+    def test_salted_equals_plain_join(self, spark):
+        from physioview_spark.operators.spans import salted_join
+
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(0)
+        # heavy skew: 80% of left rows share one key
+        keys = np.where(rng.random(5000) < 0.8, 7,
+                        rng.integers(0, 50, 5000))
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": keys, "v": np.arange(5000)}))
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(50), "name": [f"n{i}" for i in range(50)]}))
+        plain = left.join(right, "k").groupBy("k").count()
+        salted = salted_join(left, right, "k", salt_buckets=8) \
+            .groupBy("k").count()
+        a = {(r["k"], r["count"]) for r in plain.collect()}
+        b = {(r["k"], r["count"]) for r in salted.collect()}
+        assert a == b
