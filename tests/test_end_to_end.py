@@ -1,0 +1,207 @@
+"""End-to-end pipeline parity runs (SURVEY §5 plan item 3): raw files in
+→ SQA metric tables out, through the public engine API only — the same
+stage order as the reference dashboard (§3.1) and notebook (§3.2) flows.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def synth_ecg(fs=250.0, seconds=120, hr_bpm=72, seed=0):
+    """Deterministic synthetic ECG: Gaussian QRS bumps at known beats."""
+    rng = np.random.default_rng(seed)
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    sig = 0.05 * np.sin(2 * np.pi * 0.3 * t)  # baseline wander
+    beat_period = 60.0 / hr_bpm
+    beats = []
+    bt = 0.5
+    while bt < seconds - 0.5:
+        beats.append(bt)
+        bt += beat_period * (1 + 0.02 * rng.standard_normal())
+    for b in beats:
+        sig += 1.2 * np.exp(-((t - b) ** 2) / (2 * 0.012 ** 2))
+    sig += 0.03 * rng.standard_normal(n)
+    return sig, np.array(beats)
+
+
+class TestCardiacCsvPipeline:
+    """§3.2 notebook flow: CSV → filter → detect → artifacts → IBI →
+    segment metrics → summary, everything through the library."""
+
+    @pytest.fixture(scope="class")
+    def csv_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("cohort")
+        for s in range(3):
+            sig, _ = synth_ecg(seed=s)
+            ts = 1700000000.0 + np.arange(len(sig)) / 250.0
+            pd.DataFrame({"time": ts, "ecg_lead1": sig}).to_csv(
+                d / f"subject{s}.csv", index=False)
+        return str(d)
+
+    def test_full_pipeline(self, spark, csv_dir):
+        from physioview_spark.functions.spark_kernels import (
+            annotate_cardiac,
+        )
+        from physioview_spark.operators import (
+            cardiac_summary, compute_ibis, compute_metrics,
+        )
+        from physioview_spark.sources import load_signal_csv
+
+        fs = 250.0
+        # S6/S7: one multi-file scan, subjects from file names
+        samples = load_signal_csv(
+            spark, csv_dir, "ecg",
+            header_map={"time": "ts", "ecg_lead1": "ecg"})
+        assert samples.select("subject_id").distinct().count() == 3
+
+        # K4 + K11 + Q1-Q3 in one Arrow pass per subject
+        annotated = annotate_cardiac(
+            samples, fs=fs, value_col="ecg", detector="manikandan")
+        annotated = annotated.cache()
+
+        beats_per_subject = (
+            annotated.where(F.col("beat") == 1)
+            .groupBy("subject_id").count().collect())
+        # 72 bpm for 119 s of usable span -> ~140 beats
+        for r in beats_per_subject:
+            assert 120 <= r["count"] <= 160, r
+
+        # W1: IBIs near the 833 ms period
+        ibis = compute_ibis(
+            annotated.where(F.col("beat") == 1).select(
+                "subject_id", "sample_idx"), fs=fs)
+        stats = ibis.agg(F.avg("ibi_ms"), F.stddev("ibi_ms")).first()
+        assert abs(stats[0] - 60000.0 / 72) < 40
+
+        # A1-A3 + P7
+        metrics = compute_metrics(annotated, fs=fs, seg_size=30,
+                                  with_ts=False)
+        mp = metrics.orderBy("subject_id", "segment").toPandas()
+        assert set(mp["subject_id"]) == {"subject0", "subject1", "subject2"}
+        assert (mp["n_missing"] == np.maximum(
+            0, mp["n_expected"] - mp["n_detected"])).all()
+        # clean synthetic signal: no segment should miss many beats
+        assert (mp["pct_missing"].fillna(0) < 20).all()
+
+        # A9 rollup
+        summary = cardiac_summary(metrics).orderBy("subject_id").toPandas()
+        assert len(summary) == 3
+        assert (summary["n_segments"] == 4).all()
+
+    def test_downsample_render_path(self, spark, csv_dir):
+        """K21: decimation to the ~250->125 Hz render grid preserves the
+        beat count within rounding (SURVEY §5 property)."""
+        from physioview_spark.dsp.apply import decimate_fir
+        from physioview_spark.functions.spark_kernels import (
+            annotate_cardiac, apply_kernel_chunked,
+        )
+        from physioview_spark.sources import load_signal_csv
+
+        samples = load_signal_csv(
+            spark, csv_dir + "/subject0.csv", "ecg",
+            header_map={"time": "ts", "ecg_lead1": "ecg"})
+        annotated = annotate_cardiac(
+            samples, fs=250.0, value_col="ecg", detector="manikandan")
+        n_beats = annotated.where(F.col("beat") == 1).count()
+
+        ds = (apply_kernel_chunked(
+            samples, lambda x: np.repeat(decimate_fir(x, 2), 2)[:len(x)],
+            "ecg", "ecg_ds", chunk_len=8192, halo=512)
+            .where(F.col("sample_idx") % 2 == 0))
+        assert ds.count() == -(-samples.count() // 2)
+        # beat indices remap: rint(ix/2) unique count within ±1
+        remapped = (annotated.where(F.col("beat") == 1)
+                    .select(F.round(F.col("sample_idx") / 2).alias("ix"))
+                    .distinct().count())
+        assert abs(remapped - n_beats) <= 1
+
+
+class TestBeatEditRoundTrip:
+    """§3.1 step 5: export for the editor, apply edits, recompute SQA."""
+
+    def test_export_edit_recompute(self, spark, tmp_path):
+        from physioview_spark.functions.spark_kernels import (
+            annotate_cardiac,
+        )
+        from physioview_spark.operators import (
+            compute_metrics, null_boundary_values,
+        )
+        from physioview_spark.operators.ibi import attach_ibis
+        from physioview_spark.sources import (
+            process_beat_edits, read_beat_edits, write_beat_editor_json,
+        )
+
+        fs = 250.0
+        sig, true_beats = synth_ecg(seconds=60, seed=9)
+        pdf = pd.DataFrame({
+            "subject_id": "p1",
+            "sample_idx": np.arange(len(sig), dtype=np.int64),
+            "ecg": sig,
+        })
+        samples = annotate_cardiac(
+            spark.createDataFrame(pdf), fs=fs, value_col="ecg",
+            detector="manikandan")
+
+        # S13 export
+        out = str(tmp_path / "editor")
+        write_beat_editor_json(samples, out, fs=fs, signal_col="filtered",
+                               ts_col=None)
+        back = spark.read.json(out + "/subject_id=p1")
+        assert back.count() == len(sig)
+
+        # editor produces edits (sample mode): delete 2nd beat, add one
+        beats = sorted(
+            r["sample_idx"]
+            for r in samples.where(F.col("beat") == 1).collect())
+        edits_path = str(tmp_path / "p1_edited.json")
+        with open(edits_path, "w") as f:
+            f.write(json.dumps(
+                {"x": float(beats[1]), "editType": "DELETE"}) + "\n")
+            f.write(json.dumps(
+                {"x": float(beats[-1] + 200), "editType": "ADD"}) + "\n")
+            f.write(json.dumps(
+                {"from": float(beats[4] - 10), "to": float(beats[5] + 10),
+                 "editType": "UNUSABLE"}) + "\n")
+
+        # S14 + Q5
+        edits = read_beat_edits(spark, edits_path)
+        edited = process_beat_edits(samples, edits, use_ts=False)
+        ep = edited.orderBy("sample_idx").toPandas()
+        n_final = int(ep["edited"].notna().sum())
+        # Reference-parity quirk: merge_asof(nearest, tolerance=1) tags
+        # every sample within the tolerance window, so one ADD yields 3
+        # edited rows (x-1, x, x+1) while DELETE only clears the one row
+        # that actually held a beat (reference: physioview.py:1799-1830).
+        assert int(ep["added_beat"].notna().sum()) == 3
+        assert n_final == len(beats) - 1 - 2 + 3
+        assert np.isnan(ep.loc[beats[1], "edited"])      # deleted
+        assert np.isnan(ep.loc[beats[4], "edited"])      # unusable
+        assert np.isnan(ep.loc[beats[5], "edited"])      # unusable
+
+        # S11: materialize the edited stage before recomputation — the
+        # engine's checkpoint pattern (multi-reference operators like
+        # get_missing would otherwise re-expand the whole upstream
+        # edit-application lineage once per self-join)
+        from physioview_spark.sources import write_stage
+
+        refreshed = (edited
+                     .withColumn("beat", F.col("edited"))
+                     .select("subject_id", "sample_idx", "beat",
+                             "artifact", "unusable"))
+        stage = write_stage(refreshed, str(tmp_path), "edited")
+        refreshed = spark.read.parquet(stage)
+
+        # Q7 + recompute metrics on the edited beat train
+        with_ibis = attach_ibis(refreshed, fs=fs)
+        cleaned = null_boundary_values(with_ibis)
+        m = compute_metrics(
+            cleaned.drop("unusable"), fs=fs, seg_size=30, with_ts=False)
+        assert m.count() == 2
+        assert m.where(F.col("n_detected") <= 0).count() == 0
