@@ -328,7 +328,9 @@ def compute_metrics_rolling(
     win_len = int(fs * rolling_window)
     beats = _beats_frame(samples, fs, seg_size).drop("segment")
     extents = samples.groupBy(B).agg(
-        F.count(F.lit(1)).alias("n_samples"), F.min("ts").alias("__ts0")
+        # grid length from the index (see _subject_extents)
+        (F.max("sample_idx") + 1).alias("n_samples"),
+        *([F.min("ts").alias("__ts0")] if with_ts else []),
     ).withColumn("n_win", F.ceil(F.col("n_samples") / step_len))
 
     # windows containing sample i: s in [ceil((i-win_len+1)/step), floor(i/step)]
@@ -363,7 +365,7 @@ def compute_metrics_rolling(
     )
     spine = extents.withColumn(
         "mw", F.explode(F.sequence(F.lit(0), F.col("n_win") - 1))
-    ).select(B, "mw", "__ts0")
+    ).select(B, "mw", *(["__ts0"] if with_ts else []))
 
     m = (
         spine.join(win_meds, [B, "mw"], "left")

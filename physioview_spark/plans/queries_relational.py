@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from physioview_spark.operators.asof import asof_join
 from physioview_spark.operators.ibi import compute_ibis
 from physioview_spark.operators.metrics import (
-    get_artifacts, get_missing, get_seconds,
+    compute_metrics_rolling, get_artifacts, get_missing, get_seconds,
 )
 from physioview_spark.operators.spans import interval_join
 from physioview_spark.plans.common import (
@@ -799,4 +799,135 @@ def seconds_hr_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_hr", 4).alias("mean_hr"),
         F.round("mean_ibi", 4).alias("mean_ibi"),
         "n_beats",
+    )
+
+
+@q("sqa_rolling_metrics", f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT) AS sec,
+         event_type
+  FROM events
+), b0 AS (SELECT DISTINCT subject_id, sec FROM ev
+          WHERE event_type='purchase' AND CAST(subject_id AS BIGINT) % 50 = 5),
+e0 AS (SELECT DISTINCT subject_id, sec FROM ev WHERE event_type='error'),
+m0 AS (SELECT subject_id, MIN(sec) AS m0 FROM b0 GROUP BY subject_id),
+beats AS (
+  SELECT b0.subject_id, b0.sec - m0.m0 AS idx,
+         CASE WHEN e0.sec IS NOT NULL THEN 1.0 END AS artifact
+  FROM b0 JOIN m0 USING (subject_id)
+  LEFT JOIN e0 ON e0.subject_id = b0.subject_id AND e0.sec = b0.sec
+),
+bi AS (
+  SELECT subject_id, idx, artifact,
+         CAST((idx - LAG(idx) OVER (PARTITION BY subject_id ORDER BY idx))
+              * 1000 AS DOUBLE) AS ibi_ms
+  FROM beats
+),
+ext AS (
+  SELECT subject_id, MAX(idx) + 1 AS n,
+         CAST(CEIL((MAX(idx) + 1) / 150.0) AS BIGINT) AS n_win
+  FROM beats GROUP BY subject_id
+),
+expl AS (
+  SELECT bi.subject_id, bi.idx, bi.artifact, bi.ibi_ms, gs.mw AS mw
+  FROM bi JOIN ext USING (subject_id),
+  LATERAL (SELECT UNNEST(generate_series(
+      GREATEST(0, CAST(CEIL((bi.idx - 600 + 1) / 150.0) AS BIGINT)),
+      LEAST(CAST(FLOOR(bi.idx / 150.0) AS BIGINT), ext.n_win - 1))) AS mw) gs
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY subject_id, mw ORDER BY idx)
+         AS __rn
+  FROM expl
+),
+w5 AS (
+  SELECT subject_id, mw,
+         COUNT(*) OVER w AS n5,
+         BOOL_OR(artifact = 1) OVER w AS anyart,
+         MEDIAN(CASE WHEN __rn > 1
+                THEN 60000.0 / NULLIF(ibi_ms, 0) END) OVER w AS med_hr
+  FROM rn
+  WINDOW w AS (PARTITION BY subject_id, mw ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+),
+winmeds AS (
+  SELECT subject_id, mw, MEDIAN(med_hr) AS win_med, COUNT(*) AS n_win5
+  FROM w5 WHERE n5 = 5 AND NOT COALESCE(anyart, FALSE)
+  GROUP BY subject_id, mw
+),
+cnts AS (
+  SELECT subject_id, mw, COUNT(*) AS n_detected,
+         CAST(SUM(CASE WHEN artifact = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_artifact
+  FROM expl GROUP BY subject_id, mw
+),
+spine AS (
+  SELECT subject_id, gs.mw AS mw
+  FROM ext, LATERAL (SELECT UNNEST(generate_series(0, n_win - 1)) AS mw) gs
+),
+j AS (
+  SELECT s.subject_id, s.mw,
+         COALESCE(c.n_detected, 0) AS n_detected,
+         COALESCE(c.n_artifact, 0) AS n_artifact,
+         CASE WHEN COALESCE(w.n_win5, 0) > 0 THEN w.win_med END
+             AS exp_hr_raw
+  FROM spine s
+  LEFT JOIN winmeds w USING (subject_id, mw)
+  LEFT JOIN cnts c USING (subject_id, mw)
+),
+carry AS (
+  SELECT *, LAST_VALUE(exp_hr_raw IGNORE NULLS) OVER
+      (PARTITION BY subject_id ORDER BY mw
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exp_hr
+  FROM j
+),
+fin AS (
+  SELECT *, CAST(ROUND(exp_hr * 10.0) AS BIGINT) AS n_expected
+  FROM carry
+)
+SELECT subject_id, mw + 1 AS moving_window, n_expected, n_detected,
+       GREATEST(0, n_expected - n_detected) AS n_missing,
+       ROUND(GREATEST(0, n_expected - n_detected) * 100.0
+             / NULLIF(n_expected, 0), 2) AS pct_missing,
+       n_artifact,
+       CASE WHEN n_detected > 0
+            THEN ROUND(n_artifact * 100.0 / n_detected, 2) END
+           AS pct_artifact,
+       CASE WHEN n_detected < 2 OR n_detected > 220 THEN 1 END AS invalid
+FROM fin
+""")
+def sqa_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 compute_metrics_rolling end-to-end: sliding 600 s windows at
+    150 s step over the rebased beat grid — per-window expected/detected/
+    missing/artifact with the 5-beat-median expected-HR model, the
+    IBI-predecessor-in-window rule, last-valid carry-forward, and the
+    Invalid rule. The streaming-shaped twin of sqa_missing_segments."""
+    s = events_as_samples(spark, sf_dir)
+    beats = (s.where((F.col("beat") == 1)
+                     & (F.col("user_id") % 50 == 5))
+             .select("subject_id", "sample_idx").distinct())
+    errors = (s.where(F.col("artifact") == 1)
+              .select("subject_id", "sample_idx").distinct()
+              .withColumn("artifact", F.lit(1.0)))
+    m0 = beats.groupBy("subject_id").agg(F.min("sample_idx").alias("m0"))
+    samples = (
+        beats.join(m0, "subject_id")
+        .select(
+            "subject_id",
+            (F.col("sample_idx") - F.col("m0")).alias("__off"),
+            F.col("sample_idx").alias("__orig_idx"),
+        )
+        .join(errors.withColumnRenamed("sample_idx", "__orig_idx"),
+              ["subject_id", "__orig_idx"], "left")
+        .select(
+            "subject_id",
+            F.col("__off").alias("sample_idx"),
+            F.lit(1.0).alias("beat"),
+            "artifact",
+        )
+    )
+    return compute_metrics_rolling(
+        samples, fs=1.0, rolling_window=600, rolling_step=150,
+        min_hr=2.0, seg_size=60, with_ts=False,
     )
