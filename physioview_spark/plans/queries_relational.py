@@ -931,3 +931,89 @@ def sqa_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         samples, fs=1.0, rolling_window=600, rolling_step=150,
         min_hr=2.0, seg_size=60, with_ts=False,
     )
+
+
+@q("eda_quality_segments", f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT) AS sec,
+         value
+  FROM events WHERE CAST(user_id AS BIGINT) % 5 = 3
+), d AS (
+  SELECT subject_id, sec, AVG(value) AS eda FROM ev
+  GROUP BY subject_id, sec
+), m0 AS (SELECT subject_id, MIN(sec) AS m0 FROM d GROUP BY subject_id),
+s AS (
+  SELECT d.subject_id,
+         ROW_NUMBER() OVER (PARTITION BY d.subject_id ORDER BY d.sec) - 1
+             AS idx,
+         d.eda
+  FROM d JOIN m0 USING (subject_id)
+),
+f AS (
+  SELECT subject_id, idx, eda,
+         CAST(FLOOR(idx / 20) AS BIGINT) AS segment,
+         COALESCE(eda - LAG(eda) OVER
+             (PARTITION BY subject_id, CAST(FLOOR(idx / 20) AS BIGINT)
+              ORDER BY idx), 0.0) AS slope
+  FROM s
+),
+r AS (
+  SELECT *,
+         (eda < 20.0 OR eda > 80.0) AS out_of_range,
+         (ABS(slope) > 30.0) AS excessive_slope,
+         ((eda < 20.0 OR eda > 80.0) OR (ABS(slope) > 30.0)) AS rule_invalid
+  FROM f
+),
+sp AS (
+  SELECT *, COALESCE(BOOL_OR(rule_invalid) OVER
+      (PARTITION BY subject_id, segment ORDER BY idx
+       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), FALSE) AS invalid
+  FROM r
+)
+SELECT subject_id, segment + 1 AS segment,
+       CAST(SUM(CASE WHEN NOT invalid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid,
+       ROUND(SUM(CASE WHEN NOT invalid THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*), 2) AS pct_valid,
+       CAST(SUM(CASE WHEN invalid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_invalid,
+       ROUND(SUM(CASE WHEN invalid THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*), 2) AS pct_invalid,
+       CAST(SUM(CASE WHEN out_of_range THEN 1 ELSE 0 END) AS BIGINT)
+           AS out_of_range,
+       CAST(SUM(CASE WHEN excessive_slope THEN 1 ELSE 0 END) AS BIGINT)
+           AS excessive_slope
+FROM sp
+GROUP BY subject_id, segment
+HAVING COUNT(*) = 20
+""")
+def eda_quality_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 compute_eda_metrics end-to-end under the oracle: Kleckner-style
+    rule masks (range, slope-per-sample-at-fs, +/-spread invalid
+    neighborhood) aggregated per full segment. Events values play the EDA
+    signal on a densified per-subject grid (row_number re-index), bounds
+    chosen to trip both rules on the synthetic distribution."""
+    from physioview_spark.operators.eda_metrics import compute_eda_metrics
+
+    ev = read(spark, sf_dir, "events").where(F.col("user_id") % 5 == 3)
+    d = (ev.groupBy(
+            F.col("user_id").cast("string").alias("subject_id"),
+            F.timestamp_diff(
+                "SECOND", ntz_lit(EPOCH0), F.col("ts")).alias("sec"))
+         .agg(F.avg("value").alias("eda")))
+    w = Window.partitionBy("subject_id").orderBy("sec")
+    samples = d.select(
+        "subject_id",
+        (F.row_number().over(w) - 1).cast("long").alias("sample_idx"),
+        "eda",
+    )
+    out = compute_eda_metrics(
+        samples, fs=1.0, seg_size=20, scr_col=None, temp_col=None,
+        eda_min=20.0, eda_max=80.0, eda_max_slope=30.0,
+        invalid_spread_dur=2.0,
+    )
+    return out.select(
+        "subject_id", "segment", "n_valid", "pct_valid", "n_invalid",
+        "pct_invalid", "out_of_range", "excessive_slope",
+    )
