@@ -15,7 +15,8 @@ transformers.
 
 from physioview_spark.session import get_spark
 from physioview_spark.config import PipelineConfig
+from physioview_spark.pipeline import run_pipeline
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "PipelineConfig", "__version__"]
+__all__ = ["get_spark", "PipelineConfig", "run_pipeline", "__version__"]

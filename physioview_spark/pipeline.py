@@ -1,0 +1,117 @@
+"""Config-driven pipeline runner — the reference dashboard's "execute"
+step (§3.1, ``run_pipeline`` at dashboard/callbacks.py:647-1120) as one
+library call.
+
+A ``PipelineConfig`` (config.py, JSON-parity with the reference's saved
+parameter files) drives ingest → kernel annotation → IBI → metric
+frames. The whole run is ONE lazy Spark DAG per returned frame; the
+reference's per-subject Python loop and temp-CSV handoffs become
+partition parallelism and (optional) parquet stage materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from physioview_spark.config import PipelineConfig
+
+CARDIAC_DTYPES = {"ECG", "PPG", "BVP"}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    path: str | None = None,
+    samples: DataFrame | None = None,
+    stage_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Execute the configured pipeline; returns the per-stage frames.
+
+    Cardiac (ECG/PPG/BVP): annotate (filter → detect → artifacts, one
+    Arrow pass) → IBI attach → segmented or rolling SQA metrics →
+    summary. EDA: annotate (filter → decompose → SCR) → quality metrics →
+    summary. ``path`` ingests CSV(s) via the config's header map;
+    ``samples`` accepts a pre-built canonical frame. ``stage_dir``
+    materializes the annotated stage to parquet (the reference's
+    temp-CSV checkpoints, and the guard against plan re-expansion in
+    long chains).
+    """
+    if (path is None) == (samples is None):
+        raise ValueError("exactly one of path/samples required")
+    dtype = config.dtype.upper()
+
+    if samples is None:
+        from physioview_spark.sources.csv import load_signal_csv
+
+        value_col = "eda" if dtype == "EDA" else dtype.lower()
+        header_map = config.headers or {"Timestamp": "ts",
+                                        dtype: value_col}
+        samples = load_signal_csv(
+            spark, path, value_col, header_map=header_map, fs=config.fs)
+
+    out: dict[str, DataFrame] = {}
+    if dtype in CARDIAC_DTYPES:
+        from physioview_spark.functions.spark_kernels import annotate_cardiac
+        from physioview_spark.operators.ibi import attach_ibis
+        from physioview_spark.operators.metrics import (
+            cardiac_summary, compute_metrics, compute_metrics_rolling,
+        )
+
+        value_col = dtype.lower() if dtype != "BVP" else "bvp"
+        detector = config.beat_detector
+        if dtype in ("PPG", "BVP") and detector == "manikandan":
+            detector = "adaptive_threshold"  # reference PPG default path
+        annotated = annotate_cardiac(
+            samples, fs=config.fs, dtype=dtype, value_col=value_col,
+            detector=detector,
+            artifact_method=config.artifact_method,
+            artifact_tol=config.artifact_tol,
+            filter_on=config.filter_on,
+            initial_hr=config.initial_hr,
+        )
+        annotated = _stage(spark, annotated, stage_dir, "annotated")
+        out["samples"] = annotated
+        out["ibi"] = attach_ibis(annotated, fs=config.fs)
+        with_ts = "ts" in annotated.columns
+        if config.rolling_window:
+            out["metrics"] = compute_metrics_rolling(
+                annotated, fs=config.fs,
+                rolling_window=config.rolling_window,
+                rolling_step=config.rolling_step,
+                seg_size=config.seg_size, min_hr=config.min_hr,
+                with_ts=with_ts)
+        else:
+            out["metrics"] = compute_metrics(
+                annotated, fs=config.fs, seg_size=config.seg_size,
+                min_hr=config.min_hr, with_ts=with_ts)
+            out["summary"] = cardiac_summary(out["metrics"])
+    elif dtype == "EDA":
+        from physioview_spark.functions.spark_kernels import annotate_eda
+        from physioview_spark.operators.eda_metrics import (
+            compute_eda_metrics, eda_summary,
+        )
+
+        annotated = annotate_eda(
+            samples, fs=config.fs, scr_amp_min=config.scr_amp_min)
+        annotated = _stage(spark, annotated, stage_dir, "annotated")
+        out["samples"] = annotated
+        out["metrics"] = compute_eda_metrics(
+            annotated.withColumn("eda", F.col("filtered")),
+            fs=config.fs, seg_size=config.eda_seg_size,
+            rolling_window=config.rolling_window,
+            rolling_step=config.rolling_step,
+            eda_min=config.eda_min, eda_max=config.eda_max,
+            eda_max_slope=config.eda_max_slope,
+            temp_min=config.temp_min, temp_max=config.temp_max)
+        out["summary"] = eda_summary(out["metrics"], samples=annotated)
+    else:
+        raise ValueError(f"unsupported dtype: {config.dtype}")
+    return out
+
+
+def _stage(spark, df, stage_dir, name):
+    if stage_dir is None:
+        return df
+    from physioview_spark.sources.csv import write_stage
+
+    return spark.read.parquet(write_stage(df, stage_dir, name))

@@ -181,6 +181,40 @@ def _decode_acc(batches):
             })
 
 
+_ALIGNED_SCHEMA = ("subject_id string, sample_idx long, ecg double, "
+                   "x double, y double, z double, fs double")
+
+
+def _decode_aligned(batches):
+    """time_aligned decode: ACC axes Fourier-resampled to the ECG length
+    and emitted on the ECG grid (reference: physioview.py:105-112)."""
+    import pandas as pd
+
+    from physioview_spark.dsp.apply import fourier_resample
+
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            subject = row["path"].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            _, signals = read_edf_bytes(bytes(row["content"]))
+            ecg = next((s for s in signals if "ECG" in s["label"].upper()),
+                       None)
+            if ecg is None:
+                continue
+            by_label = {s["label"].upper(): s for s in signals}
+            axes = [by_label.get(ax) for ax in ("X", "Y", "Z")]
+            n = len(ecg["data"])
+            out = {
+                "subject_id": np.repeat(subject, n),
+                "sample_idx": np.arange(n, dtype=np.int64),
+                "ecg": ecg["data"] / 1000.0,
+            }
+            for name, a in zip(("x", "y", "z"), axes):
+                out[name] = (fourier_resample(a["data"], n)
+                             if a is not None else np.full(n, np.nan))
+            out["fs"] = np.repeat(float(ecg["fs"]), n)
+            yield pd.DataFrame(out)
+
+
 def load_actiwave(
     spark: SparkSession,
     path: str,
@@ -188,7 +222,9 @@ def load_actiwave(
 ) -> dict[str, DataFrame]:
     """EDF -> canonical ECG (+ ACC) frames, channels found by label
     substring; ECG scaled µV -> mV; magnitude added to ACC
-    (reference: physioview/physioview.py:50-114).
+    (reference: physioview/physioview.py:50-114). With ``time_aligned``
+    the ACC axes are Fourier-resampled to the ECG rate and merged onto
+    the ECG grid (one ``aligned`` frame, reference :105-112).
 
     Fully distributed: Spark's ``binaryFile`` source fans a directory of
     EDFs out file-per-task and the decode runs inside ``mapInPandas``
@@ -197,6 +233,9 @@ def load_actiwave(
     """
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content")
+    if time_aligned:
+        return {"aligned": files.mapInPandas(_decode_aligned,
+                                             _ALIGNED_SCHEMA)}
     return {
         "ecg": files.mapInPandas(_decode_ecg, _ECG_SCHEMA),
         "acc": files.mapInPandas(_decode_acc, _ACC_SCHEMA),

@@ -205,3 +205,59 @@ class TestBeatEditRoundTrip:
             cleaned.drop("unusable"), fs=fs, seg_size=30, with_ts=False)
         assert m.count() == 2
         assert m.where(F.col("n_detected") <= 0).count() == 0
+
+
+class TestConfigDrivenPipeline:
+    def test_cardiac_from_config(self, spark, tmp_path):
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.pipeline import run_pipeline
+
+        for s in range(2):
+            sig, _ = synth_ecg(seconds=90, seed=20 + s)
+            ts = 1700000000.0 + np.arange(len(sig)) / 250.0
+            pd.DataFrame({"t": ts, "v": sig}).to_csv(
+                tmp_path / f"r{s}.csv", index=False)
+
+        cfg = PipelineConfig(dtype="ECG", fs=250.0, seg_size=30,
+                             headers={"t": "ts", "v": "ecg"})
+        # config JSON round-trip drives the run (S10 parity)
+        cfg = PipelineConfig.from_json(cfg.to_json())
+        frames = run_pipeline(spark, cfg, path=str(tmp_path),
+                              stage_dir=str(tmp_path / "stages"))
+        assert set(frames) == {"samples", "ibi", "metrics", "summary"}
+        m = frames["metrics"].toPandas()
+        assert set(m["subject_id"]) == {"r0", "r1"}
+        assert (m["n_detected"] > 20).all()
+        s = frames["summary"].toPandas()
+        assert len(s) == 2 and (s["n_segments"] == 3).all()
+
+    def test_eda_from_config(self, spark):
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.pipeline import run_pipeline
+
+        rng = np.random.default_rng(4)
+        fs = 4.0
+        n = int(fs * 600)
+        tonic = 2.0 + 0.3 * np.sin(np.arange(n) / n * 2 * np.pi)
+        eda = tonic + 0.02 * rng.standard_normal(n)
+        # add a few Bateman-ish SCR bumps
+        t = np.arange(n) / fs
+        for p in (60, 180, 300, 420):
+            dt_ = t - p
+            eda += 0.5 * np.where(dt_ > 0,
+                                  np.exp(-dt_ / 8.0) - np.exp(-dt_ / 1.2), 0)
+        pdf = pd.DataFrame({
+            "subject_id": "e1",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "eda": eda,
+        })
+        cfg = PipelineConfig(dtype="EDA", fs=fs, eda_seg_size=120,
+                             rolling_window=None)
+        frames = run_pipeline(spark, cfg,
+                              samples=spark.createDataFrame(pdf))
+        m = frames["metrics"].toPandas()
+        assert len(m) == 5  # 600s / 120s
+        assert (m["pct_valid"] > 90).all()
+        summ = frames["summary"].toPandas()
+        assert len(summ) == 1
+        assert abs(summ.iloc[0]["median_tonic_scl"] - 2.0) < 0.5

@@ -286,3 +286,34 @@ class TestResampling:
         ref = np.sin(2 * np.pi * 5 * np.arange(2000) / (fs / factor))
         # the 400 Hz component must be attenuated away
         assert np.max(np.abs(y[100:-100] - ref[100:-100])) < 0.05
+
+
+class TestEdfTimeAligned:
+    def test_acc_resampled_onto_ecg_grid(self, tmp_path, spark):
+        from physioview_spark.sources import load_actiwave, write_edf_bytes
+
+        fs_ecg, fs_acc, seconds = 128, 32, 4
+        n, m = fs_ecg * seconds, fs_acc * seconds
+        t_e = np.arange(n) / fs_ecg
+        t_a = np.arange(m) / fs_acc
+        ecg_uv = 800.0 * np.sin(2 * np.pi * 1.0 * t_e)
+        x = np.sin(2 * np.pi * 0.5 * t_a)  # band-limited -> exact resample
+        signals = [
+            {"label": "ECG0", "fs": fs_ecg, "data": ecg_uv, "dim": "uV"},
+            {"label": "X", "fs": fs_acc, "data": x},
+            {"label": "Y", "fs": fs_acc, "data": np.zeros(m)},
+            {"label": "Z", "fs": fs_acc, "data": np.ones(m)},
+        ]
+        p = str(tmp_path / "al.edf")
+        with open(p, "wb") as f:
+            f.write(write_edf_bytes(signals))
+
+        frames = load_actiwave(spark, str(tmp_path), time_aligned=True)
+        assert set(frames) == {"aligned"}
+        al = frames["aligned"].orderBy("sample_idx").toPandas()
+        assert len(al) == n and al["fs"].iloc[0] == fs_ecg
+        # resampled X follows the original sinusoid on the ECG grid
+        want = np.sin(2 * np.pi * 0.5 * t_e)
+        err = np.abs(al["x"].to_numpy() - want)
+        assert np.max(err[20:-20]) < 0.02
+        assert np.allclose(al["z"].to_numpy()[10:-10], 1.0, atol=0.02)
