@@ -99,3 +99,28 @@ def write_stage(df: DataFrame, base_dir: str, stage: str,
     (df.write.mode("overwrite").partitionBy("subject_id")
      .format(fmt).save(out))
     return out
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+) -> str:
+    """Bucketed-table sink for co-located joins (SURVEY §7 scale path).
+
+    Writing both sides of a recurring big-big join bucketed on the join
+    key lets Spark plan a sort-merge join with NO Exchange on either
+    side — at 100 TB the shuffle this avoids is the dominant cost of the
+    join. Bucket pruning also serves point lookups on the bucket key.
+    """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+    return table

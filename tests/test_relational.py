@@ -181,3 +181,46 @@ class TestSaltedJoin:
         a = {(r["k"], r["count"]) for r in plain.collect()}
         b = {(r["k"], r["count"]) for r in salted.collect()}
         assert a == b
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Both sides bucketed on the join key -> sort-merge join with no
+        shuffle in the physical plan (the co-location scale path)."""
+        import pandas as pd
+        import numpy as np
+
+        from physioview_spark.sources.csv import write_bucketed_table
+
+        rng = np.random.default_rng(1)
+        n = 20_000
+        left = pd.DataFrame({
+            "subject_id": (rng.integers(0, 200, n)).astype(str),
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        })
+        right = pd.DataFrame({
+            "subject_id": np.arange(200).astype(str),
+            "fs": np.full(200, 250.0),
+        })
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            write_bucketed_table(
+                spark.createDataFrame(left), "b_samples",
+                "subject_id", n_buckets=8)
+            write_bucketed_table(
+                spark.createDataFrame(right), "b_meta",
+                "subject_id", n_buckets=8)
+            # disable auto-broadcast so the join is genuinely SMJ-shaped,
+            # then verify bucketing removed the shuffles
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("b_samples").join(
+                spark.table("b_meta"), "subject_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == n
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.sql("DROP TABLE IF EXISTS b_samples")
+            spark.sql("DROP TABLE IF EXISTS b_meta")
