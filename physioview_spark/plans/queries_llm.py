@@ -174,10 +174,35 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("doc_language_id")
+@q("doc_language_id", """
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents
+), sc AS (
+  SELECT lang,
+    len(list_intersect(toks, ['the','and','of','to','is','in','that','it'])) AS s_en,
+    len(list_intersect(toks, ['el','la','de','que','y','en','los','por'])) AS s_es,
+    len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit'])) AS s_de,
+    len(list_intersect(toks, ['le','la','les','de','et','est','une','pour'])) AS s_fr
+  FROM t
+), p AS (
+  SELECT lang, CASE
+    WHEN s_de = g AND g > 0 THEN 'de'
+    WHEN s_en = g AND g > 0 THEN 'en'
+    WHEN s_es = g AND g > 0 THEN 'es'
+    WHEN s_fr = g AND g > 0 THEN 'fr'
+    ELSE 'unknown' END AS lang_pred
+  FROM (SELECT *, GREATEST(s_en, s_es, s_de, s_fr) AS g FROM sc)
+)
+SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred
+""")
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID vs the labeled lang column (rows-only:
-    the tie-break CASE chain is checked in tests instead of SQL)."""
+    """Stopword-hit language ID vs the labeled lang column — the
+    greatest-score + alphabetical-tie-break chain has an exact SQL twin
+    (CASE ordered de/en/es/fr)."""
     docs = read(spark, sf_dir, "documents")
     out = text.detect_language(docs)
     return out.groupBy("lang", "lang_pred").agg(
@@ -203,18 +228,74 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs).select("doc_id", "fingerprint")
 
 
-@q("doc_simhash_near_dups")
+@q("doc_simhash_near_dups", """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(string_split_regex(trim(text), '\\s+'),
+                               x -> lower(x))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    (SELECT SUM((strpos('0123456789abcdef',
+                        substring(md5(tok), j, 1)) - 1)
+                * (1::BIGINT << ((8 - j) * 4)))
+     FROM UNNEST(generate_series(1, 8)) AS t(j)) AS h
+  FROM toks
+), bits AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, UNNEST(generate_series(0, 31)) AS i(i)
+  GROUP BY doc_id, i.i
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""")
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + pigeonhole-bucketed near-dup pairs (Spark-side
-    bit ops; no portable SQL twin)."""
+    """SimHash signatures + pigeonhole-bucketed near-dup pairs. The
+    oracle recomputes the signature bit-by-bit (manual hex decode — no
+    conv() in DuckDB) and does the naive exact self-join; the pigeonhole
+    bucketing returns the identical pair set by construction."""
     docs = read(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(docs, max_hamming=2).orderBy("id_a", "id_b")
 
 
-@q("doc_minhash_lsh_candidates")
+@q("doc_minhash_lsh_candidates", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+), seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+""")
 def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (banded signatures; sub-quadratic scale
-    path; verified against exact Jaccard in tests)."""
+    path). Band hash = md5 of the sorted in-band minhashes — exact SQL
+    twin; also verified against exact Jaccard in tests."""
     docs = read(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, k=3, num_hashes=8, band_size=2)
 
