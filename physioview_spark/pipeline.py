@@ -23,6 +23,7 @@ def run_pipeline(
     config: PipelineConfig,
     path: str | None = None,
     samples: DataFrame | None = None,
+    temp: DataFrame | None = None,
     stage_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Execute the configured pipeline; returns the per-stage frames.
@@ -91,6 +92,16 @@ def run_pipeline(
             compute_eda_metrics, eda_summary,
         )
 
+        if temp is not None and "temp" not in samples.columns:
+            # K22: TEMP stream (own rate) linearly interpolated onto the
+            # EDA grid, replacing the reference's _equalize_temp
+            # (reference: pipeline/SQA.py:2436-2447)
+            from physioview_spark.operators.asof import interp_join
+
+            samples = interp_join(
+                samples, temp.select("subject_id", "sample_idx", "temp"),
+                on="sample_idx", value_col="temp", by="subject_id",
+                out_col="temp")
         annotated = annotate_eda(
             samples, fs=config.fs, scr_amp_min=config.scr_amp_min)
         annotated = _stage(spark, annotated, stage_dir, "annotated")

@@ -124,3 +124,52 @@ def write_bucketed_table(
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
     return table
+
+
+def is_valid_csv_member(name: str) -> bool:
+    """S8 parity: archive-member CSV validity (reference:
+    dashboard/utils.py:280-287) — .csv suffix, not a macOS resource fork,
+    not hidden, not a directory entry."""
+    base = name.rsplit("/", 1)[-1]
+    return (
+        name.endswith(".csv")
+        and not name.startswith(("__MACOSX/", "."))
+        and not base.startswith(".")
+        and not name.endswith("/")
+    )
+
+
+def probe_csv_headers(spark: SparkSession, path: str) -> list[str]:
+    """S8 parity: header row of a CSV without a full scan (reference:
+    dashboard/utils.py:422-428). Spark reads only the first line."""
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        return []
+    return [h.strip() for h in first[0]["value"].split(",")]
+
+
+def validate_batch_headers(
+    spark: SparkSession, path: str | list[str]
+) -> tuple[bool, dict[str, list[str]]]:
+    """S7 parity: verify header homogeneity across a batch of CSVs
+    (reference: dashboard/callbacks.py:455-462). Distributed: one
+    pass over first lines via text source + input_file_name."""
+    from pyspark.sql import functions as F
+
+    firsts = (
+        spark.read.text(path)
+        .withColumn("f", F.input_file_name())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("f", "value")
+        .collect()
+    )
+    headers = {r["f"]: [h.strip() for h in r["value"].split(",")]
+               for r in firsts}
+    uniq = {tuple(v) for v in headers.values()}
+    return len(uniq) <= 1, headers

@@ -261,3 +261,37 @@ class TestConfigDrivenPipeline:
         summ = frames["summary"].toPandas()
         assert len(summ) == 1
         assert abs(summ.iloc[0]["median_tonic_scl"] - 2.0) < 0.5
+
+    def test_eda_with_temp_stream(self, spark):
+        """K22 path: a shorter TEMP stream interp/extrapolated onto the
+        EDA grid feeds rule 3 (temp_out_of_range)."""
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.pipeline import run_pipeline
+
+        fs = 4.0
+        n = int(fs * 480)
+        pdf = pd.DataFrame({
+            "subject_id": "e2",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "eda": np.full(n, 5.0),
+        })
+        # temp: shorter than eda, cold (= out of range) in its 2nd half
+        m = n - 200
+        tvals = np.where(np.arange(m) < m // 2, 33.0, 10.0)
+        tdf = pd.DataFrame({
+            "subject_id": "e2",
+            "sample_idx": np.arange(m, dtype=np.int64),
+            "temp": tvals,
+        })
+        cfg = PipelineConfig(dtype="EDA", fs=fs, eda_seg_size=60,
+                             rolling_window=None)
+        frames = run_pipeline(
+            spark, cfg, samples=spark.createDataFrame(pdf),
+            temp=spark.createDataFrame(tdf))
+        assert "temp" in frames["samples"].columns
+        mtr = frames["metrics"].orderBy("segment").toPandas()
+        assert "temp_out_of_range" in mtr.columns
+        # early segments warm -> valid; later segments cold -> flagged
+        assert mtr.iloc[0]["temp_out_of_range"] == 0
+        assert mtr.iloc[-1]["temp_out_of_range"] > 0
+        assert (mtr.iloc[-1]["pct_valid"] or 0) < 50

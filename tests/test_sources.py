@@ -317,3 +317,32 @@ class TestEdfTimeAligned:
         err = np.abs(al["x"].to_numpy() - want)
         assert np.max(err[20:-20]) < 0.02
         assert np.allclose(al["z"].to_numpy()[10:-10], 1.0, atol=0.02)
+
+
+class TestIngestValidation:
+    def test_csv_member_validity(self):
+        from physioview_spark.sources.csv import is_valid_csv_member
+
+        assert is_valid_csv_member("data/subj1.csv")
+        assert not is_valid_csv_member("__MACOSX/subj1.csv")
+        assert not is_valid_csv_member("data/.hidden.csv")
+        assert not is_valid_csv_member("subj1.txt")
+        assert not is_valid_csv_member("dir.csv/")
+
+    def test_header_probe_and_homogeneity(self, spark, tmp_path):
+        from physioview_spark.sources.csv import (
+            probe_csv_headers, validate_batch_headers,
+        )
+
+        for i in range(3):
+            (tmp_path / f"f{i}.csv").write_text(
+                "ts,ecg\n1,2\n3,4\n")
+        (tmp_path / "odd.csv").write_text("time,value\n1,2\n")
+
+        assert probe_csv_headers(
+            spark, str(tmp_path / "f0.csv")) == ["ts", "ecg"]
+        ok, _ = validate_batch_headers(
+            spark, [str(tmp_path / f"f{i}.csv") for i in range(3)])
+        assert ok
+        ok, headers = validate_batch_headers(spark, str(tmp_path))
+        assert not ok and len(headers) == 4
