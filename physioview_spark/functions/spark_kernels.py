@@ -78,6 +78,7 @@ def annotate_cardiac(
     initial_hr: float | str = "auto",
     value_col: str = "ecg",
     by: str = "subject_id",
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Filter + detect beats + flag artifacts in ONE grouped pass.
 
@@ -116,6 +117,22 @@ def annotate_cardiac(
         pdf["artifact"] = artifact
         return pdf[cols + ["filtered", "beat", "artifact"]]
 
+    if assume_partitioned:
+        # Shuffle-free fast path: when every subject's rows already live
+        # in one partition (file-per-subject CSV/parquet scans — the
+        # standard cohort layout — or after an explicit repartition),
+        # group inside the partition with mapInPandas instead of paying
+        # the groupBy exchange of the full dense frame. At 100 TB the
+        # avoided shuffle IS the dominant cost of annotation.
+        def run_part(batches):
+            parts = [p for p in batches if len(p)]
+            if not parts:
+                return
+            whole = pd.concat(parts, ignore_index=True)
+            for _, g in whole.groupby(by, sort=False):
+                yield run(g.reset_index(drop=True))
+
+        return df.mapInPandas(run_part, schema=schema)
     return df.groupBy(by).applyInPandas(run, schema=schema)
 
 

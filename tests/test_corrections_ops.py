@@ -263,3 +263,44 @@ class TestHaloChunkedKernels:
             "v", "ma", chunk_len=2048, halo=64)
             .orderBy("sample_idx").toPandas()["ma"].to_numpy())
         np.testing.assert_allclose(out, moving_average(x, 33), atol=1e-12)
+
+
+class TestPartitionedFastPath:
+    def test_fast_path_equals_grouped(self, spark, tmp_path):
+        """assume_partitioned (mapInPandas, no shuffle) must reproduce the
+        grouped applyInPandas output when subjects arrive file-per-task."""
+        from physioview_spark.functions.spark_kernels import (
+            annotate_cardiac,
+        )
+        from physioview_spark.sources import load_signal_csv
+
+        fs = 100.0
+        for s in range(3):
+            rng = np.random.default_rng(s)
+            n = 3000
+            t = np.arange(n) / fs
+            sig = 0.02 * rng.standard_normal(n)
+            for b in np.arange(0.5, 29.5, 0.8):
+                sig += np.exp(-((t - b) ** 2) / (2 * 0.01 ** 2))
+            pd.DataFrame({"ts": t, "sig": sig}).to_csv(
+                tmp_path / f"p{s}.csv", index=False)
+        raw = load_signal_csv(
+            spark, str(tmp_path), "ecg",
+            header_map={"ts": "ts", "sig": "ecg"}, has_ts=False)
+        # persist with the cohort layout (partitioned by subject) so the
+        # re-read arrives file-per-task with sample_idx precomputed
+        pq = str(tmp_path / "cohort_pq")
+        raw.write.partitionBy("subject_id").parquet(pq)
+        df = spark.read.parquet(pq).select(
+            "subject_id", "sample_idx", "ts", "ecg")
+
+        kw = dict(fs=fs, value_col="ecg", detector="pantompkins")
+        slow = (annotate_cardiac(df, **kw)
+                .orderBy("subject_id", "sample_idx").toPandas())
+        fast = (annotate_cardiac(df, assume_partitioned=True, **kw)
+                .orderBy("subject_id", "sample_idx").toPandas())
+        # no Exchange in the fast path's plan
+        plan = annotate_cardiac(df, assume_partitioned=True, **kw) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        pd.testing.assert_frame_equal(slow, fast)
