@@ -199,3 +199,56 @@ def kernel_acc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subject_id", "win")
     )
+
+
+@q("e4_ingest_aligned")
+def e4_ingest_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-S5 + J1 through the driver contract: synthesize a deterministic
+    Empatica E4 archive, ingest every stream distributed (binaryFile +
+    mapInPandas ZIP decode), time-align IBI/HR onto the BVP grid with the
+    un-fill as-of join, and roll up per-stream checks."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from physioview_spark.sources.empatica import (
+        align_hrv, load_empatica, write_e4_zip,
+    )
+
+    d = tempfile.mkdtemp(prefix="e4q_")
+    rng = np.random.default_rng(123)
+    start = 1700000000.0
+    n_sec = 60
+    bvp = np.sin(2 * np.pi * 1.1 * np.arange(64 * n_sec) / 64.0)
+    acc = rng.integers(-64, 64, size=(32 * n_sec, 3)).astype(float)
+    eda = 2.0 + 0.1 * np.sin(np.arange(4 * n_sec) / 4.0)
+    hr = 60.0 + rng.normal(0, 2, n_sec)
+    temp = 33.0 + rng.normal(0, 0.05, 4 * n_sec)
+    ibi = np.column_stack([np.cumsum(np.full(55, 0.95)),
+                           np.full(55, 0.95)])
+    for subj in ("e4a", "e4b"):
+        write_e4_zip(os.path.join(d, f"{subj}.zip"), start,
+                     acc=acc, bvp=bvp, eda=eda, hr=hr, temp=temp, ibi=ibi)
+
+    frames = load_empatica(spark, d)
+    aligned = align_hrv(frames["bvp"], frames["ibi"], frames["hr"])
+    per_stream = [
+        frames[s].groupBy("subject_id").agg(
+            F.lit(s).alias("stream"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(c), 4).alias("mean_value"),
+        ).select("subject_id", "stream", "n_rows", "mean_value")
+        for s, c in [("acc", "magnitude"), ("bvp", "bvp"), ("eda", "eda"),
+                     ("hr", "hr"), ("temp", "temp"), ("ibi", "ibi")]
+    ]
+    al = aligned.groupBy("subject_id").agg(
+        F.lit("aligned").alias("stream"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.when(F.col("ibi").isNotNull(), 1).otherwise(0))
+                .cast("double"), 4).alias("mean_value"),
+    ).select("subject_id", "stream", "n_rows", "mean_value")
+    out = per_stream[0]
+    for f in per_stream[1:] + [al]:
+        out = out.unionByName(f)
+    return out.orderBy("subject_id", "stream")
