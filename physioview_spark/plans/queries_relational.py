@@ -1017,3 +1017,70 @@ def eda_quality_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subject_id", "segment", "n_valid", "pct_valid", "n_invalid",
         "pct_invalid", "out_of_range", "excessive_slope",
     )
+
+
+@q("streaming_segment_counts", f"""
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS beat,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS artifact
+  FROM events WHERE CAST(user_id AS BIGINT) % 20 = 7
+), wm AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e
+), agg AS (
+  SELECT subject_id,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS seg_epoch,
+         CAST(SUM(beat) AS BIGINT) AS n_detected,
+         CAST(SUM(artifact) AS BIGINT) AS n_artifact
+  FROM e GROUP BY subject_id, seg_epoch
+)
+SELECT subject_id, seg_epoch, n_detected, n_artifact
+FROM agg, wm
+WHERE to_timestamp(seg_epoch + 3600) <= wm.w
+""")
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the driver contract: the events table
+    is replayed as a file STREAM (availableNow), the tumbling-segment SQA
+    aggregation runs incrementally behind a 10-minute watermark, and the
+    emitted (append-mode) result must equal the batch SQL over every
+    window the final watermark closed — the streaming/batch unification
+    claim, hash-checked by the oracle."""
+    import uuid
+
+    from physioview_spark.streaming import streaming_segment_sqa
+
+    # match the batch reader's nanos handling (common.read sets
+    # nanosAsLong): declare ts as the raw nanos long and convert here
+    read(spark, sf_dir, "events")  # ensures the legacy-nanos conf is set
+    ev_schema = ("event_id bigint, user_id bigint, ts bigint, "
+                 "event_type string, value double, properties string")
+    # the file-stream source wants a directory: stream the sf dir with
+    # a glob pinned to the events table
+    stream = (spark.readStream.schema(ev_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    # watermarks need TIMESTAMP (not NTZ): nanos -> whole-second epoch
+    # -> timestamp_seconds — identical instants in any session tz
+    ts_evt = F.timestamp_seconds(F.expr("ts div 1000000000"))
+    samples = (stream
+               .where(F.col("user_id") % 20 == 7)
+               .select(
+                   F.col("user_id").cast("string").alias("subject_id"),
+                   ts_evt.alias("ts"),
+                   F.when(F.col("event_type") == "purchase", 1.0)
+                   .alias("beat"),
+                   F.when(F.col("event_type") == "error", 1.0)
+                   .alias("artifact")))
+    out = streaming_segment_sqa(samples, seg_seconds=3600,
+                                watermark="10 minutes")
+    name = f"seg_stream_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(
+                "subject_id",
+                # segment_start is LTZ here; its long cast IS the epoch
+                F.col("segment_start").cast("long").alias("seg_epoch"),
+                "n_detected", "n_artifact",
+            ))
