@@ -1084,3 +1084,78 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("segment_start").cast("long").alias("seg_epoch"),
                 "n_detected", "n_artifact",
             ))
+
+
+# The A3+A9 chain reuses the A2 expected-beat SQL with artifacts, the
+# Invalid rule, and the per-subject rollup layered on top.
+_A2_BODY = (ORACLE["sqa_missing_segments"]
+            .rsplit("SELECT subject_id,", 1)[0].rstrip().rstrip(")")
+            + "),")
+
+@q("cardiac_summary_rollup", _A2_BODY + """
+seg AS (
+  SELECT bf.subject_id, bf.segment, bf.n_detected, bf.n_expected,
+         GREATEST(0, bf.n_expected - bf.n_detected) AS n_missing,
+         ROUND(GREATEST(0, bf.n_expected - bf.n_detected) * 100.0
+               / NULLIF(bf.n_expected, 0), 2) AS pct_missing,
+         COALESCE(art.n_artifact, 0) AS n_artifact,
+         ROUND(COALESCE(art.n_artifact, 0) * 100.0
+               / NULLIF(bf.n_detected, 0), 2) AS pct_artifact,
+         CASE WHEN bf.n_detected < 2 OR bf.n_detected > 220 THEN 1
+         END AS invalid
+  FROM bf
+  LEFT JOIN (
+    SELECT subject_id, segment,
+           CAST(SUM(CASE WHEN artifact = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_artifact
+    FROM bi GROUP BY subject_id, segment
+  ) art USING (subject_id, segment)
+)
+SELECT subject_id,
+       COUNT(*) AS n_segments,
+       ROUND(AVG(n_detected), 2) AS avg_n_detected,
+       CAST(SUM(CASE WHEN n_missing > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS segs_with_missing,
+       CAST(SUM(CASE WHEN n_artifact > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS segs_with_artifact,
+       CAST(SUM(CASE WHEN invalid = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS segs_invalid,
+       ROUND(AVG(pct_missing), 2) AS avg_pct_missing,
+       ROUND(AVG(pct_artifact), 2) AS avg_pct_artifact
+FROM seg GROUP BY subject_id
+""")
+def cardiac_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 compute_metrics + A9 cardiac_summary end-to-end under the
+    oracle: the A2 expected-beat model joined with per-segment artifact
+    counts and the Invalid rule, rolled up per subject."""
+    from physioview_spark.operators.metrics import (
+        cardiac_summary, compute_metrics,
+    )
+
+    s = events_as_samples(spark, sf_dir)
+    beats = (s.where((F.col("beat") == 1)
+                     & (F.col("user_id") % 10 == 0))
+             .select("subject_id", "sample_idx").distinct())
+    errors = (s.where(F.col("artifact") == 1)
+              .select("subject_id", "sample_idx").distinct()
+              .withColumn("artifact", F.lit(1.0)))
+    m0 = beats.groupBy("subject_id").agg(F.min("sample_idx").alias("m0"))
+    samples = (
+        beats.join(m0, "subject_id")
+        .select(
+            "subject_id",
+            (F.col("sample_idx") - F.col("m0")).alias("__off"),
+            F.col("sample_idx").alias("__orig_idx"),
+        )
+        .join(errors.withColumnRenamed("sample_idx", "__orig_idx"),
+              ["subject_id", "__orig_idx"], "left")
+        .select(
+            "subject_id",
+            F.col("__off").alias("sample_idx"),
+            F.lit(1.0).alias("beat"),
+            "artifact",
+        )
+    )
+    m = compute_metrics(samples, fs=1.0, seg_size=600, min_hr=0.2,
+                        with_ts=False)
+    return cardiac_summary(m)
