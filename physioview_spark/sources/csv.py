@@ -48,26 +48,58 @@ def load_signal_csv(
     header_map: dict[str, str],
     fs: float | None = None,
     has_ts: bool = True,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Read CSV(s) into the canonical sample frame.
 
     ``header_map``: user header -> canonical name ('ts', the dtype value
     column, 'x','y','z','temp'). ``sample_idx`` is assigned per subject in
     file order (row_number over a monotonic id — stable for text files).
+
+    ``assume_partitioned``: shuffle-free indexing for the file-per-subject
+    layout — each scan partition holds whole subjects (true for CSVs
+    below ``maxPartitionBytes``), so ``sample_idx`` is a per-partition
+    running count per subject via ``mapInPandas`` instead of a
+    ``row_number`` over a full-frame exchange. At cohort scale the dense
+    frame then reaches the kernels without ever shuffling.
     """
     raw = spark.read.csv(path, header=True, inferSchema=True)
     subject = F.regexp_replace(
         F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.csv$", ""
     )
-    df = raw.withColumn("subject_id", subject).withColumn(
-        "__mono", F.monotonically_increasing_id()
-    )
-    selected = [F.col("subject_id"), F.col("__mono")]
+    df = raw.withColumn("subject_id", subject)
+    selected = [F.col("subject_id")]
+    if not assume_partitioned:
+        df = df.withColumn("__mono", F.monotonically_increasing_id())
+        selected.append(F.col("__mono"))
     for user_col, canon in header_map.items():
         selected.append(F.col(f"`{user_col}`").alias(canon))
     df = df.select(*selected)
-    w = Window.partitionBy("subject_id").orderBy("__mono")
-    df = df.withColumn("sample_idx", F.row_number().over(w) - 1).drop("__mono")
+    if assume_partitioned:
+        import numpy as np
+
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema]
+            + ["sample_idx long"])
+
+        def assign(batches):
+            counters: dict[str, int] = {}
+            for pdf in batches:
+                pdf = pdf.reset_index(drop=True)
+                idx = np.empty(len(pdf), dtype=np.int64)
+                for subj, grp in pdf.groupby("subject_id", sort=False):
+                    c0 = counters.get(subj, 0)
+                    n = len(grp)
+                    idx[grp.index.to_numpy()] = np.arange(c0, c0 + n)
+                    counters[subj] = c0 + n
+                pdf["sample_idx"] = idx
+                yield pdf
+
+        df = df.mapInPandas(assign, out_schema)
+    else:
+        w = Window.partitionBy("subject_id").orderBy("__mono")
+        df = df.withColumn(
+            "sample_idx", F.row_number().over(w) - 1).drop("__mono")
 
     if has_ts and "ts" in df.columns:
         dt = dict(df.dtypes)["ts"]

@@ -346,3 +346,29 @@ class TestIngestValidation:
         assert ok
         ok, headers = validate_batch_headers(spark, str(tmp_path))
         assert not ok and len(headers) == 4
+
+
+class TestShuffleFreeIngest:
+    def test_partitioned_indexing_matches_default(self, spark, tmp_path):
+        from physioview_spark.sources import load_signal_csv
+
+        rng = np.random.default_rng(2)
+        for i in range(4):
+            n = 500 + i * 100
+            with open(tmp_path / f"s{i}.csv", "w") as f:
+                f.write("t,v\n")
+                for j in range(n):
+                    f.write(f"{j},{rng.normal():.6f}\n")
+        hm = {"t": "ts", "v": "ecg"}
+        default = (load_signal_csv(spark, str(tmp_path), "ecg", hm,
+                                   has_ts=False)
+                   .orderBy("subject_id", "sample_idx").toPandas())
+        fast_df = load_signal_csv(spark, str(tmp_path), "ecg", hm,
+                                  has_ts=False, assume_partitioned=True)
+        fast = fast_df.orderBy("subject_id", "sample_idx").toPandas()
+        # identical frames, and the fast plan never shuffles
+        assert (default["sample_idx"].values == fast["sample_idx"].values).all()
+        assert (default["subject_id"].values == fast["subject_id"].values).all()
+        np.testing.assert_allclose(default["ecg"].values, fast["ecg"].values)
+        plan = fast_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
