@@ -359,3 +359,17 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = fake_image_table(spark, n=64, corrupt_every=10)
     return extract_image_features(imgs).orderBy("doc_id")
+
+
+@q("embedding_near_dup_pairs")
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.9) with LSH
+    bucketing so only same-bucket pairs are compared — the embedding leg
+    of the dedup suite (rows-only: bucketing is hash-approximate;
+    same-bucket recall asserted against brute force in tests)."""
+    emb = read(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51) — 0.35 marks the top ~0.1% of pairs as "near-dups"
+    return similarity.embedding_near_dups(
+        emb, threshold=0.35, n_planes=3, dim=64
+    ).orderBy("id_a", "id_b")

@@ -1159,3 +1159,32 @@ def cardiac_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = compute_metrics(samples, fs=1.0, seg_size=600, min_hr=0.2,
                         with_ts=False)
     return cardiac_summary(m)
+
+
+_A6_BODY = ORACLE["eda_quality_segments"]
+
+@q("eda_summary_rollup", f"""
+WITH seg AS ({_A6_BODY})
+SELECT subject_id,
+       COUNT(*) AS n_segments,
+       ROUND(AVG(pct_valid), 2) AS avg_pct_valid,
+       ROUND(AVG(pct_invalid), 2) AS avg_pct_invalid,
+       ROUND(AVG(CAST(out_of_range AS DOUBLE) * 100.0 / 20), 2)
+           AS avg_pct_out_of_range,
+       ROUND(AVG(CAST(excessive_slope AS DOUBLE) * 100.0 / 20), 2)
+           AS avg_pct_excessive_slope
+FROM seg GROUP BY subject_id
+""")
+def eda_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 eda_summary under the oracle: per-subject rollup of the A6
+    quality metric frame (mean percentages over full segments)."""
+    from physioview_spark.operators.eda_metrics import eda_summary
+
+    m = QUERIES["eda_quality_segments"](spark, sf_dir)
+    m = (m.withColumn(
+            "pct_out_of_range",
+            F.round(F.col("out_of_range") * 100.0 / 20, 2))
+         .withColumn(
+            "pct_excessive_slope",
+            F.round(F.col("excessive_slope") * 100.0 / 20, 2)))
+    return eda_summary(m)
