@@ -46,13 +46,34 @@ def run_pipeline(
     dtype = config.dtype.upper()
 
     if samples is None:
-        from physioview_spark.sources.csv import load_signal_csv
+        source = (config.source or "csv").lower()
+        if source == "actiwave":
+            # §3.3 device one-shot: EDF -> ECG frame (fs from the file)
+            from physioview_spark.sources.edf import load_actiwave
 
-        value_col = "eda" if dtype == "EDA" else dtype.lower()
-        header_map = config.headers or {"Timestamp": "ts",
-                                        dtype: value_col}
-        samples = load_signal_csv(
-            spark, path, value_col, header_map=header_map, fs=config.fs)
+            samples = load_actiwave(spark, path)["ecg"]
+        elif source == "e4":
+            # E4 archive: BVP drives the cardiac path, EDA (+TEMP via
+            # interp) the EDA path (reference Empatica.compute_sqa,
+            # physioview/physioview.py:605-711)
+            from physioview_spark.sources.empatica import load_empatica
+
+            streams = load_empatica(spark, path)
+            if dtype in CARDIAC_DTYPES:
+                samples = streams["bvp"]
+            else:
+                samples = streams["eda"]
+                if temp is None:
+                    temp = streams["temp"]
+        else:
+            from physioview_spark.sources.csv import load_signal_csv
+
+            value_col = "eda" if dtype == "EDA" else dtype.lower()
+            header_map = config.headers or {"Timestamp": "ts",
+                                            dtype: value_col}
+            samples = load_signal_csv(
+                spark, path, value_col, header_map=header_map,
+                fs=config.fs)
 
     out: dict[str, DataFrame] = {}
     if dtype in CARDIAC_DTYPES:

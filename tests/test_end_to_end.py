@@ -295,3 +295,67 @@ class TestConfigDrivenPipeline:
         assert mtr.iloc[0]["temp_out_of_range"] == 0
         assert mtr.iloc[-1]["temp_out_of_range"] > 0
         assert (mtr.iloc[-1]["pct_valid"] or 0) < 50
+
+    def test_ppg_rolling_from_config(self, spark):
+        """PPG branch (adaptive_threshold remap) + rolling-window metrics."""
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.pipeline import run_pipeline
+
+        fs = 64.0
+        n = int(fs * 300)
+        rng = np.random.default_rng(3)
+        t = np.arange(n) / fs
+        # pulse-like waveform at ~70 bpm
+        phase = 2 * np.pi * np.cumsum(np.full(n, 70 / 60.0 / fs))
+        bvp = (np.sin(phase) + 0.3 * np.sin(2 * phase)
+               + 0.05 * rng.standard_normal(n))
+        pdf = pd.DataFrame({
+            "subject_id": "b1",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "bvp": bvp,
+        })
+        cfg = PipelineConfig(dtype="BVP", fs=fs, rolling_window=60,
+                             rolling_step=15, min_hr=40.0)
+        frames = run_pipeline(spark, cfg,
+                              samples=spark.createDataFrame(pdf))
+        m = frames["metrics"].orderBy("moving_window").toPandas()
+        assert "moving_window" in m.columns and len(m) >= 15
+        full = m[m["n_detected"] > 0]
+        # ~70 beats in each full 60s window
+        assert (full["n_detected"].between(50, 90)).mean() > 0.8
+
+    def test_e4_source_dispatch(self, spark, tmp_path):
+        """§3.3: E4 archive straight through run_pipeline (BVP cardiac
+        path and EDA path with the archive's own TEMP stream)."""
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.pipeline import run_pipeline
+        from physioview_spark.sources import write_e4_zip
+
+        rng = np.random.default_rng(8)
+        n_sec = 240
+        fs_bvp = 64.0
+        phase = 2 * np.pi * np.cumsum(
+            np.full(int(fs_bvp * n_sec), 72 / 60.0 / fs_bvp))
+        bvp = np.sin(phase) + 0.05 * rng.standard_normal(len(phase))
+        eda = 2.0 + 0.1 * np.sin(np.arange(4 * n_sec) / 40.0)
+        temp = 33.0 + rng.normal(0, 0.05, 4 * n_sec)
+        p = str(tmp_path / "dev.zip")
+        write_e4_zip(p, 1700000000.0, bvp=bvp, eda=eda, temp=temp,
+                     hr=np.full(n_sec, 72.0),
+                     ibi=np.column_stack([np.cumsum(np.full(9, .8)),
+                                          np.full(9, .8)]))
+
+        cardiac = run_pipeline(
+            spark, PipelineConfig(source="e4", dtype="BVP", fs=fs_bvp,
+                                  seg_size=60), path=p)
+        cm = cardiac["metrics"].toPandas()
+        assert len(cm) == 4
+        assert (cm["n_detected"].between(55, 90)).all()
+
+        eda_out = run_pipeline(
+            spark, PipelineConfig(source="e4", dtype="EDA", fs=4.0,
+                                  eda_seg_size=60), path=p)
+        em = eda_out["metrics"].toPandas()
+        assert len(em) == 4
+        assert "pct_temp_out_of_range" in em.columns
+        assert (em["pct_valid"] > 90).all()
