@@ -104,3 +104,70 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3,
     return df.withColumn(
         out_col, F.array_min(F.transform(sh, lambda s: F.md5(s)))
     )
+
+
+# GPT-2-style pretokenizer pattern (public pattern family: optional space
+# + word | number | punctuation run) — no lookaheads, works in both
+# Spark's and DuckDB's regex engines.
+BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text",
+                    out_col: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token counting: pretokenize with the word/number/punct
+    regex, then charge ceil(len/4) subword tokens per long word (the
+    classic ~4-chars-per-token heuristic) and 1 per number/punct run.
+    JVM-side `regexp_extract_all` + array math, exact SQL twin."""
+    pieces = F.regexp_extract_all(F.col(text_col),
+                                  F.lit(BPE_PRETOKEN_PATTERN), 0)
+    per_piece = F.transform(
+        pieces,
+        lambda p: F.when(p.rlike("^[A-Za-z]+$"),
+                         F.ceil(F.length(p) / 4.0))
+        .otherwise(F.lit(1)).cast("long"),
+    )
+    return df.withColumn(
+        out_col,
+        F.coalesce(F.aggregate(per_piece, F.lit(0).cast("long"),
+                               lambda acc, v: acc + v), F.lit(0)))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    MOSS scheme): hash every k-char gram of the lowercased text, slide a
+    ``window``-gram window, keep each window's minimum hash — the
+    selected set is the document's fingerprint sketch.
+
+    Relational throughout: positions via ``sequence`` + ``transform``,
+    the k-gram hash is the first 8 hex chars of md5 (engine-portable),
+    window minima via one more ``transform`` + ``slice``/``array_min``,
+    then ``explode`` + ``distinct``. Matching fingerprints across docs
+    indicate shared substrings (plagiarism/near-dup detection at scale).
+    """
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    n_grams = F.greatest(n - k + 1, F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 8),
+    )
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda w: F.array_min(F.slice(hashes, w, window)),
+    )
+    out = df.select(
+        id_col,
+        F.explode(
+            F.when(n_grams <= 0, F.array().cast("array<string>"))
+            .when(F.size(hashes) < window, F.array(F.array_min(hashes)))
+            .otherwise(mins)
+        ).alias("fp"),
+    )
+    return out.distinct()

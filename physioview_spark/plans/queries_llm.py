@@ -373,3 +373,66 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(
         emb, threshold=0.35, n_planes=3, dim=64
     ).orderBy("id_a", "id_b")
+
+
+@q("doc_bpe_token_stats", """
+WITH p AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')
+             AS pieces
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(COALESCE(list_sum(list_transform(pieces,
+              x -> CASE WHEN regexp_matches(x, '^[A-Za-z]+$')
+                        THEN CAST(CEIL(length(x) / 4.0) AS BIGINT)
+                        ELSE 1 END)), 0) AS BIGINT) AS n_bpe_tokens
+  FROM p
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(n_bpe_tokens), 4) AS avg_bpe_tokens
+FROM c GROUP BY lang
+""")
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style word/number/punct pretokenizer
+    + ~4-chars-per-subword heuristic), aggregated per language."""
+    docs = read(spark, sf_dir, "documents")
+    counted = text.bpe_token_count(docs)
+    return counted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("n_bpe_tokens"), 4).alias("avg_bpe_tokens"),
+    )
+
+
+@q("doc_winnow_fingerprints", """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 40
+), g AS (
+  SELECT doc_id, s.i AS i,
+         substring(md5(substring(t, s.i, 8)), 1, 8) AS h,
+         GREATEST(length(t) - 8 + 1, 0) AS ng
+  FROM d, LATERAL (SELECT UNNEST(generate_series(
+      1, GREATEST(length(t) - 8 + 1, 0))) AS i) s
+), x AS (
+  SELECT doc_id, u.wi AS wi, h
+  FROM (SELECT *, GREATEST(ng - 4 + 1, 0) AS nw FROM g) g2,
+  LATERAL (SELECT UNNEST(generate_series(
+      GREATEST(g2.i - 3, 1), LEAST(g2.i, g2.nw))) AS wi) u
+), wins AS (
+  SELECT doc_id, wi, MIN(h) AS fp FROM x GROUP BY doc_id, wi
+), short AS (
+  -- docs with fewer grams than a window: one fingerprint = global min
+  SELECT doc_id, MIN(h) AS fp FROM g WHERE ng > 0 AND ng < 4
+  GROUP BY doc_id
+)
+SELECT DISTINCT doc_id, fp FROM wins
+UNION
+SELECT doc_id, fp FROM short
+""")
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme): k=8 char grams,
+    window=4 minima, distinct per doc — the shared-substring detector."""
+    docs = read(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return text.winnow_fingerprints(docs, k=8, window=4)

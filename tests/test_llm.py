@@ -229,3 +229,39 @@ class TestIvfAnn:
         stats = got.groupBy("b").count().collect()
         assert {r["b"] for r in stats} <= {0, 1, 2, 3}
         assert sum(r["count"] for r in stats) == emb.count()
+
+
+class TestTextExtensions:
+    def test_bpe_token_count_known_values(self, spark):
+        from physioview_spark.llm.text import bpe_token_count
+
+        rows = [
+            (0, "hello world"),          # 2 words: ceil(5/4)+ceil(5/4)=4
+            (1, "internationalization"), # ceil(20/4) = 5
+            (2, "a b, 12345!"),          # 1+1 + 1(,) + 1(num) + 1(!) = 5
+            (3, ""),                     # 0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe_token_count(df).collect()}
+        assert got == {0: 4, 1: 5, 2: 5, 3: 0}
+
+    def test_winnow_fingerprints_share_substrings(self, spark):
+        from physioview_spark.llm.text import winnow_fingerprints
+
+        shared = "the common stretch of text that both documents contain"
+        rows = [
+            (0, f"prefix alpha {shared} suffix one"),
+            (1, f"other beginning {shared} different tail"),
+            (2, "wholly unrelated payload carrying zero matching spans qq"),
+            (3, "tiny"),   # shorter than k=8 -> no fingerprints
+            (4, "ninechars"),  # 9 chars -> 2 grams < window -> 1 fp
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = winnow_fingerprints(df, k=8, window=4).toPandas()
+        by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+        assert 3 not in by_doc
+        assert len(by_doc[4]) == 1
+        # docs sharing a long substring share fingerprints
+        assert len(by_doc[0] & by_doc[1]) >= 3
+        assert len(by_doc[0] & by_doc[2]) == 0
