@@ -7,9 +7,9 @@ Everything downstream (IBIs, segments, metrics) is relational.
 
 Scale note: the parallelism unit is the subject — a cohort of thousands of
 recordings fans out across executors. Single recordings too long for one
-task would use halo-chunked grouping ((subject, chunk) keys with
-overlap-and-discard edges); the kernels are pure array->array so the
-chunking wrapper composes around them.
+task use ``apply_kernel_chunked`` ((subject, chunk) keys with
+overlap-and-discard halos); pre-partitioned cohort layouts skip the
+grouping shuffle entirely via ``annotate_cardiac(assume_partitioned=True)``.
 """
 
 from __future__ import annotations

@@ -436,3 +436,44 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window=4 minima, distinct per doc — the shared-substring detector."""
     docs = read(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     return text.winnow_fingerprints(docs, k=8, window=4)
+
+
+@q("doc_curation_decisions", """
+WITH q AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+             AS n_tokens
+  FROM documents
+), dup AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+), flags AS (
+  SELECT q.doc_id,
+         (q.n_tokens >= 5) AS long_enough,
+         (dup.doc_id = dup.keeper) AS is_canonical
+  FROM q JOIN dup ON q.doc_id = dup.doc_id
+)
+SELECT doc_id,
+       CASE WHEN NOT is_canonical THEN 'drop_duplicate'
+            WHEN NOT long_enough THEN 'drop_short'
+            ELSE 'keep' END AS decision
+FROM flags
+""")
+def doc_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation pipeline: exact-dedup canonical check + length
+    gate composed into a per-document keep/drop decision — the chained
+    operator flow of a real training-data filter, one relational plan."""
+    docs = read(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    toks = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") != keeper, F.lit("drop_duplicate"))
+        .when(toks < 5, F.lit("drop_short"))
+        .otherwise(F.lit("keep")).alias("decision"),
+    )
