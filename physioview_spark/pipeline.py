@@ -113,6 +113,18 @@ def run_pipeline(
                 annotated, fs=config.fs, seg_size=config.seg_size,
                 min_hr=config.min_hr, with_ts=with_ts)
             out["summary"] = cardiac_summary(out["metrics"])
+    elif dtype == "ACC":
+        from physioview_spark.operators.acc import (
+            compute_auc, compute_magnitude,
+        )
+
+        if "magnitude" not in samples.columns:
+            samples = compute_magnitude(samples)
+        out["samples"] = samples
+        out["metrics"] = compute_auc(
+            samples, fs=config.fs, seg_size=config.seg_size,
+            rolling_window=config.rolling_window,
+            rolling_step=config.rolling_step)
     elif dtype == "EDA":
         from physioview_spark.functions.spark_kernels import annotate_eda
         from physioview_spark.operators.eda_metrics import (

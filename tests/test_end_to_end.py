@@ -359,3 +359,26 @@ class TestConfigDrivenPipeline:
         assert len(em) == 4
         assert "pct_temp_out_of_range" in em.columns
         assert (em["pct_valid"] > 90).all()
+
+    def test_acc_from_config(self, spark):
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.pipeline import run_pipeline
+
+        fs = 32.0
+        n = int(fs * 180)
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame({
+            "subject_id": "a1",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "x": rng.normal(0, 1, n), "y": rng.normal(0, 1, n),
+            "z": 9.8 + rng.normal(0, .1, n),
+        })
+        cfg = PipelineConfig(dtype="ACC", fs=fs, seg_size=60)
+        frames = run_pipeline(spark, cfg,
+                              samples=spark.createDataFrame(pdf))
+        assert "magnitude" in frames["samples"].columns
+        m = frames["metrics"].toPandas()
+        assert len(m) == 3
+        # |acc| ~ 9.8-10; per-second sums * 60s per segment
+        auc_col = [c for c in m.columns if "auc" in c.lower()][0]
+        assert (m[auc_col] > fs * 9.0 * 60).all()

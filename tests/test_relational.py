@@ -224,3 +224,43 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
             spark.sql("DROP TABLE IF EXISTS b_samples")
             spark.sql("DROP TABLE IF EXISTS b_meta")
+
+
+class TestPlanContracts:
+    """Regression guards on physical-plan properties the engine promises:
+    pushdown reaching the scan, dimension broadcasts, bounded shuffle
+    counts. A logic change that silently loses one of these properties
+    would still be CORRECT but would not survive 100x data."""
+
+    def _plan(self, spark, name, sf_dir):
+        import __spark_entry__ as e
+
+        df = e.queries()[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_pricing_summary_pushdown(self, spark, sf_dir):
+        plan = self._plan(spark, "pricing_summary", sf_dir)
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+        # projection pruning: the scan must not read all 16 columns
+        import re
+        m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+        assert m and len(m.group(1).split(",")) <= 7, m.group(1)
+
+    def test_top_revenue_nations_broadcasts(self, spark, sf_dir):
+        plan = self._plan(spark, "top_revenue_nations", sf_dir)
+        assert plan.count("BroadcastExchange") >= 2
+        # exactly one exchange touches the fact table pre-aggregation;
+        # bounded total shuffle count guards against plan regressions
+        assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+    def test_asof_join_single_shuffle(self, spark, sf_dir):
+        plan = self._plan(spark, "asof_latest_order", sf_dir)
+        # union-window as-of: partitions once on (user, key); no
+        # nested-loop join anywhere
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dedup_no_self_join(self, spark, sf_dir):
+        plan = self._plan(spark, "dedup_keep_first", sf_dir)
+        assert "SortMergeJoin" not in plan and "Join" not in plan, \
+            "keep-first dedup must be a window, not a self-join"
