@@ -69,7 +69,7 @@ def apply_kernel(
 
 def annotate_cardiac(
     df: DataFrame,
-    fs: float,
+    fs: float | None,
     dtype: str = "ECG",
     detector: str = "manikandan",
     filter_on: bool = True,
@@ -86,9 +86,14 @@ def annotate_cardiac(
     Output: input + ``filtered``, ``beat`` (1/NULL), ``artifact`` (1/NULL)
     — the annotated frame the relational SQA metrics consume
     (mirrors reference _preprocess_cardiac, dashboard/utils.py:56-122).
+
+    ``fs=None`` reads the rate from the frame's own ``fs`` column per
+    subject (heterogeneous-rate cohorts, e.g. mixed-device EDF/E4
+    ingests — SURVEY §1.4); a scalar pins one rate for the whole frame.
     """
     det = DETECTORS[detector]
-    filt = default_filter(dtype, fs) if filter_on else None
+    if fs is None and "fs" not in df.columns:
+        raise ValueError("fs=None requires an 'fs' column on the frame")
     schema = T.StructType(
         df.schema.fields
         + [
@@ -101,11 +106,13 @@ def annotate_cardiac(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("sample_idx").reset_index(drop=True)
+        g_fs = float(pdf["fs"].iloc[0]) if fs is None else fs
+        filt = default_filter(dtype, g_fs) if filter_on else None
         x = pdf[value_col].to_numpy(dtype=float)
         xf = filt(x) if filt is not None else x
-        beats = det(xf, fs)
+        beats = det(xf, g_fs)
         arts = identify_artifacts(
-            beats, fs, method=artifact_method, tol=artifact_tol,
+            beats, g_fs, method=artifact_method, tol=artifact_tol,
             initial_hr=initial_hr,
         )
         beat = np.full(len(pdf), np.nan)

@@ -304,3 +304,36 @@ class TestPartitionedFastPath:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         pd.testing.assert_frame_equal(slow, fast)
+
+
+class TestHeterogeneousRates:
+    def test_fs_from_column_per_subject(self, spark):
+        """fs=None: each subject annotated at its own rate (mixed-device
+        cohorts) — beat counts match the per-rate ground truth."""
+        from physioview_spark.functions.spark_kernels import (
+            annotate_cardiac,
+        )
+
+        frames = []
+        for subj, fs in (("lo", 64.0), ("hi", 256.0)):
+            n = int(fs * 60)
+            rng = np.random.default_rng(int(fs))
+            t = np.arange(n) / fs
+            sig = 0.02 * rng.standard_normal(n)
+            for b in np.arange(0.5, 59.5, 60.0 / 70):
+                sig += 1.0 * np.exp(-((t - b) ** 2) / (2 * 0.012 ** 2))
+            frames.append(pd.DataFrame({
+                "subject_id": subj,
+                "sample_idx": np.arange(n, dtype=np.int64),
+                "ecg": sig,
+                "fs": np.full(n, fs),
+            }))
+        df = spark.createDataFrame(pd.concat(frames))
+        out = annotate_cardiac(df, fs=None, value_col="ecg",
+                               detector="manikandan")
+        counts = {r["subject_id"]: r["count"]
+                  for r in out.where(F.col("beat") == 1)
+                  .groupBy("subject_id").count().collect()}
+        # ~69 beats in 59s at 70 bpm for BOTH rates
+        assert 60 <= counts["lo"] <= 80, counts
+        assert 60 <= counts["hi"] <= 80, counts
