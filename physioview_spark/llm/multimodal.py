@@ -23,7 +23,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F, types as T
+from pyspark.sql import types as T
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),

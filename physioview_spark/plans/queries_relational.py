@@ -16,7 +16,6 @@ from physioview_spark.operators.ibi import compute_ibis
 from physioview_spark.operators.metrics import (
     compute_metrics_rolling, get_artifacts, get_missing, get_seconds,
 )
-from physioview_spark.operators.spans import interval_join
 from physioview_spark.plans.common import (
     EPOCH0, epoch_s, events_as_samples, ntz_lit, read, safe_div,
 )

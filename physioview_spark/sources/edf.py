@@ -15,10 +15,9 @@ ECG µV -> mV, ACC magnitude), mirroring ``Actiwave.preprocess``.
 from __future__ import annotations
 
 import io
-import struct
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 
 def read_edf_bytes(payload: bytes):
