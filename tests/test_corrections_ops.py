@@ -337,3 +337,35 @@ class TestHeterogeneousRates:
         # ~69 beats in 59s at 70 bpm for BOTH rates
         assert 60 <= counts["lo"] <= 80, counts
         assert 60 <= counts["hi"] <= 80, counts
+
+
+class TestAucNormalization:
+    def test_minmax_and_zscore_norms(self, spark):
+        """A7 normalization variants: per-second sums normalized before
+        the window sum (reference: pipeline/ACC.py:120-160)."""
+        from physioview_spark.operators.acc import compute_auc
+
+        fs = 10.0
+        n = int(fs * 120)
+        mag = np.linspace(1.0, 2.0, n)  # ramp -> distinct per-second sums
+        pdf = pd.DataFrame({
+            "subject_id": "a",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "magnitude": mag,
+        })
+        df = spark.createDataFrame(pdf)
+
+        plain = compute_auc(df, fs=fs, seg_size=60).toPandas()
+        mm = compute_auc(df, fs=fs, seg_size=60, norm="minmax").toPandas()
+        zs = compute_auc(df, fs=fs, seg_size=60, norm="zscore").toPandas()
+        auc_col = [c for c in plain.columns if "auc" in c.lower()][0]
+
+        # plain: sum of the ramp -> increasing across segments
+        assert plain[auc_col].iloc[1] > plain[auc_col].iloc[0]
+        # minmax: per-second series mapped to [0,1]; first segment holds
+        # the low half, second the high half, total = sum of 120 evenly
+        # spaced values in [0,1] = 60 across both segments
+        assert abs(mm[auc_col].sum() - 60.0) < 1e-6
+        assert mm[auc_col].iloc[0] < mm[auc_col].iloc[1]
+        # zscore: normalized series sums to ~0 overall
+        assert abs(zs[auc_col].sum()) < 1e-6
