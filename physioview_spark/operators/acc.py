@@ -9,7 +9,7 @@ aggregation here, which is exactly Spark's partial-agg shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 B = "subject_id"
 
@@ -42,52 +42,66 @@ def compute_auc(
     norm: str | None = None,
 ) -> DataFrame:
     """Two-level AUC: per-second sums, then per-segment (or sliding-window)
-    sums; optional 'minmax'/'zscore' normalization of the per-second series
-    before the window sum (reference: pipeline/ACC.py:47-197)."""
+    sums (reference: pipeline/ACC.py:47-197).
+
+    With ``norm`` ('minmax'/'zscore') the per-second series is normalized
+    WITHIN each segment/window (stats over that window only, reference:
+    pipeline/ACC.py:100-170) and the normalized sum is emitted as
+    ``auc_norm`` ALONGSIDE the raw ``auc`` — never replacing it. Both
+    normalizations reduce to closed forms over plain aggregates —
+    ``sum((x-mn)/range) = (sum - n*mn)/range`` and
+    ``sum((x-mean)/sd) = (sum - n*mean)/sd`` — so the whole thing is one
+    partial-aggregable groupBy: no window functions, one shuffle, the
+    same plan shape at 100 TB.
+    """
+    if norm not in (None, "minmax", "zscore"):
+        raise ValueError(
+            "The `norm` parameter must take None, 'minmax', or 'zscore'."
+        )
     per_sec = df.groupBy(
         B, F.floor(F.col("sample_idx") / int(fs)).alias("sec")
     ).agg(F.sum(value_col).alias("sec_sum"))
 
-    if norm == "minmax":
-        w = Window.partitionBy(B)
-        per_sec = per_sec.withColumn(
-            "sec_sum",
-            _sdiv(
-                F.col("sec_sum") - F.min("sec_sum").over(w),
-                F.nullif(
-                    F.max("sec_sum").over(w) - F.min("sec_sum").over(w),
-                    F.lit(0.0),
-                ),
-            ),
-        )
-    elif norm == "zscore":
-        w = Window.partitionBy(B)
-        per_sec = per_sec.withColumn(
-            "sec_sum",
-            _sdiv(
-                F.col("sec_sum") - F.avg("sec_sum").over(w),
-                F.nullif(F.stddev_samp("sec_sum").over(w), F.lit(0.0)),
-            ),
-        )
-
     if rolling_window is None:
-        return (
-            per_sec.groupBy(
-                B, (F.floor(F.col("sec") / seg_size) + 1).alias("segment")
-            )
-            .agg(F.sum("sec_sum").alias("auc"))
-            .select(B, "segment", "auc")
+        win = (F.floor(F.col("sec") / seg_size) + 1).alias("segment")
+        key = "segment"
+        grouped = per_sec.groupBy(B, win)
+    else:
+        # windows start every rolling_step s, span rolling_window s; each
+        # second lands in its covering windows via bounded sequence+explode
+        lo = F.greatest(
+            F.lit(0),
+            F.ceil((F.col("sec") - rolling_window + 1) / F.lit(rolling_step)),
         )
-    lo = F.greatest(
-        F.lit(0), F.ceil((F.col("sec") - rolling_window + 1) / F.lit(rolling_step))
-    )
-    hi = F.floor(F.col("sec") / F.lit(rolling_step))
-    return (
-        per_sec.withColumn("mw", F.explode(F.sequence(lo, hi)))
-        .groupBy(B, (F.col("mw") + 1).alias("moving_window"))
-        .agg(F.sum("sec_sum").alias("auc"))
-        .select(B, "moving_window", "auc")
-    )
+        hi = F.floor(F.col("sec") / F.lit(rolling_step))
+        key = "moving_window"
+        grouped = per_sec.withColumn(
+            "mw", F.explode(F.sequence(lo, hi))
+        ).groupBy(B, (F.col("mw") + 1).alias(key))
+
+    aggs = [F.sum("sec_sum").alias("auc")]
+    if norm is not None:
+        aggs += [
+            F.count(F.lit(1)).alias("__n"),
+            F.min("sec_sum").alias("__mn"),
+            F.max("sec_sum").alias("__mx"),
+            F.avg("sec_sum").alias("__avg"),
+            F.stddev_samp("sec_sum").alias("__sd"),
+        ]
+    out = grouped.agg(*aggs)
+    if norm is None:
+        return out.select(B, key, "auc")
+    if norm == "minmax":
+        auc_norm = _sdiv(
+            F.col("auc") - F.col("__n") * F.col("__mn"),
+            F.nullif(F.col("__mx") - F.col("__mn"), F.lit(0.0)),
+        )
+    else:  # zscore
+        auc_norm = _sdiv(
+            F.col("auc") - F.col("__n") * F.col("__avg"),
+            F.nullif(F.col("__sd"), F.lit(0.0)),
+        )
+    return out.select(B, key, "auc", auc_norm.alias("auc_norm"))
 
 
 def get_duration(df: DataFrame, fs: float) -> DataFrame:

@@ -187,14 +187,18 @@ def kernel_acc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = compute_magnitude(df)
     seg = compute_auc(m, fs, seg_size=60).withColumnRenamed("segment", "win")
-    roll = compute_auc(
-        m, fs, rolling_window=60, rolling_step=15, norm="zscore"
-    ).withColumnRenamed("moving_window", "win").withColumnRenamed("auc", "auc_z")
+    roll = (
+        compute_auc(m, fs, rolling_window=60, rolling_step=15, norm="zscore")
+        .withColumnRenamed("moving_window", "win")
+        .withColumnRenamed("auc", "auc_roll")
+        .withColumnRenamed("auc_norm", "auc_z")
+    )
     return (
         seg.join(roll, ["subject_id", "win"], "outer")
         .select(
             "subject_id", "win",
             F.round("auc", 4).alias("auc"),
+            F.round("auc_roll", 4).alias("auc_roll"),
             F.round("auc_z", 4).alias("auc_z"),
         )
         .orderBy("subject_id", "win")

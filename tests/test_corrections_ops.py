@@ -341,8 +341,9 @@ class TestHeterogeneousRates:
 
 class TestAucNormalization:
     def test_minmax_and_zscore_norms(self, spark):
-        """A7 normalization variants: per-second sums normalized before
-        the window sum (reference: pipeline/ACC.py:120-160)."""
+        """A7 normalization variants: per-second sums normalized WITHIN
+        each segment, emitted as auc_norm alongside raw auc (reference:
+        pipeline/ACC.py:100-170)."""
         from physioview_spark.operators.acc import compute_auc
 
         fs = 10.0
@@ -356,16 +357,53 @@ class TestAucNormalization:
         df = spark.createDataFrame(pdf)
 
         plain = compute_auc(df, fs=fs, seg_size=60).toPandas()
-        mm = compute_auc(df, fs=fs, seg_size=60, norm="minmax").toPandas()
-        zs = compute_auc(df, fs=fs, seg_size=60, norm="zscore").toPandas()
-        auc_col = [c for c in plain.columns if "auc" in c.lower()][0]
+        mm = (compute_auc(df, fs=fs, seg_size=60, norm="minmax")
+              .toPandas().sort_values("segment").reset_index(drop=True))
+        zs = (compute_auc(df, fs=fs, seg_size=60, norm="zscore")
+              .toPandas().sort_values("segment").reset_index(drop=True))
 
-        # plain: sum of the ramp -> increasing across segments
-        assert plain[auc_col].iloc[1] > plain[auc_col].iloc[0]
-        # minmax: per-second series mapped to [0,1]; first segment holds
-        # the low half, second the high half, total = sum of 120 evenly
-        # spaced values in [0,1] = 60 across both segments
-        assert abs(mm[auc_col].sum() - 60.0) < 1e-6
-        assert mm[auc_col].iloc[0] < mm[auc_col].iloc[1]
-        # zscore: normalized series sums to ~0 overall
-        assert abs(zs[auc_col].sum()) < 1e-6
+        # norm=None -> no auc_norm column (reference drops the all-NaN col)
+        assert "auc_norm" not in plain.columns
+        assert {"auc", "auc_norm"} <= set(mm.columns)
+
+        # raw auc: sum of the ramp -> increasing across segments, and
+        # IDENTICAL whether or not a norm is requested (norm never
+        # replaces the raw value)
+        plain = plain.sort_values("segment").reset_index(drop=True)
+        assert plain["auc"].iloc[1] > plain["auc"].iloc[0]
+        assert np.allclose(plain["auc"].values, mm["auc"].values)
+        assert np.allclose(plain["auc"].values, zs["auc"].values)
+
+        # minmax: each segment's 60 per-second sums are evenly spaced, so
+        # normalized within the segment they span [0,1] -> sum = 30 each
+        assert np.allclose(mm["auc_norm"].values, [30.0, 30.0], atol=1e-6)
+        # zscore: sum of within-segment z-scores is exactly 0 per segment
+        assert np.allclose(zs["auc_norm"].values, [0.0, 0.0], atol=1e-6)
+
+    def test_norm_validation_and_rolling_norm(self, spark):
+        """Invalid norm raises (reference: pipeline/ACC.py:104-107);
+        rolling windows carry per-window auc_norm."""
+        import pytest as _pytest
+
+        from physioview_spark.operators.acc import compute_auc
+
+        fs = 10.0
+        n = int(fs * 90)
+        pdf = pd.DataFrame({
+            "subject_id": "a",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "magnitude": np.linspace(0.0, 1.0, n),
+        })
+        df = spark.createDataFrame(pdf)
+        with _pytest.raises(ValueError):
+            compute_auc(df, fs=fs, norm="bogus")
+
+        roll = (compute_auc(df, fs=fs, rolling_window=30, rolling_step=15,
+                            norm="minmax")
+                .toPandas().sort_values("moving_window"))
+        # ceil(90/15) = 6 windows (reference iterates range(0, len, step))
+        assert len(roll) == 6
+        # every full 30 s window of the ramp normalizes to an even [0,1]
+        # spread -> auc_norm = 15; truncated trailing windows stay in range
+        assert np.allclose(roll["auc_norm"].iloc[:4], 15.0, atol=1e-6)
+        assert (roll["auc_norm"].dropna() >= 0).all()
