@@ -34,13 +34,18 @@ def streaming_segment_sqa(
     artifact_col: str = "artifact",
 ) -> DataFrame:
     """Tumbling-window segment SQA: detected/artifact counts, artifact %,
-    and the Invalid rule (P7: detected < min_hr*(seg/60) or > 220,
+    and the Invalid rule (P7: detected < min_hr*(seg/60) or > a FLAT 220,
     reference: pipeline/SQA.py:193-196) per (subject, segment window).
+
+    The Invalid rule is the SAME expression as the batch twin
+    (operators/metrics.py compute_metrics): only the lower bound scales
+    with segment length; the 220 upper bound is flat, and a valid segment
+    carries NULL (not 0) — one frame, one answer in both modes.
     """
     df = with_watermark_if_streaming(samples, "ts", watermark)
     detected = F.sum(F.when(F.col(beat_col) == 1, 1).otherwise(0))
     artifacts = F.sum(F.when(F.col(artifact_col) == 1, 1).otherwise(0))
-    lo = min_hr * (seg_seconds / 60.0)
+    lo = int(min_hr * (seg_seconds / 60.0))
     return (
         df.groupBy("subject_id", F.window("ts", f"{seg_seconds} seconds"))
         .agg(detected.alias("n_detected"), artifacts.alias("n_artifact"))
@@ -49,12 +54,16 @@ def streaming_segment_sqa(
             F.col("window.start").alias("segment_start"),
             "n_detected",
             "n_artifact",
-            F.when(F.col("n_detected") > 0,
-                   F.col("n_artifact") / F.col("n_detected") * 100.0)
-             .otherwise(F.lit(0.0)).alias("pct_artifact"),
-            ((F.col("n_detected") < F.lit(lo))
-             | (F.col("n_detected") > F.lit(220.0 * seg_seconds / 60.0)))
-            .cast("int").alias("invalid"),
+            F.round(
+                F.col("n_artifact")
+                / F.nullif(F.col("n_detected"), F.lit(0)) * 100.0,
+                2,
+            ).alias("pct_artifact"),
+            F.when(
+                (F.col("n_detected") < F.lit(lo))
+                | (F.col("n_detected") > 220),
+                1,
+            ).cast("int").alias("invalid"),
         )
     )
 

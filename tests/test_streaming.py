@@ -77,7 +77,47 @@ class TestWindowedParity:
         got_s = got_s.where(F.col("segment_start") < F.lit(REAL_END))
         assert _collect_sorted(got_b, cols) == _collect_sorted(got_s, cols)
         # sanity: ~60 beats/min -> never invalid at default thresholds
-        assert all(r["invalid"] == 0 for r in got_b.collect())
+        # (valid segments carry NULL, matching batch compute_metrics)
+        assert all(r["invalid"] is None for r in got_b.collect())
+
+    def test_invalid_rule_matches_batch_at_seg30(self, spark):
+        """P7 parity: the streaming Invalid rule must equal the batch twin
+        (operators.metrics.compute_metrics) on the same frame at a non-60 s
+        segment size — lower bound scales (min_hr*seg/60), the 220 upper
+        bound is FLAT, valid segments are NULL (reference:
+        pipeline/SQA.py:193-196)."""
+        from physioview_spark.operators.metrics import compute_metrics
+        from physioview_spark.streaming import streaming_segment_sqa
+
+        fs, seg = 10.0, 30
+        # 3 x 30 s segments: 10 beats (< lo=20 -> invalid), 150 beats
+        # (>110: the old scaled bound would flag it; flat 220 must NOT),
+        # 30 beats (valid)
+        beat_idx = set()
+        for s0, n in ((0, 10), (300, 150), (600, 30)):
+            beat_idx |= {s0 + int(i * 300 / n) for i in range(n)}
+        rows = [("a", i, 1.0 if i in beat_idx else 0.0, 0.0)
+                for i in range(900)]
+        samples = spark.createDataFrame(
+            rows, "subject_id string, sample_idx long, beat double, "
+                  "artifact double")
+
+        batch = {r["segment"]: r["invalid"]
+                 for r in compute_metrics(samples, fs=fs, seg_size=seg,
+                                          with_ts=False).collect()}
+
+        base = pd.Timestamp("2024-01-01")
+        ts_col = F.to_timestamp(
+            F.lit(str(base))) + F.make_interval(
+                secs=F.col("sample_idx") / F.lit(fs))
+        stream_in = samples.withColumn("ts", ts_col)
+        got = {int((r["segment_start"] - base).total_seconds() // seg) + 1:
+               r["invalid"]
+               for r in streaming_segment_sqa(
+                   stream_in, seg_seconds=seg).collect()}
+
+        assert got == {1: 1, 2: None, 3: None}
+        assert {k: batch[k] for k in got} == got
 
     def test_rolling_sqa_batch_vs_stream(self, spark, beat_parquet):
         from physioview_spark.streaming import streaming_rolling_sqa
