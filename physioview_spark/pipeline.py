@@ -44,9 +44,9 @@ def run_pipeline(
     if (path is None) == (samples is None):
         raise ValueError("exactly one of path/samples required")
     dtype = config.dtype.upper()
+    source = (config.source or "csv").lower()
 
     if samples is None:
-        source = (config.source or "csv").lower()
         if source == "actiwave":
             # §3.3 device one-shot: EDF -> ECG frame (fs from the file)
             from physioview_spark.sources.edf import load_actiwave
@@ -75,6 +75,23 @@ def run_pipeline(
                 spark, path, value_col, header_map=header_map,
                 fs=config.fs)
 
+    # Device sources carry the true rate in the file header/archive; the
+    # frame's fs column overrides config.fs so a 1024 Hz EDF run with the
+    # default 500 Hz config can't silently halve every IBI (reference
+    # reads fs from the device file: physioview/physioview.py Actiwave/
+    # Empatica loaders; config fs parameterizes only the CSV path).
+    fs = float(config.fs)
+    if source in ("actiwave", "e4") and "fs" in samples.columns:
+        rates = sorted(
+            r["fs"] for r in samples.select("fs").distinct().collect()
+        )
+        if len(rates) > 1:
+            raise ValueError(
+                f"mixed sampling rates in one run: {rates}; run per-rate "
+                "or use annotate_cardiac(fs=None) on the combined frame"
+            )
+        fs = float(rates[0])
+
     out: dict[str, DataFrame] = {}
     if dtype in CARDIAC_DTYPES:
         from physioview_spark.functions.spark_kernels import annotate_cardiac
@@ -88,7 +105,7 @@ def run_pipeline(
         if dtype in ("PPG", "BVP") and detector == "manikandan":
             detector = "adaptive_threshold"  # reference PPG default path
         annotated = annotate_cardiac(
-            samples, fs=config.fs, dtype=dtype, value_col=value_col,
+            samples, fs=fs, dtype=dtype, value_col=value_col,
             detector=detector,
             artifact_method=config.artifact_method,
             artifact_tol=config.artifact_tol,
@@ -99,18 +116,18 @@ def run_pipeline(
         if stage_dir is None and cache_annotated:
             annotated = annotated.cache()
         out["samples"] = annotated
-        out["ibi"] = attach_ibis(annotated, fs=config.fs)
+        out["ibi"] = attach_ibis(annotated, fs=fs)
         with_ts = "ts" in annotated.columns
         if config.rolling_window:
             out["metrics"] = compute_metrics_rolling(
-                annotated, fs=config.fs,
+                annotated, fs=fs,
                 rolling_window=config.rolling_window,
                 rolling_step=config.rolling_step,
                 seg_size=config.seg_size, min_hr=config.min_hr,
                 with_ts=with_ts)
         else:
             out["metrics"] = compute_metrics(
-                annotated, fs=config.fs, seg_size=config.seg_size,
+                annotated, fs=fs, seg_size=config.seg_size,
                 min_hr=config.min_hr, with_ts=with_ts)
             out["summary"] = cardiac_summary(out["metrics"])
     elif dtype == "ACC":
@@ -122,7 +139,7 @@ def run_pipeline(
             samples = compute_magnitude(samples)
         out["samples"] = samples
         out["metrics"] = compute_auc(
-            samples, fs=config.fs, seg_size=config.seg_size,
+            samples, fs=fs, seg_size=config.seg_size,
             rolling_window=config.rolling_window,
             rolling_step=config.rolling_step)
     elif dtype == "EDA":
@@ -142,14 +159,14 @@ def run_pipeline(
                 on="sample_idx", value_col="temp", by="subject_id",
                 out_col="temp")
         annotated = annotate_eda(
-            samples, fs=config.fs, scr_amp_min=config.scr_amp_min)
+            samples, fs=fs, scr_amp_min=config.scr_amp_min)
         annotated = _stage(spark, annotated, stage_dir, "annotated")
         if stage_dir is None and cache_annotated:
             annotated = annotated.cache()
         out["samples"] = annotated
         out["metrics"] = compute_eda_metrics(
             annotated.withColumn("eda", F.col("filtered")),
-            fs=config.fs, seg_size=config.eda_seg_size,
+            fs=fs, seg_size=config.eda_seg_size,
             rolling_window=config.rolling_window,
             rolling_step=config.rolling_step,
             eda_min=config.eda_min, eda_max=config.eda_max,

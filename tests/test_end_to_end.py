@@ -360,6 +360,60 @@ class TestConfigDrivenPipeline:
         assert "pct_temp_out_of_range" in em.columns
         assert (em["pct_valid"] > 90).all()
 
+    def test_device_fs_overrides_config(self, spark, tmp_path):
+        """Device-source fs wiring: a 1024 Hz EDF through run_pipeline with
+        the DEFAULT config (fs=500) must yield the same IBIs as a direct
+        fs=1024 run — the file's rate wins over config.fs, so device
+        ingests can't silently produce ~2x-wrong IBIs/HR."""
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.functions.spark_kernels import annotate_cardiac
+        from physioview_spark.operators.ibi import attach_ibis
+        from physioview_spark.pipeline import run_pipeline
+        from physioview_spark.sources import load_actiwave, write_edf_bytes
+
+        fs = 1024
+        sig, _ = synth_ecg(fs=float(fs), seconds=30, seed=3)
+        (tmp_path / "hi.edf").write_bytes(write_edf_bytes(
+            [{"label": "ECG0", "fs": fs, "data": sig * 1000.0, "dim": "uV"}]
+        ))
+
+        # note: config.fs left at its 500.0 default on purpose
+        out = run_pipeline(
+            spark, PipelineConfig(source="actiwave", dtype="ECG",
+                                  seg_size=10),
+            path=str(tmp_path), cache_annotated=False)
+        got = (out["ibi"].where(F.col("ibi_ms").isNotNull())
+               .orderBy("sample_idx").toPandas())
+
+        ann = annotate_cardiac(
+            load_actiwave(spark, str(tmp_path))["ecg"], fs=float(fs),
+            dtype="ECG", value_col="ecg")
+        want = (attach_ibis(ann, fs=float(fs))
+                .where(F.col("ibi_ms").isNotNull())
+                .orderBy("sample_idx").toPandas())
+
+        assert len(got) == len(want) > 10
+        assert np.allclose(got["ibi_ms"].values, want["ibi_ms"].values)
+        # 72 bpm -> ~833 ms; the config-fs bug would have given ~2x this
+        assert 700 < got["ibi_ms"].median() < 1000
+
+    def test_mixed_device_rates_raise(self, spark, tmp_path):
+        """Two EDFs at different rates in one run: refuse loudly instead
+        of annotating half the cohort at the wrong fs."""
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.pipeline import run_pipeline
+        from physioview_spark.sources import write_edf_bytes
+
+        for name, fs in (("a", 256), ("b", 512)):
+            sig, _ = synth_ecg(fs=float(fs), seconds=4, seed=1)
+            (tmp_path / f"{name}.edf").write_bytes(write_edf_bytes(
+                [{"label": "ECG0", "fs": fs, "data": sig * 1000.0,
+                  "dim": "uV"}]))
+        with pytest.raises(ValueError, match="mixed sampling rates"):
+            run_pipeline(
+                spark, PipelineConfig(source="actiwave", dtype="ECG"),
+                path=str(tmp_path), cache_annotated=False)
+
     def test_acc_from_config(self, spark):
         from physioview_spark.config import PipelineConfig
         from physioview_spark.pipeline import run_pipeline
