@@ -180,28 +180,60 @@ def probe_csv_headers(spark: SparkSession, path: str) -> list[str]:
     return [h.strip() for h in first[0]["value"].split(",")]
 
 
+def list_batch_files(spark: SparkSession, path: str | list[str],
+                     suffix: str | None = None) -> list[str]:
+    """Driver-side file enumeration through the Hadoop FileSystem API —
+    one metadata RPC per path/glob, any scheme Spark can read (file, hdfs,
+    s3a, ...). Directories expand one level, matching ``spark.read``."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    uris: list[str] = []
+    for p in ([path] if isinstance(path, str) else list(path)):
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(conf)
+        matched = fs.globStatus(hpath)
+        for st in (list(matched) if matched is not None else []):
+            files = (fs.listStatus(st.getPath())
+                     if st.isDirectory() else [st])
+            uris += [f.getPath().toString() for f in files if f.isFile()]
+    if suffix:
+        uris = [u for u in uris if u.endswith(suffix)]
+    return sorted(set(uris))
+
+
+def read_first_line(spark: SparkSession, uri: str,
+                    max_bytes: int = 65536) -> str:
+    """First line of a file with a BOUNDED read: local files read at most
+    ``max_bytes`` directly; remote schemes go through
+    ``spark.read.text(...).limit(1)``, whose LocalLimit stops the scan at
+    the first block. Never a full-file pass either way."""
+    if uri.startswith("file:"):
+        local = uri[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+        with open(local, "rb") as fh:
+            head = fh.read(max_bytes)
+        return head.split(b"\n", 1)[0].decode("utf-8", "replace").rstrip("\r")
+    rows = spark.read.text(uri).limit(1).collect()
+    return rows[0]["value"] if rows else ""
+
+
 def validate_batch_headers(
     spark: SparkSession, path: str | list[str]
 ) -> tuple[bool, dict[str, list[str]]]:
     """S7 parity: verify header homogeneity across a batch of CSVs
-    (reference: dashboard/callbacks.py:455-462). Distributed: one
-    pass over first lines via text source + input_file_name."""
-    from pyspark.sql import functions as F
+    (reference: dashboard/callbacks.py:455-462).
 
-    firsts = (
-        spark.read.text(path)
-        .withColumn("f", F.input_file_name())
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("f", "value")
-        .collect()
-    )
-    headers = {r["f"]: [h.strip() for h in r["value"].split(",")]
-               for r in firsts}
+    Cost model: one FileSystem metadata listing + one bounded (<=64 KiB)
+    head read per FILE — independent of corpus bytes. The previous
+    implementation scanned and shuffled every row of every CSV to pick
+    line 1 (and its first-row-per-input_file_name ordering was unsound
+    for files split across partitions); at 100 TB that scan, not the
+    validation, would dominate the whole ingest."""
+    headers: dict[str, list[str]] = {}
+    for uri in list_batch_files(spark, path):
+        line = read_first_line(spark, uri)
+        headers[uri] = [h.strip() for h in line.split(",")]
     uniq = {tuple(v) for v in headers.values()}
     return len(uniq) <= 1, headers

@@ -347,6 +347,43 @@ class TestIngestValidation:
         ok, headers = validate_batch_headers(spark, str(tmp_path))
         assert not ok and len(headers) == 4
 
+    def test_header_validation_is_bounded(self, spark, tmp_path,
+                                          monkeypatch):
+        """S8 scale guard: validation cost must be per-FILE, not
+        per-byte — a multi-MB CSV contributes one bounded head read, no
+        full scan, no shuffle (ADVICE r1 #5)."""
+        import builtins
+
+        from physioview_spark.sources import csv as csv_mod
+
+        big = tmp_path / "big.csv"
+        with open(big, "w") as f:
+            f.write("ts,ecg\n")
+            for i in range(400_000):          # ~10 MB of data rows
+                f.write(f"{i},0.123456789012345\n")
+        (tmp_path / "small.csv").write_text("ts,ecg\n1,2\n")
+
+        reads: list[int] = []
+        real_open = builtins.open
+
+        def counting_open(path, *a, **kw):
+            fh = real_open(path, *a, **kw)
+            real_read = fh.read
+
+            def read(n=-1):
+                data = real_read(n)
+                reads.append(len(data))
+                return data
+
+            fh.read = read
+            return fh
+
+        monkeypatch.setattr(csv_mod, "open", counting_open, raising=False)
+        ok, headers = csv_mod.validate_batch_headers(spark, str(tmp_path))
+        assert ok and len(headers) == 2
+        assert reads, "local head reads should go through open()"
+        assert max(reads) <= 65536, f"unbounded read: {max(reads)} bytes"
+
 
 class TestShuffleFreeIngest:
     def test_partitioned_indexing_matches_default(self, spark, tmp_path):
