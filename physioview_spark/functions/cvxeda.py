@@ -1,0 +1,251 @@
+"""cvxEDA decomposition (Greco et al. 2016) as a pure-NumPy sparse QP.
+
+Model parity with the reference ``_cvxEDA`` (reference:
+physioview/pipeline/EDA.py:520-688): the EDA signal is modeled as
+``y = M q + B l + C d + e`` where
+
+- ``M q`` is the phasic component — the sparse nonnegative SMNA driver
+  ``p = A q`` pushed through the Bateman bi-exponential smoother
+  (A/M are the ARMA-discretized Bateman model, 3-tap banded matrices),
+- ``B l`` is the tonic spline (order-1 B-spline bumps every
+  ``delta_knot`` seconds),
+- ``C d`` is a linear drift term,
+
+and the decomposition solves
+
+    min 0.5*||M q + B l + C d - y||^2 + alpha*1'(A q) + 0.5*gamma*||l||^2
+    s.t. A q >= 0.
+
+The reference hands this QP to cvxopt. Here it is solved with ADMM on
+the splitting ``z = A q, z >= 0`` (the alpha*1'p term moves onto z, so
+the z-update is a nonnegative soft shift), with the x-update's SPD
+system solved by Jacobi-preconditioned conjugate gradients. Every
+operator application is a bounded convolution or 3-tap banded stencil —
+O(n log n) worst case, no sparse-matrix library, no sequential
+recurrences — so the kernel vectorizes cleanly inside Arrow batches on
+executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from physioview_spark.dsp import fftconvolve
+
+
+def _bateman_arma(fs: float, tau0: float, tau1: float):
+    """Bilinear-transform ARMA coefficients of the Bateman function
+    (reference: pipeline/EDA.py:603-610)."""
+    delta = 1.0 / fs
+    a1 = 1.0 / min(tau1, tau0)  # a1 > a0
+    a0 = 1.0 / max(tau1, tau0)
+    ar = np.array([
+        (a1 * delta + 2.0) * (a0 * delta + 2.0),
+        2.0 * a1 * a0 * delta ** 2 - 8.0,
+        (a1 * delta - 2.0) * (a0 * delta - 2.0),
+    ]) / ((a1 - a0) * delta ** 2)
+    ma = np.array([1.0, 2.0, 1.0])
+    return ar, ma
+
+
+def _band_apply(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Rows 2..n-1 of the banded model matrix: out[i] = c0*q[i] +
+    c1*q[i-1] + c2*q[i-2]; rows 0,1 are zero (reference builds A/M with
+    row indices starting at 2)."""
+    out = np.zeros_like(q)
+    out[2:] = coef[0] * q[2:] + coef[1] * q[1:-1] + coef[2] * q[:-2]
+    return out
+
+
+def _band_apply_t(coef: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Adjoint of ``_band_apply``."""
+    out = np.zeros_like(v)
+    vv = v[2:]
+    out[2:] += coef[0] * vv
+    out[1:-1] += coef[1] * vv
+    out[:-2] += coef[2] * vv
+    return out
+
+
+def _spline_basis(n: int, dks: int):
+    """Order-1 B-spline bump (triangle convolved with itself, peak 1)
+    and its knot positions (reference: pipeline/EDA.py:612-627)."""
+    dks = max(int(dks), 1)
+    tri = np.r_[np.arange(1.0, dks), np.arange(float(dks), 0.0, -1.0)]
+    spl = np.convolve(tri, tri, "full")
+    spl /= spl.max()
+    knots = np.arange(0, n, dks)
+    return spl, knots
+
+
+def _conv_same(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    if len(x) * len(h) > 1 << 21:
+        return fftconvolve(x, h, mode="same")
+    return np.convolve(x, h, mode="same")
+
+
+class _Model:
+    """Bundles the model operators for one signal length/rate."""
+
+    def __init__(self, n: int, fs: float, tau0: float, tau1: float,
+                 delta_knot: float):
+        self.n = n
+        self.ar, self.ma = _bateman_arma(fs, tau0, tau1)
+        self.spl, self.knots = _spline_basis(n, round(delta_knot * fs))
+        self.n_b = len(self.knots)
+        self.c_lin = np.arange(1.0, n + 1.0) / n  # drift regressor
+
+    # --- banded ARMA blocks -------------------------------------------
+    def A(self, q):
+        return _band_apply(self.ar, q)
+
+    def At(self, v):
+        return _band_apply_t(self.ar, v)
+
+    def M(self, q):
+        return _band_apply(self.ma, q)
+
+    def Mt(self, v):
+        return _band_apply_t(self.ma, v)
+
+    # --- spline block (symmetric bump: correlate == convolve) ---------
+    def B(self, l):
+        imp = np.zeros(self.n)
+        imp[self.knots] = l
+        return _conv_same(imp, self.spl)
+
+    def Bt(self, v):
+        return _conv_same(v, self.spl)[self.knots]
+
+    # --- drift block ---------------------------------------------------
+    def C(self, d):
+        return d[0] + d[1] * self.c_lin
+
+    def Ct(self, v):
+        return np.array([v.sum(), self.c_lin @ v])
+
+
+def _jacobi_diag(m: _Model, rho: float, gamma: float) -> np.ndarray:
+    """Exact diagonal of the x-step normal matrix, for preconditioning."""
+    n = m.n
+    dq = np.zeros(n)
+    for coef, w in ((m.ma, 1.0), (m.ar, rho)):
+        dq[2:] += w * coef[0] ** 2
+        dq[1:-1] += w * coef[1] ** 2
+        dq[:-2] += w * coef[2] ** 2
+    dl = _conv_same(np.ones(n), m.spl ** 2)[m.knots] + gamma
+    dd = np.array([float(n), float(m.c_lin @ m.c_lin)])
+    out = np.concatenate([dq, dl, dd])
+    return np.maximum(out, 1e-12)
+
+
+def _cg(matvec, b, x0, m_inv, tol, max_iter):
+    """Preconditioned conjugate gradients on an SPD operator."""
+    x = x0.copy()
+    r = b - matvec(x)
+    z = m_inv * r
+    p = z.copy()
+    rz = r @ z
+    b_norm = max(np.linalg.norm(b), 1e-30)
+    for _ in range(max_iter):
+        if np.linalg.norm(r) <= tol * b_norm:
+            break
+        hp = matvec(p)
+        denom = p @ hp
+        if denom <= 0:  # numerically exhausted
+            break
+        a = rz / denom
+        x += a * p
+        r -= a * hp
+        z = m_inv * r
+        rz_new = r @ z
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return x
+
+
+def cvxeda_decompose(
+    signal: np.ndarray,
+    fs: float,
+    tau0: float = 2.0,
+    tau1: float = 0.7,
+    delta_knot: float = 10.0,
+    alpha: float = 8e-4,
+    gamma: float = 1e-2,
+    max_iter: int = 120,
+    eps_abs: float = 1e-6,
+    eps_rel: float = 1e-3,
+) -> dict:
+    """Solve the cvxEDA QP; returns the same septet as the reference
+    (phasic r, driver p, tonic t, spline coefs l, drift d, residual e,
+    objective) keyed by name. Defaults mirror reference
+    pipeline/EDA.py:520-533."""
+    y = np.asarray(signal, dtype=float)
+    n = len(y)
+    if n < 8:
+        raise ValueError("cvxEDA needs at least 8 samples")
+    m = _Model(n, fs, tau0, tau1, delta_knot)
+    nb = m.n_b
+
+    def split(x):
+        return x[:n], x[n:n + nb], x[n + nb:]
+
+    def matvec_factory(rho):
+        def matvec(x):
+            q, l, d = split(x)
+            w = m.M(q) + m.B(l) + m.C(d)
+            return np.concatenate([
+                m.Mt(w) + rho * m.At(m.A(q)),
+                m.Bt(w) + gamma * l,
+                m.Ct(w),
+            ])
+        return matvec
+
+    rho = 1.0
+    x = np.zeros(n + nb + 2)
+    z = np.zeros(n)
+    u = np.zeros(n)
+    m_inv = 1.0 / _jacobi_diag(m, rho, gamma)
+    matvec = matvec_factory(rho)
+    bty = np.concatenate([m.Mt(y), m.Bt(y), m.Ct(y)])
+    sqrt_n = np.sqrt(n)
+
+    for it in range(max_iter):
+        rhs = bty.copy()
+        rhs[:n] += rho * m.At(z - u)
+        cg_tol = 1e-10 if it < 2 else 1e-7
+        x = _cg(matvec, rhs, x, m_inv, cg_tol, 400 if it < 2 else 80)
+        q, l, d = split(x)
+        aq = m.A(q)
+        z_old = z
+        z = np.maximum(0.0, aq + u - alpha / rho)
+        u = u + aq - z
+
+        r_prim = np.linalg.norm(aq - z)
+        r_dual = rho * np.linalg.norm(m.At(z - z_old))
+        eps_p = sqrt_n * eps_abs + eps_rel * max(
+            np.linalg.norm(aq), np.linalg.norm(z))
+        eps_d = sqrt_n * eps_abs + eps_rel * rho * np.linalg.norm(m.At(u))
+        if r_prim <= eps_p and r_dual <= eps_d:
+            break
+        # residual balancing keeps the splitting well-scaled despite the
+        # O(1/delta^2) magnitude of the AR coefficients
+        if r_prim > 10.0 * r_dual:
+            rho *= 2.0
+            u /= 2.0
+        elif r_dual > 10.0 * r_prim:
+            rho /= 2.0
+            u *= 2.0
+        else:
+            continue
+        m_inv = 1.0 / _jacobi_diag(m, rho, gamma)
+        matvec = matvec_factory(rho)
+
+    q, l, d = split(x)
+    r = m.M(q)
+    p = m.A(q)
+    t = m.B(l) + m.C(d)
+    e = y - r - t
+    obj = (0.5 * e @ e + alpha * p.sum() + 0.5 * gamma * l @ l)
+    return {"phasic": r, "driver": p, "tonic": t, "l": l, "d": d,
+            "e": e, "obj": float(obj), "iterations": it + 1}

@@ -3,12 +3,13 @@
 - ``detect_scr_peaks``: Bartlett-smoothed derivative, +/- zero-crossing
   pairing, relative (10% of max) + absolute amplitude thresholds
   (reference: pipeline/EDA.py:219-309, Nabian 2018).
-- ``decompose_eda``: the reference solves Greco's cvxEDA sparse QP
-  (reference: pipeline/EDA.py:417-449, 520-688) via cvxopt, which is not
-  available on this engine's executors. When cvxopt is importable it is
-  used; otherwise a documented approximation runs: tonic = low-pass
-  (0.05 Hz) of a running-minimum-opened signal, phasic = residual clipped
-  at zero. The approximation preserves the downstream contract (tonic
+- ``decompose_eda``: Greco's cvxEDA sparse QP (reference:
+  pipeline/EDA.py:417-449, 520-688), solved by the pure-NumPy ADMM+CG
+  port in functions/cvxeda.py — same model (Bateman ARMA + spline tonic
+  + drift, alpha/gamma penalties, A q >= 0), no cvxopt dependency.
+  ``method='fast'`` selects a cheap documented approximation (tonic =
+  low-pass of a running-minimum opening, phasic = clipped residual) for
+  throughput-bound paths that only need the downstream contract (tonic
   slow + smooth, phasic sparse positive bumps at SCRs).
 - ``compute_tonic_scl``: mean EDA excluding SCR rise/recovery intervals
   (reference: pipeline/EDA.py:311-415).
@@ -78,15 +79,20 @@ def _running_min_open(x: np.ndarray, w: int) -> np.ndarray:
     return sliding_max(floor, w)
 
 
-def decompose_eda(eda: np.ndarray, fs: float):
-    """Split EDA into (phasic, tonic). cvxEDA when available, else the
-    documented low-pass/opening approximation."""
+def decompose_eda(eda: np.ndarray, fs: float, method: str = "cvx"):
+    """Split EDA into (phasic, tonic).
+
+    ``method='cvx'`` (default, reference parity): the cvxEDA QP solved by
+    the ADMM+CG port (functions/cvxeda.py; reference:
+    pipeline/EDA.py:417-449, 520-688). ``method='fast'``: the documented
+    low-pass/opening approximation. Signals too short for the QP model
+    fall back to the approximation."""
     x = np.asarray(eda, dtype=float)
-    try:
-        import cvxopt  # noqa: F401
-        raise ImportError  # cvxEDA QP port not yet implemented; use fallback
-    except ImportError:
-        pass
+    if method == "cvx" and len(x) >= 8:
+        from physioview_spark.functions.cvxeda import cvxeda_decompose
+
+        res = cvxeda_decompose(x, fs)
+        return res["phasic"], res["tonic"]
     w = max(int(8 * fs), 3)
     base = _running_min_open(x, w)
     cutoff = min(0.05, 0.45 * fs / 2)

@@ -96,3 +96,62 @@ def test_spark_cardiac_end_to_end(spark):
         assert 9 <= r["n_detected"] <= 14, r
         assert r["n_missing"] <= 2
         assert r["invalid"] is None
+
+
+class TestCvxEda:
+    """cvxEDA QP parity (K17): synthetic Bateman-kernel SCRs with known
+    phasic/tonic ground truth; the ADMM+CG solve must recover both with
+    bounded RMS error (reference _cvxEDA, pipeline/EDA.py:520-688)."""
+
+    @staticmethod
+    def _ground_truth(fs=4.0, seconds=240.0, seed=0):
+        rng = np.random.default_rng(seed)
+        n = int(fs * seconds)
+        t = np.arange(n) / fs
+        tonic = 2.0 + 0.3 * np.sin(2 * np.pi * t / 300.0) + 0.002 * t
+        kern = np.exp(-t / 2.0) - np.exp(-t / 0.7)
+        kern /= kern.max()
+        imp = np.zeros(n)
+        for onset in (30.0, 80.0, 130.0, 132.0, 185.0):
+            imp[int(onset * fs)] = 0.5 + 0.5 * rng.random()
+        phasic = np.convolve(imp, kern)[:n]
+        y = tonic + phasic + 0.005 * rng.standard_normal(n)
+        return y, phasic, tonic
+
+    def test_recovers_bateman_ground_truth(self):
+        from physioview_spark.functions.cvxeda import cvxeda_decompose
+
+        y, phasic_true, tonic_true = self._ground_truth()
+        res = cvxeda_decompose(y, fs=4.0)
+
+        rms_t = np.sqrt(np.mean((res["tonic"] - tonic_true) ** 2))
+        rms_p = np.sqrt(np.mean((res["phasic"] - phasic_true) ** 2))
+        assert rms_t < 0.05, f"tonic RMS {rms_t}"      # signal scale ~2-3
+        assert rms_p < 0.05, f"phasic RMS {rms_p}"
+        assert np.corrcoef(res["phasic"], phasic_true)[0, 1] > 0.99
+        # SMNA driver: nonnegative (ADMM tolerance) and sparse
+        assert res["driver"].min() > -1e-2
+        assert (np.abs(res["driver"]) > 1e-3).mean() < 0.2
+        # model consistency: y = phasic + tonic + residual, residual small
+        assert np.sqrt(np.mean(res["e"] ** 2)) < 0.02
+
+    def test_qp_beats_fast_approximation(self):
+        """The QP must be measurably closer to ground truth than the
+        'fast' opening/low-pass approximation it replaced."""
+        from physioview_spark.functions.kernels_eda import decompose_eda
+
+        y, phasic_true, tonic_true = self._ground_truth(seed=3)
+        ph_cvx, to_cvx = decompose_eda(y, 4.0)            # default = cvx
+        ph_fast, to_fast = decompose_eda(y, 4.0, method="fast")
+
+        def rms(a, b):
+            return np.sqrt(np.mean((a - b) ** 2))
+
+        assert rms(to_cvx, tonic_true) < 0.5 * rms(to_fast, tonic_true)
+        assert rms(ph_cvx, phasic_true) < 0.5 * rms(ph_fast, phasic_true)
+
+    def test_short_signal_falls_back(self):
+        from physioview_spark.functions.kernels_eda import decompose_eda
+
+        ph, to = decompose_eda(np.array([1.0, 1.1, 1.2]), 4.0)
+        assert len(ph) == len(to) == 3
