@@ -48,10 +48,27 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold (exact, via
-    |A∩B| / (|A|+|B|-|A∩B|) from a shingle self-join)."""
+    |A∩B| / (|A|+|B|-|A∩B|) from a shingle self-join).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents BEFORE the self-join (standard stopword-shingle pruning):
+    a shingle with document frequency f fans out into f*(f-1)/2 candidate
+    rows, so one hot shingle ("the quick" in every doc) turns the join
+    quadratic at corpus scale. Jaccard is then computed consistently over
+    the pruned shingle space (sizes and intersections both exclude hot
+    shingles)."""
     sh = shingle_frame(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -88,11 +88,13 @@ def hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
     return (dot >= 0).cast("int")
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """Bucket id = concatenated hyperplane sign bits."""
+def lsh_bucket(vec: Column, n_planes: int, dim: int, band: int = 0) -> Column:
+    """Bucket id = concatenated hyperplane sign bits. ``band`` selects an
+    independent plane set (plane ids band*n_planes..band*n_planes+n-1) so
+    callers can OR several bands for recall."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = bucket * 2 + hyperplane_sign(vec, p, dim)
+        bucket = bucket * 2 + hyperplane_sign(vec, band * n_planes + p, dim)
     return bucket
 
 
@@ -140,29 +142,54 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     n_planes: int = 4,
     dim: int = 64,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine >= threshold), LSH-bucketed so
-    only same-bucket pairs are compared."""
-    v = df.select(id_col, vec_col).withColumn(
-        "bucket", lsh_bucket(F.col(vec_col), n_planes, dim)
-    )
-    a, b = v.alias("a"), v.alias("b")
-    return (
+    """Near-duplicate vector pairs (cosine >= threshold), multi-band LSH:
+    each vector hashes into ``n_bands`` INDEPENDENT plane-set buckets and
+    candidates are pairs sharing ANY band's bucket (classic OR-of-ANDs).
+
+    One band of p planes misses a pair at angle theta with probability
+    1-(1-theta/pi)^p; OR-ing b bands drives the miss rate to that to the
+    b-th power while the join stays an equi-join on (band, bucket) — the
+    same sub-quadratic cost shape, recall restored. Candidates are
+    deduplicated on (id_a, id_b) BEFORE the exact cosine re-rank so a
+    pair sharing several bands is scored once."""
+    v = df.select(id_col, vec_col)
+    banded = v.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    lsh_bucket(F.col(vec_col), n_planes, dim, band=bnd)
+                    .alias("bucket"),
+                )
+                for bnd in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn(
-            "sim",
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
-        )
-        .where(F.col("sim") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "sim",
         )
+        .distinct()
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )
 
 

@@ -2,7 +2,29 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# Pinned parquet results for queries whose semantics are not
+# SQL-expressible but whose inputs are fully deterministic and
+# sf-independent (synthetic kernel signals, fake multimodal codecs).
+# Regenerate intentionally with tools/make_fixture_oracles.py after a
+# kernel behavior change; the oracle then guards against silent
+# regressions the same way the SQL twins do.
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "oracle",
+)
+
+
+def fixture_oracle(name: str) -> str | None:
+    """DuckDB SQL reading the pinned fixture for ``name``, or None when no
+    fixture has been generated (the query then stays rows-only)."""
+    d = os.path.join(FIXTURE_DIR, name)
+    if not os.path.isdir(d):
+        return None
+    return f"SELECT * FROM read_parquet('{d}/*.parquet')"
 
 
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -2,9 +2,12 @@
 
 These exercise the applyInPandas kernel pipeline (filters K1-K9, detectors
 K10-K15, artifact kernels Q1-Q3, EDA K16-K18) end-to-end on deterministic
-synthetic signals. No DuckDB oracle exists for them (SciPy-class kernels);
-the driver records rows-only checks, and tests/test_detectors.py holds the
-golden recall/precision assertions against ground truth.
+synthetic signals. A SQL twin cannot recompute SciPy-class kernels, so
+each query is hash-gated against a pinned parquet FIXTURE oracle
+(tests/fixtures/oracle/<name>, regenerated intentionally via
+tools/make_fixture_oracles.py) — every input here is seeded and
+sf-independent, so the pinned result is exact. tests/test_detectors.py
+holds the golden recall/precision assertions against ground truth.
 """
 
 from __future__ import annotations
@@ -13,6 +16,8 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from physioview_spark.plans.common import fixture_oracle
+
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
@@ -20,6 +25,9 @@ ORACLE: dict[str, str] = {}
 def q(name: str):
     def deco(fn):
         QUERIES[name] = fn
+        fx = fixture_oracle(name)
+        if fx is not None:
+            ORACLE[name] = fx
         return fn
     return deco
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from physioview_spark.llm import dedup, similarity, text
-from physioview_spark.plans.common import read
+from physioview_spark.plans.common import fixture_oracle, read
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -21,8 +21,14 @@ ORACLE: dict[str, str] = {}
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
+        if oracle is None:
+            # deterministic sf-independent queries (multimodal fake
+            # codecs) are hash-gated by a pinned parquet fixture instead
+            oracle_ = fixture_oracle(name)
+        else:
+            oracle_ = oracle
+        if oracle_ is not None:
+            ORACLE[name] = oracle_
         return fn
     return deco
 
@@ -125,8 +131,12 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
   WHERE doc_id < 50
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, UNNEST(t) AS shingle FROM toks
+), kept AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 20
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
@@ -145,9 +155,11 @@ WHERE CAST(n_common AS DOUBLE) / NULLIF(sa.n_sh + sb.n_sh - n_common, 0)
 """)
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact unigram-Jaccard near-dup pairs on a doc_id<50 slice (the
-    verifier for the LSH candidate path)."""
+    verifier for the LSH candidate path), with the hot-shingle guard
+    (df > 20 of 50 docs pruned before the self-join) that keeps the
+    candidate fan-out sub-quadratic on stopword-heavy corpora."""
     docs = read(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    return dedup.jaccard_pairs(docs, k=1, threshold=0.5)
+    return dedup.jaccard_pairs(docs, k=1, threshold=0.5, max_doc_freq=20)
 
 
 @q("embedding_cosine_topk", """
@@ -300,24 +312,97 @@ def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(docs, k=3, num_hashes=8, band_size=2)
 
 
-@q("embedding_ann_lsh")
+@q("embedding_ann_lsh", """
+WITH planes AS (
+  SELECT pp.p AS p, ii.i AS i,
+    (SELECT SUM((strpos('0123456789abcdef',
+                        substring(md5('h' || CAST(pp.p AS VARCHAR) || '|'
+                                  || CAST(ii.i AS VARCHAR)), j.j, 1)) - 1)
+                * (1::BIGINT << ((8 - j.j) * 4)))
+     FROM UNNEST(generate_series(1, 8)) AS j(j)) / 4294967296.0 - 0.5 AS comp
+  FROM UNNEST(generate_series(0, 3)) AS pp(p),
+       UNNEST(generate_series(0, 63)) AS ii(i)
+), pvec AS (
+  SELECT p, list(comp ORDER BY i) AS h FROM planes GROUP BY p
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
+                       THEN (1::BIGINT << (3 - p.p)) ELSE 0 END)
+              AS INT) AS bucket
+  FROM embeddings e, pvec p
+  GROUP BY e.vec_id, e.embedding
+), q AS (
+  SELECT vec_id, embedding, bucket FROM bucketed WHERE vec_id < 10
+), scored AS (
+  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS match_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS sim
+  FROM bucketed c JOIN q ON c.bucket = q.bucket AND q.vec_id != c.vec_id
+)
+SELECT query_id, bucket, match_id, sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, match_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+""")
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (deterministic md5 hyperplanes): bucketed
-    candidates, exact re-rank; recall vs brute force asserted in tests."""
+    candidates, exact re-rank. The md5-derived hyperplanes reproduce
+    bit-for-bit in any engine, so the oracle recomputes the exact bucket
+    ids and re-rank in SQL; recall vs brute force asserted in tests."""
     emb = read(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=4, dim=64
     )
 
 
-@q("embedding_ann_ivf")
+@q("embedding_ann_ivf", """
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding
+  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+), dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, cid AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn FROM dists)
+  WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+        FROM dists WHERE vec_id < 10)
+  WHERE rn <= 3
+), scored AS (
+  SELECT p.query_id, c.vec_id AS match_id,
+         ROUND(list_cosine_similarity(p.qv::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS sim
+  FROM assigned c JOIN probes p
+    ON c.bucket = p.bucket AND p.query_id != c.vec_id
+)
+SELECT query_id, match_id, sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, match_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+""")
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (pyspark.ml), corpus bucketed by
-    nearest centroid (pure JVM argmin expressions), queries probe their
-    n_probe closest buckets and re-rank exactly — the tunable-recall scale
-    path next to LSH. Recall vs brute force asserted in tests."""
+    """IVF ANN: corpus bucketed by nearest centroid (pure JVM argmin
+    expressions), queries probe their n_probe closest buckets and re-rank
+    exactly — the tunable-recall scale path next to LSH.
+
+    This driver-checked variant anchors the coarse quantizer on a
+    deterministic seed-vector codebook (embeddings of the 8 lowest even
+    vec_ids) so the oracle can rebuild the identical index in SQL; the
+    k-means-trained codebook path (train_ivf_centroids, pyspark.ml) runs
+    the same ivf_topk mechanics and holds its recall bound in pytest."""
     emb = read(spark, sf_dir, "embeddings")
-    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    cents_rows = (
+        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") < 10), emb, cents, k=5, n_probe=3
     )
@@ -361,17 +446,52 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(imgs).orderBy("doc_id")
 
 
-@q("embedding_near_dup_pairs")
+@q("embedding_near_dup_pairs", """
+WITH planes AS (
+  SELECT pp.p AS p, ii.i AS i,
+    (SELECT SUM((strpos('0123456789abcdef',
+                        substring(md5('h' || CAST(pp.p AS VARCHAR) || '|'
+                                  || CAST(ii.i AS VARCHAR)), j.j, 1)) - 1)
+                * (1::BIGINT << ((8 - j.j) * 4)))
+     FROM UNNEST(generate_series(1, 8)) AS j(j)) / 4294967296.0 - 0.5 AS comp
+  FROM UNNEST(generate_series(0, 11)) AS pp(p),
+       UNNEST(generate_series(0, 63)) AS ii(i)
+), pvec AS (
+  SELECT p, list(comp ORDER BY i) AS h FROM planes GROUP BY p
+), signs AS (
+  SELECT e.vec_id, p.p AS p,
+         CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
+              THEN 1 ELSE 0 END AS s
+  FROM embeddings e, pvec p
+), banded AS (
+  SELECT vec_id, CAST(p // 3 AS INT) AS band,
+         CAST(SUM(s * (1 << (2 - (p % 3)))) AS INT) AS bucket
+  FROM signs GROUP BY vec_id, band
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT id_a, id_b,
+         ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+) WHERE sim >= 0.35
+""")
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.9) with LSH
-    bucketing so only same-bucket pairs are compared — the embedding leg
-    of the dedup suite (rows-only: bucketing is hash-approximate;
-    same-bucket recall asserted against brute force in tests)."""
+    """Embedding-cosine near-duplicate pairs with multi-band LSH (4 bands
+    x 3 planes, OR-of-ANDs) so only same-bucket pairs are compared — the
+    embedding leg of the dedup suite. Deterministic md5 hyperplanes make
+    the banded candidate set and re-rank exactly SQL-reproducible; recall
+    vs brute force is asserted in tests."""
     emb = read(spark, sf_dir, "embeddings")
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51) — 0.35 marks the top ~0.1% of pairs as "near-dups"
     return similarity.embedding_near_dups(
-        emb, threshold=0.35, n_planes=3, dim=64
+        emb, threshold=0.35, n_planes=3, dim=64, n_bands=4
     ).orderBy("id_a", "id_b")
 
 

@@ -43,6 +43,29 @@ def test_jaccard_and_lsh_candidates_agree(spark, docs):
     assert (0, 1) in cand_pairs
 
 
+def test_jaccard_hot_shingle_guard(spark, docs):
+    """df-capped shingle pruning: on the fixture corpus (no shingle hits
+    the cap) results are identical; on a stopword-heavy corpus the shared
+    hot token no longer drives O(n^2) candidate pairs."""
+    base = {(r["id_a"], r["id_b"], r["n_common"], r["jaccard"])
+            for r in dedup.jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"], r["n_common"], r["jaccard"])
+              for r in dedup.jaccard_pairs(
+                  docs, k=3, threshold=0.5, max_doc_freq=7).collect()}
+    assert capped == base  # cap above every fixture df -> unchanged
+
+    # 40 otherwise-disjoint docs all containing "the": uncapped unigram
+    # join yields C(40,2) candidate pairs through that one token
+    stopworded = spark.createDataFrame(
+        [(i, f"the unique{i} token{i} word{i}") for i in range(40)],
+        "doc_id long, text string")
+    uncapped = dedup.jaccard_pairs(stopworded, k=1, threshold=0.0)
+    guarded = dedup.jaccard_pairs(stopworded, k=1, threshold=0.0,
+                                  max_doc_freq=10)
+    assert uncapped.count() == 40 * 39 // 2
+    assert guarded.count() == 0
+
+
 def test_simhash_identity_and_distance(spark, docs):
     sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert sig[0] == sig[3]
@@ -117,6 +140,33 @@ def test_embedding_near_dups(spark, vectors):
         vectors, threshold=0.99, n_planes=2, dim=16
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(3, 7)}
+
+
+def test_embedding_near_dups_multiband_recall(spark):
+    """OR-of-bands recall: >=0.95 of the brute-force near-dup pairs must
+    survive the banded candidate join (single-band at these plane counts
+    demonstrably loses pairs; multi-band recovers them)."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 16).astype(np.float32)
+    # plant 12 near-dup pairs of varying closeness (cos ~0.9..0.999)
+    for j in range(12):
+        noise = (0.05 + 0.03 * j / 12) * rng.randn(16).astype(np.float32)
+        base[40 + j] = base[j] + noise
+    rows = [(i, [float(v) for v in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {(i, j) for i in range(60) for j in range(i + 1, 60)
+            if round(float(sims[i, j]), 6) >= 0.9}
+    assert len(want) >= 10  # the planted pairs are in play
+
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_near_dups(
+               df, threshold=0.9, n_planes=4, dim=16, n_bands=6).collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.95, f"recall {recall}: {want - got}"
+    assert got <= want  # exact re-rank: no false positives
 
 
 def test_multimodal_decode_plumbing(spark):

@@ -1,0 +1,68 @@
+"""(Re)generate pinned parquet fixture oracles.
+
+Runs each listed query on a vanilla Spark session (same defaults the
+driver uses) and writes its result to tests/fixtures/oracle/<name>/ as a
+single parquet file. The driver's correctness gate then compares the
+live query against the pinned result via DuckDB read_parquet — a hash
+gate for kernels whose semantics have no SQL twin.
+
+Only queries whose inputs are fully deterministic AND independent of the
+sf_dir tables belong here (synthetic seeded signals, fake codecs);
+regenerate intentionally after a deliberate kernel behavior change:
+
+    python tools/make_fixture_oracles.py [name ...]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+sys.path.insert(0, ".")
+
+FIXTURE_QUERIES = [
+    "kernel_cardiac_sqa_ecg",
+    "kernel_cardiac_rolling_ppg",
+    "kernel_eda_scr",
+    "kernel_seconds_hr",
+    "kernel_beat_correction",
+    "kernel_hrv_features",
+    "kernel_eda_quality_metrics",
+    "kernel_acc_auc",
+    "e4_ingest_aligned",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "multimodal_image_features",
+]
+
+
+def main():
+    import os
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+    from physioview_spark.plans.common import FIXTURE_DIR
+
+    only = set(sys.argv[1:]) or set(FIXTURE_QUERIES)
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("make-fixtures").getOrCreate())
+    qs = e.queries()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    for name in FIXTURE_QUERIES:
+        if name not in only:
+            continue
+        out = os.path.join(FIXTURE_DIR, name)
+        shutil.rmtree(out, ignore_errors=True)
+        df = qs[name](spark, sf_dir)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        # drop Spark's bookkeeping files; keep only the data file
+        for f in os.listdir(out):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(out, f))
+        n = spark.read.parquet(out).count()
+        print(f"pinned {name}: {n} rows -> {out}")
+
+
+if __name__ == "__main__":
+    main()
