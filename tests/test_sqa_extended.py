@@ -57,6 +57,39 @@ class TestHRV:
         assert abs(f["rmssd"] - np.sqrt(np.mean(diff ** 2))) < 1e-9
         assert f["nni_20"] == np.sum(np.abs(diff) > 20)
 
+    def test_time_domain_parity_literals(self):
+        """A11 parity bound vs the flirt/hrv-analysis feature definitions
+        (reference physioview/physioview.py:1022-1089 delegates to
+        flirt.get_hrv_features; flirt follows the hrv-analysis time-domain
+        conventions: sample std ddof=1, strict > thresholds for nni_50/20,
+        cvsd = rmssd/mean, HR stats over 60000/nn). Expected values below
+        were derived OUTSIDE the kernel with exact rational arithmetic
+        (fractions.Fraction), so this pins the engine to the published
+        definitions rather than to its own numpy implementation."""
+        nn = np.array([800.0, 810, 790, 805, 795, 820, 780])
+        f = hrv_features(nn, domains=("td",))
+        expected = {
+            "num_ibis": 7.0,
+            "mean_nni": 800.0,
+            "median_nni": 800.0,
+            "range_nni": 40.0,
+            "sdnn": 13.228756555322953,
+            "rmssd": 22.54624876411447,
+            "sdsd": 24.426761280748348,
+            "nni_50": 0.0,
+            "pnni_50": 0.0,
+            "nni_20": 2.0,
+            "pnni_20": 28.57142857142857,
+            "cvsd": 0.02818281095514309,
+            "cvnni": 0.01653594569415369,
+            "mean_hr": 75.01758705670949,
+            "min_hr": 73.17073170731707,
+            "max_hr": 76.92307692307692,
+            "std_hr": 1.2409958046356209,
+        }
+        for k, v in expected.items():
+            assert f[k] == pytest.approx(v, rel=1e-12), k
+
     def test_frequency_domain_detects_hf_modulation(self):
         # IBI series modulated at 0.25 Hz (respiratory band) -> HF dominant
         t = np.arange(0, 300, 0.8)
@@ -65,11 +98,61 @@ class TestHRV:
         assert f["hf"] > f["lf"]
         assert abs(f["hf_peak"] - 0.25) < 0.05
 
+    def test_frequency_domain_parity_analytic(self):
+        """fd parity bound against closed-form sinusoid band powers.
+
+        A sinusoidal NN modulation of amplitude A contributes A^2/2 ms^2
+        of band power (Parseval). The flirt/hrv-analysis convention —
+        linear interpolation onto a 4 Hz grid, Welch/Hann PSD — attenuates
+        high-band power (linear interp of a 0.25 Hz tone sampled at
+        ~1.25 Hz): tolerated deltas are -30%..+10% for HF at 0.25 Hz and
+        -15%..+10% for LF at 0.1 Hz; peak locations are exact to the
+        Welch bin width. Total out-of-band leakage must stay <2%."""
+        t = np.arange(0, 300, 0.8)
+        nn = (800.0
+              + 30.0 * np.sin(2 * np.pi * 0.10 * t)
+              + 50.0 * np.sin(2 * np.pi * 0.25 * t))
+        f = hrv_features(nn, domains=("fd",))
+        lf_true, hf_true = 30.0 ** 2 / 2, 50.0 ** 2 / 2
+        assert 0.85 * lf_true <= f["lf"] <= 1.10 * lf_true
+        assert 0.70 * hf_true <= f["hf"] <= 1.10 * hf_true
+        assert abs(f["lf_peak"] - 0.10) < 0.02
+        assert abs(f["hf_peak"] - 0.25) < 0.02
+        assert f["vlf"] < 0.02 * (lf_true + hf_true)
+        # normalized powers follow from the band powers
+        assert f["lfnu"] == pytest.approx(
+            f["lf"] / (f["lf"] + f["hf"]) * 100.0, rel=1e-12)
+        assert f["hfnu"] == pytest.approx(100.0 - f["lfnu"], rel=1e-9)
+
     def test_poincare(self):
         nn = np.array([800.0, 850, 800, 850, 800, 850])
         f = hrv_features(nn, domains=("nl",))
         diff = np.diff(nn)
         assert abs(f["sd1"] - np.sqrt(np.var(diff, ddof=1) / 2)) < 1e-9
+
+    def test_poincare_parity_closed_form(self):
+        """nl parity: for a pure alternating rhythm a+d, a-d, ... the
+        Poincare cloud is two points mirrored across the identity line:
+        sd1 (spread perpendicular to identity) = |2d|/sqrt(2) * sqrt(n'/
+        (n'-1)) sample-corrected, and sd2^2 = 2*sdnn^2 - sd1^2 (Brennan
+        2001 identity used by flirt/hrv-analysis). Literals derived by
+        hand for d=25, 6 beats."""
+        nn = np.array([800.0, 850, 800, 850, 800, 850])
+        f = hrv_features(nn, domains=("nl",))
+        # diff = [50,-50,50,-50,50], mean 10; var(ddof=1) = 12000/4 = 3000
+        assert f["sd1"] == pytest.approx(np.sqrt(3000.0 / 2.0), rel=1e-12)
+        # sdnn^2 = var(nn, ddof=1) = 750; sd2^2 = 2*750 - 1500 = 0:
+        # degenerate alternation has no along-identity spread (up to
+        # float rounding the Brennan identity cancels exactly)
+        assert np.isnan(f["sd2"]) or f["sd2"] < 1e-3
+        # a non-degenerate series: sd2 from the Brennan identity
+        nn2 = np.array([800.0, 810, 790, 805, 795, 820, 780])
+        f2 = hrv_features(nn2, domains=("nl",))
+        sd1 = np.sqrt(596.6666666666666 / 2.0)  # var(diff, ddof=1)/2
+        sd2 = np.sqrt(2 * 175.0 - sd1 ** 2)     # 2*sdnn^2 - sd1^2
+        assert f2["sd1"] == pytest.approx(sd1, rel=1e-12)
+        assert f2["sd2"] == pytest.approx(sd2, rel=1e-12)
+        assert f2["ellipse_area"] == pytest.approx(np.pi * sd1 * sd2, rel=1e-12)
 
 
 class TestEDAMetrics:
