@@ -79,9 +79,17 @@ def _spline_basis(n: int, dks: int):
 
 
 def _conv_same(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """'same'-mode convolution that ALWAYS returns len(x) samples.
+
+    np.convolve(mode='same') returns max(len(x), len(h)) values, so a
+    signal shorter than the kernel (any EDA segment under ~4*delta_knot
+    seconds vs the spline bump) would come back kernel-sized and break
+    the model's shapes. Slice the full convolution explicitly instead.
+    """
     if len(x) * len(h) > 1 << 21:
         return fftconvolve(x, h, mode="same")
-    return np.convolve(x, h, mode="same")
+    start = (len(h) - 1) // 2
+    return np.convolve(x, h, mode="full")[start:start + len(x)]
 
 
 class _Model:

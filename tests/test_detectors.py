@@ -155,3 +155,21 @@ class TestCvxEda:
 
         ph, to = decompose_eda(np.array([1.0, 1.1, 1.2]), 4.0)
         assert len(ph) == len(to) == 3
+
+    def test_signals_shorter_than_spline_bump(self):
+        """Signals shorter than the 4*delta_knot*fs-3 spline kernel must
+        still decompose to len(n) outputs (regression: np.convolve
+        mode='same' returns kernel-length when len(h) > len(x), which
+        crashed the QP for any EDA segment under ~40 s at fs=4)."""
+        from physioview_spark.functions.cvxeda import cvxeda_decompose
+        from physioview_spark.functions.kernels_eda import decompose_eda
+
+        rng = np.random.default_rng(11)
+        for n in (8, 20, 80, 156, 157):
+            y = 2.0 + 0.05 * rng.standard_normal(n)
+            res = cvxeda_decompose(y, fs=4.0)
+            assert len(res["phasic"]) == n and len(res["tonic"]) == n
+            assert np.isfinite(res["phasic"]).all()
+            assert np.isfinite(res["tonic"]).all()
+            ph, to = decompose_eda(y, 4.0)  # default cvx path
+            assert len(ph) == n and len(to) == n
