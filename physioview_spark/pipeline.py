@@ -75,22 +75,43 @@ def run_pipeline(
                 spark, path, value_col, header_map=header_map,
                 fs=config.fs)
 
-    # Device sources carry the true rate in the file header/archive; the
-    # frame's fs column overrides config.fs so a 1024 Hz EDF run with the
-    # default 500 Hz config can't silently halve every IBI (reference
-    # reads fs from the device file: physioview/physioview.py Actiwave/
-    # Empatica loaders; config fs parameterizes only the CSV path).
+    # Device sources carry the true rate in the file header/archive; it
+    # overrides config.fs so a 1024 Hz EDF run with the default 500 Hz
+    # config can't silently halve every IBI (reference reads fs from the
+    # device file: physioview/physioview.py Actiwave/Empatica loaders;
+    # config fs parameterizes only the CSV path). When we loaded from
+    # ``path`` the rate comes from bounded driver-side HEADER reads —
+    # never a Spark job, never a second decode of the corpus; the eager
+    # distinct() probe remains only for caller-supplied device frames
+    # whose files we never saw.
     fs = float(config.fs)
-    if source in ("actiwave", "e4") and "fs" in samples.columns:
-        rates = sorted(
-            r["fs"] for r in samples.select("fs").distinct().collect()
-        )
+    if source in ("actiwave", "e4"):
+        if path is not None:
+            if source == "actiwave":
+                from physioview_spark.sources.edf import probe_actiwave_fs
+
+                probed = probe_actiwave_fs(spark, path, label="ECG")
+            else:
+                from physioview_spark.sources.empatica import (
+                    probe_empatica_fs,
+                )
+
+                stream = "bvp" if dtype in CARDIAC_DTYPES else "eda"
+                probed = probe_empatica_fs(spark, path, stream=stream)
+            rates = sorted(set(probed.values()))
+        elif "fs" in samples.columns:
+            rates = sorted(
+                r["fs"] for r in samples.select("fs").distinct().collect()
+            )
+        else:
+            rates = []
         if len(rates) > 1:
             raise ValueError(
                 f"mixed sampling rates in one run: {rates}; run per-rate "
                 "or use annotate_cardiac(fs=None) on the combined frame"
             )
-        fs = float(rates[0])
+        if rates:
+            fs = float(rates[0])
 
     out: dict[str, DataFrame] = {}
     if dtype in CARDIAC_DTYPES:

@@ -6,10 +6,11 @@ from physioview_spark.sources.csv import (
     infer_unix_unit, load_signal_csv, write_stage,
 )
 from physioview_spark.sources.edf import (
-    get_channel_fs, load_actiwave, read_edf_bytes, write_edf_bytes,
+    get_channel_fs, load_actiwave, parse_edf_header, probe_actiwave_fs,
+    read_edf_bytes, write_edf_bytes,
 )
 from physioview_spark.sources.empatica import (
-    align_hrv, load_empatica, write_e4_zip,
+    align_hrv, load_empatica, probe_empatica_fs, write_e4_zip,
 )
 from physioview_spark.sources.beat_editor import (
     EDIT_SCHEMA, process_beat_edits, read_beat_edits,
@@ -18,8 +19,9 @@ from physioview_spark.sources.beat_editor import (
 
 __all__ = [
     "infer_unix_unit", "load_signal_csv", "write_stage",
-    "get_channel_fs", "load_actiwave", "read_edf_bytes", "write_edf_bytes",
-    "align_hrv", "load_empatica", "write_e4_zip",
+    "get_channel_fs", "load_actiwave", "parse_edf_header",
+    "probe_actiwave_fs", "read_edf_bytes", "write_edf_bytes",
+    "align_hrv", "load_empatica", "probe_empatica_fs", "write_e4_zip",
     "EDIT_SCHEMA", "process_beat_edits", "read_beat_edits",
     "write_beat_editor_json",
 ]

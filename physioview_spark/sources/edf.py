@@ -20,8 +20,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_edf_bytes(payload: bytes):
-    """Decode an EDF file: returns (header dict, list of signal dicts)."""
+def parse_edf_header(payload: bytes):
+    """Parse the ASCII header only (first ``256 + 256*ns`` bytes):
+    returns (header dict, list of per-signal metadata dicts with
+    label/dim/fs/spr and the physical/digital ranges). Needs no signal
+    data, so a bounded head read of a few KiB suffices — the basis of
+    the driver-side fs probe."""
     f = io.BytesIO(payload)
 
     def ascii_field(n):
@@ -51,7 +55,27 @@ def read_edf_bytes(payload: bytes):
     spr = [int(ascii_field(8)) for _ in range(ns)]
     _ = [ascii_field(32) for _ in range(ns)]
 
-    data = np.frombuffer(f.read(), dtype="<i2")
+    sig_meta = [
+        {
+            "label": labels[i],
+            "dim": phys_dim[i],
+            "fs": spr[i] / header["record_duration"],
+            "spr": spr[i],
+            "phys_min": phys_min[i],
+            "phys_max": phys_max[i],
+            "dig_min": dig_min[i],
+            "dig_max": dig_max[i],
+        }
+        for i in range(ns)
+    ]
+    return header, sig_meta
+
+
+def read_edf_bytes(payload: bytes):
+    """Decode an EDF file: returns (header dict, list of signal dicts)."""
+    header, sig_meta = parse_edf_header(payload)
+    data = np.frombuffer(payload[header["header_bytes"]:], dtype="<i2")
+    spr = [m["spr"] for m in sig_meta]
     rec_len = sum(spr)
     n_rec = header["n_records"]
     if n_rec < 0:  # unknown length: infer
@@ -60,15 +84,16 @@ def read_edf_bytes(payload: bytes):
 
     signals = []
     offset = 0
-    for i in range(ns):
-        dig = data[:, offset: offset + spr[i]].reshape(-1).astype(np.float64)
-        offset += spr[i]
-        scale = (phys_max[i] - phys_min[i]) / (dig_max[i] - dig_min[i])
-        phys = phys_min[i] + (dig - dig_min[i]) * scale
+    for m in sig_meta:
+        dig = data[:, offset: offset + m["spr"]].reshape(-1).astype(np.float64)
+        offset += m["spr"]
+        scale = ((m["phys_max"] - m["phys_min"])
+                 / (m["dig_max"] - m["dig_min"]))
+        phys = m["phys_min"] + (dig - m["dig_min"]) * scale
         signals.append({
-            "label": labels[i],
-            "dim": phys_dim[i],
-            "fs": spr[i] / header["record_duration"],
+            "label": m["label"],
+            "dim": m["dim"],
+            "fs": m["fs"],
             "data": phys,
         })
     return header, signals
@@ -243,9 +268,41 @@ def load_actiwave(
 
 def get_channel_fs(payload: bytes, label_substring: str) -> float | None:
     """S2 metadata probe: per-channel sampling rate without a full decode
-    (header-only read)."""
-    _, signals = read_edf_bytes(payload)
-    for s in signals:
+    (header-only parse)."""
+    _, sig_meta = parse_edf_header(payload)
+    for s in sig_meta:
         if label_substring.upper() in s["label"].upper():
             return s["fs"]
     return None
+
+
+def probe_actiwave_fs(
+    spark: SparkSession, path: str, label: str = "ECG",
+) -> dict[str, float]:
+    """Per-file sampling rate of the ``label`` channel via bounded
+    driver-side header reads — NO Spark job, NO data decode.
+
+    Cost: one listing RPC + two head reads per file (256 B for the
+    signal count, then the 256+256*ns-byte header). This is how
+    ``run_pipeline`` learns fs for device sources; the previous
+    ``distinct().collect()`` over the decoded frame ran the full
+    binaryFile+mapInPandas decode of every EDF just to read this one
+    header field — 2x ingest cost at scale."""
+    from physioview_spark.sources import fsio
+
+    rates: dict[str, float] = {}
+    for uri in fsio.list_files(spark, path):
+        fixed = fsio.read_head(spark, uri, 256)
+        if len(fixed) < 256:
+            continue
+        try:
+            ns = int(fixed[252:256].decode("ascii").strip())
+        except ValueError:
+            continue
+        _, sig_meta = parse_edf_header(
+            fsio.read_head(spark, uri, 256 + 256 * ns))
+        for s in sig_meta:
+            if label.upper() in s["label"].upper():
+                rates[uri] = s["fs"]
+                break
+    return rates

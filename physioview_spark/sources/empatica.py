@@ -156,6 +156,43 @@ def load_empatica(spark: SparkSession, path: str,
     return out
 
 
+def probe_empatica_fs(
+    spark: SparkSession, path: str, stream: str = "bvp",
+) -> dict[str, float]:
+    """Per-archive sampling rate of one E4 stream via bounded driver-side
+    reads — NO Spark job, NO archive download.
+
+    The fs sits on line 1 of the member CSV, so the probe opens each ZIP
+    through a seekable bounded reader (fsio.open_seekable): zipfile
+    fetches only the central directory (tail) plus the first ~512
+    decompressed bytes of the one member. This is how ``run_pipeline``
+    learns fs for E4 sources instead of decoding the whole corpus
+    twice."""
+    from physioview_spark.sources import fsio
+
+    member_key = _STREAMS[stream][0].split(".")[0]
+    rates: dict[str, float] = {}
+    for uri in fsio.list_files(spark, path):
+        with fsio.open_seekable(spark, uri) as fh:
+            try:
+                zf = zipfile.ZipFile(fh)
+            except zipfile.BadZipFile:
+                continue
+            name = next(
+                (n for n in zf.namelist() if member_key in n), None)
+            if name is None:
+                continue
+            with zf.open(name) as member:
+                head = member.read(512)
+        lines = head.decode("utf-8", errors="replace").splitlines()
+        if len(lines) >= 2:
+            try:
+                rates[uri] = float(lines[1].split(",")[0])
+            except ValueError:
+                continue
+    return rates
+
+
 def align_hrv(bvp: DataFrame, ibi: DataFrame, hr: DataFrame) -> DataFrame:
     """Time-aligned HRV frame: IBI and HR merged onto the BVP grid with
     "un-fill" semantics — each IBI/HR value appears at exactly ONE BVP row

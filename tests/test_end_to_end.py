@@ -397,6 +397,58 @@ class TestConfigDrivenPipeline:
         # 72 bpm -> ~833 ms; the config-fs bug would have given ~2x this
         assert 700 < got["ibi_ms"].median() < 1000
 
+    def test_device_pipeline_construction_runs_no_eager_action(
+            self, spark, tmp_path, monkeypatch):
+        """Device-source run_pipeline must learn fs from bounded HEADER
+        reads, not by decoding the corpus: constructing the pipeline may
+        launch NO eager Spark action (the old distinct().collect() probe
+        ran the full binaryFile+mapInPandas decode once at construction
+        and again downstream — 2x ingest cost)."""
+        import pyspark.sql.dataframe as psd
+
+        from physioview_spark.config import PipelineConfig
+        from physioview_spark.pipeline import run_pipeline
+        from physioview_spark.sources import write_e4_zip, write_edf_bytes
+
+        fs = 256
+        sig, _ = synth_ecg(fs=float(fs), seconds=30, seed=5)
+        edf_dir = tmp_path / "edf"
+        edf_dir.mkdir()
+        (edf_dir / "s.edf").write_bytes(write_edf_bytes(
+            [{"label": "ECG0", "fs": fs, "data": sig * 1000.0,
+              "dim": "uV"}]))
+        zip_dir = tmp_path / "zips"
+        zip_dir.mkdir()
+        phase = 2 * np.pi * np.cumsum(np.full(64 * 120, 72 / 60.0 / 64.0))
+        write_e4_zip(str(zip_dir / "dev.zip"), 1700000000.0,
+                     bvp=np.sin(phase), eda=2.0 + np.zeros(4 * 120),
+                     temp=33.0 + np.zeros(4 * 120))
+
+        def boom(self, *a, **k):
+            raise AssertionError(
+                "eager Spark action during pipeline construction")
+
+        for meth in ("collect", "toPandas", "count", "first", "head",
+                     "take", "foreach", "foreachPartition"):
+            monkeypatch.setattr(psd.DataFrame, meth, boom, raising=True)
+        out_edf = run_pipeline(
+            spark, PipelineConfig(source="actiwave", dtype="ECG",
+                                  seg_size=10),
+            path=str(edf_dir), cache_annotated=False)
+        out_e4 = run_pipeline(
+            spark, PipelineConfig(source="e4", dtype="BVP", seg_size=60),
+            path=str(zip_dir), cache_annotated=False)
+        monkeypatch.undo()
+
+        # the frames still evaluate correctly with header-derived fs
+        # (configs above left fs at the 500.0 default on purpose)
+        ibi = (out_edf["ibi"].where(F.col("ibi_ms").isNotNull())
+               .toPandas())
+        assert 700 < ibi["ibi_ms"].median() < 1000  # 72 bpm at fs=256
+        cm = out_e4["metrics"].toPandas()
+        assert len(cm) == 2
+        assert (cm["n_detected"].between(55, 90)).all()  # fs=64 from zip
+
     def test_mixed_device_rates_raise(self, spark, tmp_path):
         """Two EDFs at different rates in one run: refuse loudly instead
         of annotating half the cohort at the wrong fs."""

@@ -113,6 +113,21 @@ class TestEdfSource:
         assert get_channel_fs(payload, "ecg") == 256.0
         assert get_channel_fs(payload, "nope") is None
 
+    def test_probe_actiwave_fs_bounded(self, tmp_path, spark):
+        """Driver-side fs probe: right rates per file from header-only
+        reads, no Spark job."""
+        from physioview_spark.sources import probe_actiwave_fs, write_edf_bytes
+
+        self._make_edf(tmp_path)  # rec1 at 256 Hz
+        (tmp_path / "hi.edf").write_bytes(write_edf_bytes(
+            [{"label": "ECG0", "fs": 512,
+              "data": np.sin(np.arange(2048) / 5.0), "dim": "uV"}]))
+        rates = probe_actiwave_fs(spark, str(tmp_path))
+        by_name = {u.rsplit("/", 1)[-1]: v for u, v in rates.items()}
+        assert by_name["rec1.edf"] == 256.0
+        assert by_name["hi.edf"] == 512.0
+        assert probe_actiwave_fs(spark, str(tmp_path), label="nope") == {}
+
 
 # ------------------------------------------------------------- E4 S3/S4/S5
 
@@ -167,6 +182,66 @@ class TestEmpaticaSource:
         # un-fill: exactly one BVP row per IBI event carries the value
         assert int(pdf["ibi"].notna().sum()) == len(ibi)
         assert int(pdf["hr"].notna().sum()) == 10
+
+    def test_probe_empatica_fs_bounded(self, spark, tmp_path):
+        """Driver-side E4 fs probe: per-stream rates from the ZIP member
+        headers, no Spark job, no full-archive decode."""
+        from physioview_spark.sources import probe_empatica_fs
+
+        p, *_ = self._make_zip(tmp_path)
+        assert list(probe_empatica_fs(spark, p, "bvp").values()) == [64.0]
+        assert list(probe_empatica_fs(spark, p, "eda").values()) == [4.0]
+        assert list(probe_empatica_fs(
+            spark, str(tmp_path), "temp").values()) == [4.0]
+
+
+# ----------------------------------------------------- bounded driver IO
+
+class TestFsio:
+    def test_read_head_and_range(self, spark, tmp_path):
+        from physioview_spark.sources import fsio
+
+        p = tmp_path / "blob.bin"
+        p.write_bytes(bytes(range(256)) * 4)
+        assert fsio.read_head(spark, str(p), 10) == bytes(range(10))
+        assert fsio.read_range(spark, str(p), 250, 10) == bytes(
+            [250, 251, 252, 253, 254, 255, 0, 1, 2, 3])
+        # clamped at EOF
+        assert fsio.read_range(spark, str(p), 1020, 100) == bytes(
+            [252, 253, 254, 255])
+        assert fsio.file_length(spark, str(p)) == 1024
+
+    def test_local_path_parsing(self):
+        from physioview_spark.sources.fsio import local_path
+
+        assert local_path("/a/b.csv") == "/a/b.csv"
+        assert local_path("file:/a/b.csv") == "/a/b.csv"
+        assert local_path("file:///a/b.csv") == "/a/b.csv"
+        assert local_path("file://localhost/a/b.csv") == "/a/b.csv"
+        # a real authority must NOT collapse to /host/p
+        assert local_path("file://host/p") is None
+        assert local_path("s3a://bucket/key") is None
+
+    def test_hadoop_seekable_reads_zip_member(self, spark, tmp_path):
+        """The Hadoop-stream wrapper (remote-scheme path) must let
+        zipfile random-access an archive; forced here on a local file
+        through Hadoop's LocalFileSystem."""
+        import io
+        import zipfile
+
+        from physioview_spark.sources.fsio import _HadoopRaw
+
+        p = tmp_path / "arch.zip"
+        with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("EDA.csv", "1700000000.0\n4.0\n" + "2.5\n" * 5000)
+            zf.writestr("other.txt", "x" * 10000)
+        with io.BufferedReader(
+                _HadoopRaw(spark, "file://" + str(p))) as fh:
+            zf = zipfile.ZipFile(fh)
+            assert set(zf.namelist()) == {"EDA.csv", "other.txt"}
+            with zf.open("EDA.csv") as m:
+                head = m.read(64).decode().splitlines()
+        assert float(head[1]) == 4.0
 
 
 # ------------------------------------------------- Beat editor S13/S14/Q5
