@@ -19,11 +19,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
-def infer_unix_unit(df: DataFrame, ts_col: str) -> str | None:
-    """Infer Unix timestamp unit from the median magnitude."""
-    med = df.select(
-        F.median(F.col(ts_col).cast("double")).alias("m")
-    ).first()["m"]
+def infer_unix_unit(df: DataFrame, ts_col: str,
+                    sample_rows: int = 10000) -> str | None:
+    """Infer Unix timestamp unit (s/ms/us) from the median magnitude of
+    a BOUNDED sample. All three unit bands differ by >=100x, so any
+    sample answers as reliably as the full column; the previous
+    full-column median was an extra eager pass over every row of every
+    CSV at ingest (reference does the same on pandas, where the data is
+    already in memory — on a 100 TB scan it is not free)."""
+    med = (df.select(F.col(ts_col).cast("double").alias("m"))
+           .where(F.col("m").isNotNull())
+           .limit(sample_rows)
+           .agg(F.median("m").alias("m"))
+           .first()["m"])
     if med is None:
         return None
     if 1e8 < med < 2e9:
@@ -173,11 +181,11 @@ def is_valid_csv_member(name: str) -> bool:
 
 def probe_csv_headers(spark: SparkSession, path: str) -> list[str]:
     """S8 parity: header row of a CSV without a full scan (reference:
-    dashboard/utils.py:422-428). Spark reads only the first line."""
-    first = spark.read.text(path).limit(1).collect()
-    if not first:
+    dashboard/utils.py:422-428) — one bounded head read, no Spark job."""
+    line = read_first_line(spark, path)
+    if not line:
         return []
-    return [h.strip() for h in first[0]["value"].split(",")]
+    return [h.strip() for h in line.split(",")]
 
 
 def list_batch_files(spark: SparkSession, path: str | list[str],
@@ -185,38 +193,22 @@ def list_batch_files(spark: SparkSession, path: str | list[str],
     """Driver-side file enumeration through the Hadoop FileSystem API —
     one metadata RPC per path/glob, any scheme Spark can read (file, hdfs,
     s3a, ...). Directories expand one level, matching ``spark.read``."""
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    conf = sc._jsc.hadoopConfiguration()
-    uris: list[str] = []
-    for p in ([path] if isinstance(path, str) else list(path)):
-        hpath = jvm.org.apache.hadoop.fs.Path(p)
-        fs = hpath.getFileSystem(conf)
-        matched = fs.globStatus(hpath)
-        for st in (list(matched) if matched is not None else []):
-            files = (fs.listStatus(st.getPath())
-                     if st.isDirectory() else [st])
-            uris += [f.getPath().toString() for f in files if f.isFile()]
-    if suffix:
-        uris = [u for u in uris if u.endswith(suffix)]
-    return sorted(set(uris))
+    from physioview_spark.sources import fsio
+
+    return fsio.list_files(spark, path, suffix=suffix)
 
 
 def read_first_line(spark: SparkSession, uri: str,
                     max_bytes: int = 65536) -> str:
-    """First line of a file with a BOUNDED read: local files read at most
-    ``max_bytes`` directly; remote schemes go through
-    ``spark.read.text(...).limit(1)``, whose LocalLimit stops the scan at
-    the first block. Never a full-file pass either way."""
-    if uri.startswith("file:"):
-        local = uri[len("file:"):]
-        while local.startswith("//"):
-            local = local[1:]
-        with open(local, "rb") as fh:
-            head = fh.read(max_bytes)
-        return head.split(b"\n", 1)[0].decode("utf-8", "replace").rstrip("\r")
-    rows = spark.read.text(uri).limit(1).collect()
-    return rows[0]["value"] if rows else ""
+    """First line of a file with a BOUNDED read (<= ``max_bytes``) on
+    every scheme — local files via open(), remote via one positioned
+    Hadoop FileSystem read. Never a Spark job: validating thousands of
+    remote CSVs costs O(files) stream opens, not O(files) job-launch
+    round trips (and never a full-file pass)."""
+    from physioview_spark.sources import fsio
+
+    head = fsio.read_head(spark, uri, max_bytes)
+    return head.split(b"\n", 1)[0].decode("utf-8", "replace").rstrip("\r")
 
 
 def validate_batch_headers(

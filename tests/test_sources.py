@@ -53,6 +53,18 @@ class TestCsvSource:
         first = df.orderBy("sample_idx").first()
         assert first["ts"].year == 2023  # 1700000000 epoch-seconds
 
+    def test_unix_unit_bands_and_bounded_sample(self, spark):
+        from physioview_spark.sources import infer_unix_unit
+
+        for unit, mag in (("s", 1.7e9), ("ms", 1.7e12), ("us", 1.7e15)):
+            df = spark.range(50_000).selectExpr(f"id + {mag} as ts")
+            assert infer_unix_unit(df, "ts") == unit
+            # the bands differ by >=100x, so a tiny sample suffices —
+            # and the probe must honor the bound
+            assert infer_unix_unit(df, "ts", sample_rows=64) == unit
+        assert infer_unix_unit(
+            spark.range(100).selectExpr("id as ts"), "ts") is None
+
 
 # ---------------------------------------------------------------- EDF S1/S2
 
@@ -429,7 +441,7 @@ class TestIngestValidation:
         full scan, no shuffle (ADVICE r1 #5)."""
         import builtins
 
-        from physioview_spark.sources import csv as csv_mod
+        from physioview_spark.sources import csv as csv_mod, fsio
 
         big = tmp_path / "big.csv"
         with open(big, "w") as f:
@@ -453,7 +465,7 @@ class TestIngestValidation:
             fh.read = read
             return fh
 
-        monkeypatch.setattr(csv_mod, "open", counting_open, raising=False)
+        monkeypatch.setattr(fsio, "open", counting_open, raising=False)
         ok, headers = csv_mod.validate_batch_headers(spark, str(tmp_path))
         assert ok and len(headers) == 2
         assert reads, "local head reads should go through open()"
