@@ -98,40 +98,85 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int, band: int = 0) -> Column:
     return bucket
 
 
+def _banded_buckets(vec: Column, n_planes: int, dim: int,
+                    n_bands: int) -> Column:
+    """Array of (band, bucket) structs — one entry per independent
+    plane-set, for the multi-band explode."""
+    return F.array(*[
+        F.struct(
+            F.lit(bnd).alias("band"),
+            lsh_bucket(vec, n_planes, dim, band=bnd).alias("bucket"),
+        )
+        for bnd in range(n_bands)
+    ])
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 4,
     dim: int = 64,
+    n_bands: int = 1,
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only same-LSH-bucket pairs are scored.
+    """Approximate top-k: only pairs sharing an LSH bucket are scored.
 
     With n_planes sign bits the corpus splits into 2^n buckets; the join
-    is on bucket id (hash join, no cross product). Recall measured against
-    ``cosine_topk`` in tests.
+    is on bucket id (hash join, no cross product). ``n_bands`` > 1 ORs
+    independent plane-sets (same OR-of-ANDs scheme as
+    ``embedding_near_dups``): a pair at angle theta is missed by one
+    p-plane band with probability 1-(1-theta/pi)^p and by ALL b bands
+    with that to the b-th power, so recall rises with b while the join
+    stays an equi-join on (band, bucket) — the corpus is still scanned
+    once, just exploded b-fold. Candidates sharing several bands are
+    deduplicated on (query_id, match_id) before the exact re-rank.
+    Recall measured against ``cosine_topk`` in tests.
     """
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("bucket", lsh_bucket(F.col("__qv"), n_planes, dim))
+    )
     c = corpus.select(
         F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("bucket", lsh_bucket(F.col("__cv"), n_planes, dim))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .where(F.col("query_id") != F.col("match_id"))
-        .withColumn("sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
     )
+    if n_bands == 1:
+        qb = q.withColumn("bucket", lsh_bucket(F.col("__qv"), n_planes, dim))
+        cb = c.withColumn("bucket", lsh_bucket(F.col("__cv"), n_planes, dim))
+        scored = (
+            cb.join(F.broadcast(qb), "bucket")
+            .where(F.col("query_id") != F.col("match_id"))
+            .withColumn("sim",
+                        F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        )
+        out_cols = ["query_id", "bucket", "match_id", "sim", "rank"]
+    else:
+        qb = q.select(
+            "query_id", "__qv",
+            F.explode(_banded_buckets(F.col("__qv"), n_planes, dim,
+                                      n_bands)).alias("bb"),
+        ).select("query_id", "__qv", "bb.band", "bb.bucket")
+        cb = c.select(
+            "match_id", "__cv",
+            F.explode(_banded_buckets(F.col("__cv"), n_planes, dim,
+                                      n_bands)).alias("bb"),
+        ).select("match_id", "__cv", "bb.band", "bb.bucket")
+        scored = (
+            cb.join(F.broadcast(qb), ["band", "bucket"])
+            .where(F.col("query_id") != F.col("match_id"))
+            .dropDuplicates(["query_id", "match_id"])
+            .withColumn("sim",
+                        F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        )
+        out_cols = ["query_id", "match_id", "sim", "rank"]
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("match_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "bucket", "match_id", "sim", "rank")
+        .select(*out_cols)
     )
 
 
@@ -157,16 +202,8 @@ def embedding_near_dups(
     v = df.select(id_col, vec_col)
     banded = v.select(
         id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bnd).alias("band"),
-                    lsh_bucket(F.col(vec_col), n_planes, dim, band=bnd)
-                    .alias("bucket"),
-                )
-                for bnd in range(n_bands)
-            ])
-        ).alias("bb"),
+        F.explode(_banded_buckets(F.col(vec_col), n_planes, dim,
+                                  n_bands)).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -320,38 +320,46 @@ WITH planes AS (
                                   || CAST(ii.i AS VARCHAR)), j.j, 1)) - 1)
                 * (1::BIGINT << ((8 - j.j) * 4)))
      FROM UNNEST(generate_series(1, 8)) AS j(j)) / 4294967296.0 - 0.5 AS comp
-  FROM UNNEST(generate_series(0, 3)) AS pp(p),
+  FROM UNNEST(generate_series(0, 7)) AS pp(p),
        UNNEST(generate_series(0, 63)) AS ii(i)
 ), pvec AS (
   SELECT p, list(comp ORDER BY i) AS h FROM planes GROUP BY p
 ), bucketed AS (
-  SELECT e.vec_id, e.embedding,
+  SELECT e.vec_id, e.embedding, p.p // 4 AS band,
          CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
-                       THEN (1::BIGINT << (3 - p.p)) ELSE 0 END)
+                       THEN (1::BIGINT << (3 - (p.p % 4))) ELSE 0 END)
               AS INT) AS bucket
   FROM embeddings e, pvec p
-  GROUP BY e.vec_id, e.embedding
-), q AS (
-  SELECT vec_id, embedding, bucket FROM bucketed WHERE vec_id < 10
+  GROUP BY e.vec_id, e.embedding, p.p // 4
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+  FROM bucketed c
+  JOIN bucketed q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
 ), scored AS (
-  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS match_id,
-         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]), 6) AS sim
-  FROM bucketed c JOIN q ON c.bucket = q.bucket AND q.vec_id != c.vec_id
+  SELECT cand.query_id, cand.match_id,
+         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]), 6) AS sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.match_id
 )
-SELECT query_id, bucket, match_id, sim,
+SELECT query_id, match_id, sim,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, match_id) AS INT) AS rank
 FROM scored QUALIFY rank <= 5
 """)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (deterministic md5 hyperplanes): bucketed
-    candidates, exact re-rank. The md5-derived hyperplanes reproduce
-    bit-for-bit in any engine, so the oracle recomputes the exact bucket
-    ids and re-rank in SQL; recall vs brute force asserted in tests."""
+    """Random-hyperplane LSH ANN (deterministic md5 hyperplanes),
+    multi-band OR-of-ANDs: 2 bands x 4 planes, candidates deduped on
+    (query, match) before the exact re-rank. The md5-derived hyperplanes
+    reproduce bit-for-bit in any engine, so the oracle recomputes the
+    exact per-band bucket ids, the distinct candidate set, and the
+    re-rank in SQL; recall vs brute force asserted in tests."""
     emb = read(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
-        emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=4, dim=64
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=4, dim=64,
+        n_bands=2,
     )
 
 

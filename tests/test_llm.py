@@ -135,6 +135,34 @@ def test_lsh_topk_recall(spark, vectors):
     assert (3, 7) in a
 
 
+def test_lsh_topk_multiband_recall(spark, vectors):
+    """OR-of-bands ANN: recall >=0.9 vs brute force at the same
+    bucket-equi-join cost shape (single band at these plane counts is
+    demonstrably lossier — asserted strictly better here)."""
+    exact = similarity.cosine_topk(
+        vectors.where(F.col("vec_id") < 10), vectors, k=3
+    )
+    e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+
+    def recall(n_bands):
+        out = similarity.lsh_topk(
+            vectors.where(F.col("vec_id") < 10), vectors, k=3,
+            n_planes=2, dim=16, n_bands=n_bands,
+        )
+        got = {(r["query_id"], r["match_id"]) for r in out.collect()}
+        return len(e & got) / len(e), got
+
+    r1, _ = recall(1)
+    r6, got6 = recall(6)
+    assert r6 >= 0.9, r6
+    assert r6 >= r1
+    assert (3, 7) in got6
+    # multi-band output drops the ambiguous single-bucket column
+    out = similarity.lsh_topk(vectors.limit(2), vectors, k=3,
+                              n_planes=2, dim=16, n_bands=2)
+    assert out.columns == ["query_id", "match_id", "sim", "rank"]
+
+
 def test_embedding_near_dups(spark, vectors):
     out = similarity.embedding_near_dups(
         vectors, threshold=0.99, n_planes=2, dim=16
