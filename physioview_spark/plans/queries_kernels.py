@@ -16,16 +16,20 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from physioview_spark.plans.common import fixture_oracle
+from physioview_spark.plans.common import fixture_oracle, input_fixture
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
 
-def q(name: str):
+def q(name: str, sql: str | None = None):
+    """Register a kernel query. With ``sql`` the oracle independently
+    RECOMPUTES the result in DuckDB (true twin — used when the math is
+    relational and the input is a committed parquet fixture); without it
+    the query is hash-gated against its pinned output fixture."""
     def deco(fn):
         QUERIES[name] = fn
-        fx = fixture_oracle(name)
+        fx = sql if sql is not None else fixture_oracle(name)
         if fx is not None:
             ORACLE[name] = fx
         return fn
@@ -86,8 +90,9 @@ def kernel_cardiac_rolling_ppg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("kernel_eda_scr")
 def kernel_eda_scr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EDA path: K9 FIR filter -> decomposition (K17 fallback) -> SCR peaks
-    (K16) -> per-segment SCR counts."""
+    """EDA path: K9 FIR filter -> cvxEDA QP decomposition (K17, the
+    ADMM+CG solver in functions/cvxeda.py) -> SCR peaks (K16) ->
+    per-segment SCR counts."""
     from physioview_spark.functions.spark_kernels import annotate_eda
     from physioview_spark.operators.segment import segment_data
 
@@ -153,46 +158,106 @@ def kernel_hrv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subject_id", "window_id")
 
 
-@q("kernel_eda_quality_metrics")
+@q("kernel_eda_quality_metrics", f"""
+WITH flags AS (
+  SELECT subject_id, sample_idx, sample_idx // 240 AS segment,
+         (eda < 0.2 OR eda > 40.0) AS out_of_range,
+         ABS(COALESCE((eda - LAG(eda) OVER w) * 4.0, 0.0)) > 5.0
+           AS excessive_slope,
+         (temp < 20.0 OR temp > 40.0) AS temp_out_of_range
+  FROM read_parquet('{input_fixture('kernel_eda_quality_metrics')}')
+  WINDOW w AS (PARTITION BY subject_id, sample_idx // 240
+               ORDER BY sample_idx)
+), spread AS (
+  SELECT *,
+         MAX(CASE WHEN out_of_range OR excessive_slope OR temp_out_of_range
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY subject_id, segment ORDER BY sample_idx
+                 ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) = 1 AS invalid
+  FROM flags
+), counts AS (
+  SELECT subject_id, segment, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN NOT invalid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid,
+         CAST(SUM(CASE WHEN invalid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_invalid,
+         CAST(SUM(CASE WHEN out_of_range THEN 1 ELSE 0 END) AS BIGINT)
+           AS out_of_range,
+         CAST(SUM(CASE WHEN excessive_slope THEN 1 ELSE 0 END) AS BIGINT)
+           AS excessive_slope,
+         CAST(SUM(CASE WHEN temp_out_of_range THEN 1 ELSE 0 END) AS BIGINT)
+           AS temp_out_of_range
+  FROM spread GROUP BY 1, 2
+)
+SELECT subject_id, segment + 1 AS segment,
+       n_valid, ROUND(n_valid * 100.0 / n, 2) AS pct_valid,
+       n_invalid, ROUND(n_invalid * 100.0 / n, 2) AS pct_invalid,
+       out_of_range, ROUND(out_of_range * 100.0 / n, 2) AS pct_out_of_range,
+       excessive_slope,
+       ROUND(excessive_slope * 100.0 / n, 2) AS pct_excessive_slope,
+       temp_out_of_range,
+       ROUND(temp_out_of_range * 100.0 / n, 2) AS pct_temp_out_of_range
+FROM counts WHERE n = 240
+ORDER BY subject_id, segment
+""")
 def kernel_eda_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 Kleckner EDA QA metrics (segmented) with temperature rule."""
-    import numpy as np
+    """A6 Kleckner EDA QA metrics (segmented) with temperature rule.
 
+    Input is the committed parquet fixture (synth_eda + a cold-TEMP
+    stretch per subject; tools/make_input_fixtures.py) so the DuckDB
+    oracle above independently recomputes every rule — slope restart at
+    segment boundaries, the +/-2.5 s rule-4 spread, full-segment filter,
+    percentages — rather than comparing to a pinned engine snapshot."""
     from physioview_spark.operators.eda_metrics import compute_eda_metrics
-    from physioview_spark.testing import synth_eda
 
-    fs = 4.0
-    rows = []
-    for s in range(2):
-        x, _ = synth_eda(fs=fs, duration=300.0, seed=11 + s)
-        temp = np.full(len(x), 33.0)
-        temp[100 * s: 100 * s + 20] = 15.0
-        rows += [
-            (f"s{s}", i, float(x[i]), float(temp[i])) for i in range(len(x))
-        ]
-    df = spark.createDataFrame(
-        rows, "subject_id string, sample_idx long, eda double, temp double"
-    )
-    return compute_eda_metrics(df, fs, seg_size=60).orderBy(
+    df = spark.read.parquet(input_fixture("kernel_eda_quality_metrics"))
+    return compute_eda_metrics(df, 4.0, seg_size=60).orderBy(
         "subject_id", "segment"
     )
 
 
-@q("kernel_acc_auc")
+@q("kernel_acc_auc", f"""
+WITH per_sec AS (
+  SELECT subject_id, sample_idx // 32 AS sec,
+         SUM(sqrt(x*x + y*y + z*z)) AS sec_sum
+  FROM read_parquet('{input_fixture('kernel_acc_auc')}')
+  GROUP BY 1, 2
+), seg AS (
+  SELECT subject_id, (sec // 60) + 1 AS win, SUM(sec_sum) AS auc
+  FROM per_sec GROUP BY 1, 2
+), rolled AS (
+  SELECT subject_id, g.mw + 1 AS win, SUM(sec_sum) AS auc_roll,
+         COUNT(*) AS n, AVG(sec_sum) AS mean_ss,
+         STDDEV_SAMP(sec_sum) AS sd_ss
+  FROM per_sec,
+       UNNEST(generate_series(
+         GREATEST(0, CAST(CEIL((sec - 59) / 15.0) AS BIGINT)),
+         sec // 15)) AS g(mw)
+  GROUP BY 1, 2
+), roll AS (
+  SELECT subject_id, win, auc_roll,
+         CASE WHEN sd_ss IS NULL OR sd_ss = 0 THEN NULL
+              ELSE (auc_roll - n * mean_ss) / sd_ss END AS auc_z
+  FROM rolled
+)
+SELECT subject_id, win, ROUND(auc, 4) AS auc,
+       ROUND(auc_roll, 4) AS auc_roll, ROUND(auc_z, 4) AS auc_z
+FROM seg FULL OUTER JOIN roll USING (subject_id, win)
+ORDER BY subject_id, win
+""")
 def kernel_acc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/A7: magnitude + two-level AUC (segmented, zscore-normalized
-    rolling) on synthetic 3-axis accelerometry."""
+    rolling) on synthetic 3-axis accelerometry.
+
+    Input is the committed parquet fixture (synth_acc;
+    tools/make_input_fixtures.py) so the DuckDB oracle above
+    independently recomputes the per-second pre-aggregation, segment and
+    sliding-window sums, and the closed-form zscore — a true SQL twin,
+    not a pinned engine snapshot."""
     from physioview_spark.operators.acc import compute_auc, compute_magnitude
-    from physioview_spark.testing import synth_acc
 
     fs = 32.0
-    x, y, z = synth_acc(fs=fs, duration=300.0)
-    rows = [
-        ("s0", i, float(x[i]), float(y[i]), float(z[i])) for i in range(len(x))
-    ]
-    df = spark.createDataFrame(
-        rows, "subject_id string, sample_idx long, x double, y double, z double"
-    )
+    df = spark.read.parquet(input_fixture("kernel_acc_auc"))
     m = compute_magnitude(df)
     seg = compute_auc(m, fs, seg_size=60).withColumnRenamed("segment", "win")
     roll = (

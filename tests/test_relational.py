@@ -264,3 +264,21 @@ class TestPlanContracts:
         plan = self._plan(spark, "dedup_keep_first", sf_dir)
         assert "SortMergeJoin" not in plan and "Join" not in plan, \
             "keep-first dedup must be a window, not a self-join"
+
+
+class TestInputFixtures:
+    """The committed input parquets (tests/fixtures/inputs/) must stay in
+    lockstep with the synthesizers that generated them — a silent drift
+    would let the kernel queries and their recomputing DuckDB twins agree
+    on stale data."""
+
+    def test_input_fixtures_match_synths(self):
+        import pandas as pd
+
+        from tools.make_input_fixtures import INPUTS
+        from physioview_spark.plans.common import input_fixture
+
+        for name, gen in INPUTS.items():
+            on_disk = pd.read_parquet(input_fixture(name))
+            fresh = gen()
+            pd.testing.assert_frame_equal(on_disk, fresh)

@@ -27,8 +27,9 @@ FIXTURE_QUERIES = [
     "kernel_seconds_hr",
     "kernel_beat_correction",
     "kernel_hrv_features",
-    "kernel_eda_quality_metrics",
-    "kernel_acc_auc",
+    # kernel_eda_quality_metrics and kernel_acc_auc have TRUE DuckDB
+    # twins over committed input fixtures (tools/make_input_fixtures.py)
+    # — no pinned output needed.
     "e4_ingest_aligned",
     "multimodal_audio_features",
     "multimodal_video_frames",
