@@ -187,6 +187,39 @@ def annotate_eda(
     return df.groupBy(by).applyInPandas(run, schema=schema)
 
 
+def decompose_eda_chunked(
+    df: DataFrame,
+    fs: float,
+    value_col: str = "eda",
+    by: str = "subject_id",
+    chunk_seconds: float = 1200.0,
+    halo_seconds: float = 60.0,
+    method: str = "cvx",
+) -> DataFrame:
+    """K17 at scale: cvxEDA decomposition of arbitrarily long recordings
+    through the halo-chunked applier — adds ``phasic``/``tonic``.
+
+    The reference (and ``annotate_eda``) solves the QP over the whole
+    recording in one group; a 24 h @ 32 Hz recording is ~2.8 M samples x
+    ~120 ADMM iterations in a single task. Overlap-and-discard restores
+    (subjects x chunks) parallelism: the QP's couplings are all local —
+    Bateman smoother support ~10 s, spline bumps 4*delta_knot = 40 s,
+    and the per-chunk drift re-estimate is absorbed by the spline — so
+    boundary effects decay well inside the default 60 s halo
+    (parity-tested against the whole-signal solve in
+    tests/test_detectors.py)."""
+    from physioview_spark.functions.kernels_eda import decompose_eda
+
+    def kern(x: np.ndarray):
+        return decompose_eda(x, fs, method=method)
+
+    return apply_kernel_chunked(
+        df, kern, value_col, ["phasic", "tonic"],
+        chunk_len=int(chunk_seconds * fs), halo=int(halo_seconds * fs),
+        by=by,
+    )
+
+
 def compute_hrv(
     beats: DataFrame,
     fs: float,
@@ -327,7 +360,7 @@ def apply_kernel_chunked(
     df: DataFrame,
     kernel: Callable[[np.ndarray], np.ndarray],
     value_col: str,
-    out_col: str,
+    out_col: str | list[str],
     chunk_len: int = 1 << 22,
     halo: int = 1 << 14,
     by: str = "subject_id",
@@ -344,11 +377,16 @@ def apply_kernel_chunked(
     inside the halo, so choose halo >= several impulse-response lengths.
     Parallelism becomes (subjects x chunks) — a single 100 GB recording
     fans out across the cluster instead of pinning one executor.
+
+    ``out_col`` may be a list, for kernels returning one array per output
+    (tuple/list in the same order) — e.g. a phasic/tonic decomposition.
     """
     from pyspark.sql import functions as F
 
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     schema = T.StructType(
-        df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+        df.schema.fields
+        + [T.StructField(c, T.DoubleType(), True) for c in out_cols]
     )
     cols = list(df.columns)
 
@@ -369,9 +407,13 @@ def apply_kernel_chunked(
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         chunk = key[1]
         pdf = pdf.sort_values("sample_idx").reset_index(drop=True)
-        pdf[out_col] = kernel(pdf[value_col].to_numpy())
+        res = kernel(pdf[value_col].to_numpy())
+        if not isinstance(res, (tuple, list)):
+            res = (res,)
+        for c, arr in zip(out_cols, res):
+            pdf[c] = arr
         core = pdf[(pdf["sample_idx"] // chunk_len) == chunk]
-        return core[cols + [out_col]]
+        return core[cols + out_cols]
 
     return (
         exploded.groupBy(by, "__chunk")

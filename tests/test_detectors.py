@@ -156,6 +156,52 @@ class TestCvxEda:
         ph, to = decompose_eda(np.array([1.0, 1.1, 1.2]), 4.0)
         assert len(ph) == len(to) == 3
 
+    def test_chunked_matches_whole_signal(self, spark):
+        """100x insurance for K17: the halo-chunked decomposition of a
+        2 h recording must agree with the single-task whole-signal QP
+        (and with ground truth) within the existing 0.05 RMS bound —
+        boundary effects die inside the 60 s halo."""
+        import pandas as pd
+
+        from physioview_spark.functions.cvxeda import cvxeda_decompose
+        from physioview_spark.functions.spark_kernels import (
+            decompose_eda_chunked,
+        )
+
+        rng = np.random.default_rng(5)
+        fs, seconds = 4.0, 7200.0
+        n = int(fs * seconds)
+        t = np.arange(n) / fs
+        tonic_true = (2.0 + 0.3 * np.sin(2 * np.pi * t / 900.0)
+                      + 0.00005 * t)
+        kern = np.exp(-t / 2.0) - np.exp(-t / 0.7)
+        kern /= kern.max()
+        imp = np.zeros(n)
+        for onset in np.arange(60.0, seconds - 60.0, 97.0):
+            imp[int(onset * fs)] = 0.3 + 0.7 * rng.random()
+        phasic_true = np.convolve(imp, kern)[:n]
+        y = tonic_true + phasic_true + 0.005 * rng.standard_normal(n)
+
+        whole = cvxeda_decompose(y, fs)
+        pdf = pd.DataFrame({
+            "subject_id": np.repeat("s0", n),
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "eda": y,
+        })
+        out = (decompose_eda_chunked(
+            spark.createDataFrame(pdf), fs=fs,
+            chunk_seconds=1200.0, halo_seconds=60.0)
+            .orderBy("sample_idx").toPandas())
+        assert len(out) == n  # every core row exactly once
+
+        def rms(a, b):
+            return float(np.sqrt(np.mean((np.asarray(a) - b) ** 2)))
+
+        assert rms(out["tonic"], whole["tonic"]) < 0.05
+        assert rms(out["phasic"], whole["phasic"]) < 0.05
+        assert rms(out["tonic"], tonic_true) < 0.05
+        assert rms(out["phasic"], phasic_true) < 0.05
+
     def test_signals_shorter_than_spline_bump(self):
         """Signals shorter than the 4*delta_knot*fs-3 spline kernel must
         still decompose to len(n) outputs (regression: np.convolve
