@@ -63,6 +63,37 @@ def main():
                 os.remove(os.path.join(out, f))
         n = spark.read.parquet(out).count()
         print(f"pinned {name}: {n} rows -> {out}")
+    write_versions()
+
+
+def write_versions():
+    """Record the generating environment next to the pinned fixtures:
+    last-ulp float drift from a numpy/pyarrow upgrade can shift a
+    round(...,4) boundary, and a recorded provenance makes such a
+    mismatch point at regeneration instead of a kernel regression."""
+    import json
+    import os
+    import platform
+
+    import numpy
+    import pandas
+    import pyarrow
+    import pyspark
+
+    from physioview_spark.plans.common import FIXTURE_DIR
+
+    meta = {
+        "python": platform.python_version(),
+        "numpy": numpy.__version__,
+        "pandas": pandas.__version__,
+        "pyarrow": pyarrow.__version__,
+        "pyspark": pyspark.__version__,
+    }
+    path = os.path.join(FIXTURE_DIR, "VERSIONS.json")
+    with open(path, "w") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    print(f"recorded generating versions -> {path}")
 
 
 if __name__ == "__main__":
