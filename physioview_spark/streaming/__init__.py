@@ -8,13 +8,13 @@ Streaming (watermark + event-time windows) — live ingest becomes a
 """
 
 from physioview_spark.streaming.rolling import (
-    streaming_rolling_sqa, streaming_seconds_hr, streaming_segment_sqa,
-    with_watermark_if_streaming,
+    streaming_eda_features, streaming_rolling_sqa, streaming_seconds_hr,
+    streaming_segment_sqa, with_watermark_if_streaming,
 )
 from physioview_spark.streaming.stateful import streaming_ibis
 
 __all__ = [
-    "streaming_rolling_sqa", "streaming_seconds_hr",
-    "streaming_segment_sqa", "with_watermark_if_streaming",
-    "streaming_ibis",
+    "streaming_eda_features", "streaming_rolling_sqa",
+    "streaming_seconds_hr", "streaming_segment_sqa",
+    "with_watermark_if_streaming", "streaming_ibis",
 ]

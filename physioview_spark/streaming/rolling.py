@@ -101,6 +101,29 @@ def streaming_rolling_sqa(
     )
 
 
+def streaming_eda_features(
+    samples: DataFrame,
+    value_cols: list[str] = ("phasic", "tonic"),
+    window_seconds: int = 180,
+    step_seconds: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """A12 streaming twin: the flirt-style rolling EDA feature frame
+    (operators/eda_metrics.py compute_eda_features) under Structured
+    Streaming — the feature set is already pure sliding-window
+    aggregation (mean/std/min/max/range/rms/sum, regr_slope trend, exact
+    interpolated percentiles), so the SAME body runs incrementally once
+    a watermark bounds the window state. Batch/streaming parity asserted
+    in tests/test_streaming.py."""
+    from physioview_spark.operators.eda_metrics import compute_eda_features
+
+    df = with_watermark_if_streaming(samples, "ts", watermark)
+    return compute_eda_features(
+        df, value_cols=value_cols, window_seconds=window_seconds,
+        step_seconds=step_seconds,
+    )
+
+
 def streaming_seconds_hr(
     beats: DataFrame,
     watermark: str = "30 seconds",

@@ -135,6 +135,56 @@ class TestWindowedParity:
         got_s = got_s.where(F.col("window_start") < F.lit(REAL_END))
         assert _collect_sorted(got_b, cols) == _collect_sorted(got_s, cols)
 
+    def test_eda_features_batch_vs_stream(self, spark, tmp_path):
+        """A12 parity: the rolling EDA feature frame must be identical
+        under batch and availableNow streaming (incl. the percentile and
+        regr_slope aggregates, which carry non-trivial streaming state)."""
+        from physioview_spark.streaming import streaming_eda_features
+
+        rng = np.random.default_rng(9)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        n = 4 * 600  # 10 min at 4 Hz
+        rows = []
+        for s in range(2):
+            phasic = np.abs(rng.standard_normal(n)) * 0.1
+            tonic = 2.0 + 0.3 * np.sin(np.arange(n) / 300.0) + 0.1 * s
+            for i in range(n):
+                rows.append((f"s{s}",
+                             pd.Timestamp(base + np.timedelta64(
+                                 int(i * 1e6 / 4), "us")),
+                             float(phasic[i]), float(tonic[i])))
+            rows.append((f"s{s}",
+                         pd.Timestamp(base + np.timedelta64(2, "h")),
+                         0.0, 0.0))  # watermark-advancing sentinel
+        sch = "subject_id string, ts timestamp, phasic double, tonic double"
+        pdf = pd.DataFrame(rows, columns=["subject_id", "ts", "phasic",
+                                          "tonic"])
+        p = str(tmp_path / "eda")
+        spark.createDataFrame(pdf, sch).repartition(3).write.parquet(p)
+
+        got_b = streaming_eda_features(spark.read.parquet(p))
+        q = (streaming_eda_features(
+                spark.readStream.schema(sch).parquet(p))
+             .writeStream.format("memory").queryName("eda_feat")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got_s = spark.table("eda_feat")
+
+        cut = F.lit(pd.Timestamp("2024-01-01 00:10:00"))
+        b = (got_b.where(F.col("window_start") < cut)
+             .orderBy("subject_id", "window_start").toPandas())
+        s = (got_s.where(F.col("window_start") < cut)
+             .orderBy("subject_id", "window_start").toPandas())
+        assert len(b) == len(s) > 10
+        assert list(b.columns) == list(s.columns)
+        for c in b.columns:
+            if b[c].dtype == object or "window" in c or c == "subject_id":
+                assert (b[c].values == s[c].values).all(), c
+            else:
+                np.testing.assert_allclose(
+                    b[c].values.astype(float), s[c].values.astype(float),
+                    rtol=1e-9, err_msg=c)
+
     def test_seconds_hr_harmonic_mean(self, spark):
         from physioview_spark.streaming import streaming_seconds_hr
 
