@@ -153,16 +153,28 @@ def interp_join(
     by = by or []
     out_col = out_col or f"{value_col}_interp"
 
+    # Neighbor keys are carried through the as-of passes ALREADY on the
+    # numeric axis (epoch microseconds for timestamps) — a timestamp_ntz
+    # column cannot be cast to double after the fact.
+    dt_r = dict(right.dtypes).get(on, "")
+    if dt_r == "timestamp_ntz":
+        rkey = F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col(on),
+        ).cast("double")
+    elif dt_r.startswith("timestamp"):
+        rkey = F.col(on).cast("double") * 1e6
+    else:
+        rkey = F.col(on).cast("double")
+
     w = Window.partitionBy(*by).orderBy(on)
     r = (
         right.select(*by, on, value_col)
-        .withColumn("__pk", F.lag(on).over(w))
+        .withColumn("__pk", F.lag(rkey).over(w))
         .withColumn("__pv", F.lag(value_col).over(w))
-        .withColumn("__nk", F.lead(on).over(w))
+        .withColumn("__nk", F.lead(rkey).over(w))
         .withColumn("__nv", F.lead(value_col).over(w))
     )
-    def _num(c):
-        return F.col(c).cast("double")
 
     b = asof_join(
         left, r.select(*by, on, value_col, "__pk", "__pv"),
@@ -180,18 +192,15 @@ def interp_join(
             "MICROSECOND",
             F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col(on),
         ).cast("double")
-        scale = 1e6
     elif dt.startswith("timestamp"):
         k = F.col(on).cast("double") * 1e6
-        scale = 1e6
     else:
         k = F.col(on).cast("double")
-        scale = 1.0
 
     kb, vb = F.col(f"{on}_b"), F.col(f"{value_col}_b")
     kf, vf = F.col(f"{on}_f"), F.col(f"{value_col}_f")
-    pk, pv = F.col("__pk_b").cast("double") * F.lit(scale), F.col("__pv_b")
-    nk, nv = F.col("__nk_f").cast("double") * F.lit(scale), F.col("__nv_f")
+    pk, pv = F.col("__pk_b"), F.col("__pv_b")
+    nk, nv = F.col("__nk_f"), F.col("__nv_f")
 
     interior = vb + (vf - vb) * (k - kb) / F.nullif(kf - kb, F.lit(0.0))
     extrap_hi = vb + (vb - pv) * (k - kb) / F.nullif(kb - pk, F.lit(0.0))

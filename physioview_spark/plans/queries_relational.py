@@ -1187,3 +1187,201 @@ def eda_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_excessive_slope",
             F.round(F.col("excessive_slope") * 100.0 / 20, 2)))
     return eda_summary(m)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: J2 tolerance as-of, K22 interp join, P4 duration,
+# Q7 unusable-boundary nulling — previously pytest-only operators, now
+# under the oracle gate with recomputing DuckDB twins.
+# ---------------------------------------------------------------------------
+
+@q("asof_tolerance_match", """
+WITH e AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT e.event_id, o.o_orderkey AS bk,
+         CAST(epoch_us(o.o_orderdate) AS DOUBLE) AS bts
+  FROM e ASOF LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+), f AS (
+  SELECT e.event_id, o.o_orderkey AS fk,
+         CAST(epoch_us(o.o_orderdate) AS DOUBLE) AS fts
+  FROM e ASOF LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+), nearest AS (
+  SELECT e.event_id, e.user_id,
+         CAST(epoch_us(e.ts) AS DOUBLE) AS k,
+         CASE WHEN fts IS NULL THEN TRUE
+              WHEN bts IS NULL THEN FALSE
+              ELSE (k - bts) <= (fts - k) END AS use_back,
+         bk, bts, fk, fts
+  FROM e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN ABS(k - m_ts) <= 259200e6 THEN m_key END
+         AS matched_orderkey,
+       CASE WHEN ABS(k - m_ts) <= 259200e6
+            THEN CAST(floor(m_ts / 1e6) AS BIGINT) END AS matched_epoch
+FROM (SELECT event_id, user_id, k,
+             CASE WHEN use_back THEN bk ELSE fk END AS m_key,
+             CASE WHEN use_back THEN bts ELSE fts END AS m_ts
+      FROM nearest)
+""")
+def asof_tolerance_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 as-of join, direction='nearest' with tolerance: each purchase
+    event matched to the user's nearest order DATE within 3 days, NULL
+    outside the tolerance (the reference's merge_asof tolerance path,
+    physioview/physioview.py:1748-1758). Oracle: two DuckDB ASOF joins
+    (backward + forward), backward-wins-ties, same microsecond key."""
+    ev = read(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    o = read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    out = asof_join(ev, o, on="ts", by="user_id", direction="nearest",
+                    tolerance=259200.0, right_cols=["o_orderkey"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("o_orderkey_r").alias("matched_orderkey"),
+        (F.col("ts_r") / 1e6).cast("long").alias("matched_epoch"),
+    )
+
+
+@q("order_value_interp", """
+WITH r0 AS (
+  SELECT o_custkey AS u, o_orderdate AS k, SUM(o_totalprice) AS v
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT u, k, v,
+         CAST(epoch_us(k) AS DOUBLE) AS ku,
+         LAG(CAST(epoch_us(k) AS DOUBLE)) OVER w AS pk,
+         LAG(v) OVER w AS pv,
+         LEAD(CAST(epoch_us(k) AS DOUBLE)) OVER w AS nk,
+         LEAD(v) OVER w AS nv
+  FROM r0 WINDOW w AS (PARTITION BY u ORDER BY k)
+), e AS (
+  SELECT event_id, user_id, ts,
+         CAST(epoch_us(ts) AS DOUBLE) AS ek
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT e.event_id, r.ku AS bku, r.v AS bv, r.pk, r.pv
+  FROM e ASOF LEFT JOIN r ON e.user_id = r.u AND e.ts >= r.k
+), f AS (
+  SELECT e.event_id, r.ku AS fku, r.v AS fv, r.nk, r.nv
+  FROM e ASOF LEFT JOIN r ON e.user_id = r.u AND e.ts <= r.k
+)
+SELECT e.event_id, e.user_id,
+       ROUND(CASE
+         WHEN bku IS NULL AND fku IS NULL THEN NULL
+         WHEN bku IS NULL THEN
+           COALESCE(fv + (fv - nv) * (ek - fku) / NULLIF(fku - nk, 0), fv)
+         WHEN fku IS NULL THEN
+           COALESCE(bv + (bv - pv) * (ek - bku) / NULLIF(bku - pk, 0), bv)
+         WHEN fku = bku THEN bv
+         ELSE bv + (fv - bv) * (ek - bku) / NULLIF(fku - bku, 0)
+       END, 4) AS val_interp
+FROM e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+""")
+def order_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K22 interp_join: the per-customer daily order-value series sampled
+    at each purchase event's timestamp — interior keys blend the
+    bracketing values linearly, keys outside the series extrapolate from
+    the edge pair (interp1d(..., fill_value='extrapolate') semantics,
+    reference: pipeline/SQA.py:2436-2447). Oracle recomputes the
+    backward/forward neighbors + blend in SQL on the same microsecond
+    axis."""
+    from physioview_spark.operators.asof import interp_join
+
+    orders = read(spark, sf_dir, "orders")
+    r = (orders.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"))
+         .agg(F.sum("o_totalprice").alias("val")))
+    ev = read(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    out = interp_join(ev, r, on="ts", value_col="val", by="user_id",
+                      out_col="val_interp")
+    return out.select(
+        "event_id", "user_id",
+        F.round("val_interp", 4).alias("val_interp"),
+    )
+
+
+@q("subject_durations", """
+SELECT CAST(user_id AS VARCHAR) AS subject_id,
+       CAST(COUNT(*) AS DOUBLE) / 2.0 AS duration_s
+FROM events GROUP BY 1
+""")
+def subject_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 get_duration: per-subject recording length in seconds
+    (row count / fs; reference get_duration, pipeline/ACC.py:26-45)."""
+    from physioview_spark.operators.acc import get_duration
+
+    s = events_as_samples(spark, sf_dir)
+    return get_duration(s, fs=2.0)
+
+
+@q("unusable_boundary_nulling", f"""
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT)
+           AS sample_idx,
+         CASE WHEN event_type = 'purchase' THEN value END AS val,
+         CASE WHEN event_type = 'signup' THEN 1 END AS unusable
+  FROM events
+), blocks AS (
+  SELECT subject_id, MIN(sample_idx) AS lo, MAX(sample_idx) AS hi
+  FROM (SELECT subject_id, sample_idx,
+               sample_idx - ROW_NUMBER() OVER
+                 (PARTITION BY subject_id ORDER BY sample_idx) AS grp
+        FROM s WHERE unusable = 1)
+  GROUP BY subject_id, grp
+), pre AS (
+  SELECT v.subject_id, b.lo, MAX(v.sample_idx) AS kill_idx
+  FROM s v JOIN blocks b
+    ON v.subject_id = b.subject_id AND v.sample_idx < b.lo
+  WHERE v.val IS NOT NULL GROUP BY 1, 2
+), post AS (
+  SELECT v.subject_id, b.hi, MIN(v.sample_idx) AS kill_idx
+  FROM s v JOIN blocks b
+    ON v.subject_id = b.subject_id AND v.sample_idx > b.hi
+  WHERE v.val IS NOT NULL GROUP BY 1, 2
+), kill AS (
+  SELECT DISTINCT subject_id, kill_idx FROM
+    (SELECT subject_id, kill_idx FROM pre
+     UNION ALL SELECT subject_id, kill_idx FROM post)
+)
+SELECT s.subject_id, s.sample_idx, ROUND(s.val, 2) AS val
+FROM s LEFT JOIN kill k
+  ON s.subject_id = k.subject_id AND s.sample_idx = k.kill_idx
+WHERE s.val IS NOT NULL AND k.kill_idx IS NULL
+""")
+def unusable_boundary_nulling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 boundary hygiene: signup seconds are unusable blocks; for each
+    block the last purchase value before it and the first after it are
+    nulled (their intervals cross the unusable region — reference:
+    dashboard/callbacks.py:1660-1688). Output = the surviving sparse
+    values; oracle recomputes the gaps-and-islands blocks and boundary
+    kills in SQL."""
+    from physioview_spark.operators.corrections import null_boundary_values
+
+    ev = read(spark, sf_dir, "events")
+    sec = F.timestamp_diff(
+        "SECOND", F.lit(EPOCH0).cast("timestamp_ntz"), F.col("ts"))
+    s = ev.select(
+        F.col("user_id").cast("string").alias("subject_id"),
+        sec.cast("long").alias("sample_idx"),
+        F.when(F.col("event_type") == "purchase",
+               F.col("value")).alias("val"),
+        F.when(F.col("event_type") == "signup", F.lit(1.0))
+        .alias("unusable"),
+    )
+    out = null_boundary_values(s, value_cols=["val"],
+                               unusable_col="unusable")
+    return (out.where(F.col("val").isNotNull())
+            .select("subject_id", "sample_idx",
+                    F.round("val", 2).alias("val")))
