@@ -1385,3 +1385,114 @@ def unusable_boundary_nulling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.where(F.col("val").isNotNull())
             .select("subject_id", "sample_idx",
                     F.round("val", 2).alias("val")))
+
+
+@q("beat_edits_applied", f"""
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT)
+           AS sample_idx,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 END) AS beat
+  FROM events GROUP BY 1, 2
+), be AS (
+  SELECT subject_id, x, MAX(edit_type) AS edit_type FROM (
+    SELECT CAST(user_id AS VARCHAR) AS subject_id,
+           CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT)
+             AS x,
+           CASE WHEN event_type = 'click' THEN 'ADD' ELSE 'DELETE' END
+             AS edit_type
+    FROM events WHERE event_type IN ('click', 'error'))
+  GROUP BY 1, 2
+), sp AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '{EPOCH0}') AS BIGINT)
+           AS lo
+  FROM events WHERE event_type = 'signup'
+), b AS (
+  SELECT s.subject_id, s.sample_idx, e.x AS bx, e.edit_type AS bt
+  FROM s ASOF LEFT JOIN be e
+    ON s.subject_id = e.subject_id AND s.sample_idx >= e.x
+), f AS (
+  SELECT s.subject_id, s.sample_idx, e.x AS fx, e.edit_type AS ft
+  FROM s ASOF LEFT JOIN be e
+    ON s.subject_id = e.subject_id AND s.sample_idx <= e.x
+), m AS (
+  SELECT s.subject_id, s.sample_idx, s.beat,
+         CASE WHEN CASE WHEN fx IS NULL THEN TRUE
+                        WHEN bx IS NULL THEN FALSE
+                        ELSE (s.sample_idx - bx) <= (fx - s.sample_idx) END
+              THEN bx ELSE fx END AS mx,
+         CASE WHEN CASE WHEN fx IS NULL THEN TRUE
+                        WHEN bx IS NULL THEN FALSE
+                        ELSE (s.sample_idx - bx) <= (fx - s.sample_idx) END
+              THEN bt ELSE ft END AS mt
+  FROM s
+  LEFT JOIN b ON s.subject_id = b.subject_id
+             AND s.sample_idx = b.sample_idx
+  LEFT JOIN f ON s.subject_id = f.subject_id
+             AND s.sample_idx = f.sample_idx
+), tagged AS (
+  SELECT subject_id, sample_idx, beat,
+         CASE WHEN ABS(sample_idx - mx) <= 1 THEN mt END AS et
+  FROM m
+), u AS (
+  SELECT DISTINCT s.subject_id, s.sample_idx
+  FROM s JOIN sp ON s.subject_id = sp.subject_id
+              AND s.sample_idx BETWEEN sp.lo AND sp.lo + 600
+)
+SELECT t.subject_id, t.sample_idx,
+       CASE WHEN t.et = 'DELETE' THEN 1.0::DOUBLE END AS deleted_beat,
+       CASE WHEN t.et = 'ADD' THEN 1.0::DOUBLE END AS added_beat,
+       CASE WHEN u.sample_idx IS NOT NULL THEN 1.0::DOUBLE END AS unusable,
+       CASE WHEN t.et = 'ADD' THEN 1.0::DOUBLE
+            WHEN t.et = 'DELETE' OR u.sample_idx IS NOT NULL THEN NULL
+            WHEN t.beat = 1 THEN 1.0::DOUBLE END AS edited
+FROM tagged t
+LEFT JOIN u ON t.subject_id = u.subject_id AND t.sample_idx = u.sample_idx
+""")
+def beat_edits_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 process_beat_edits (sample-index mode) under the gate: clicks
+    are ADD edits, errors DELETE edits (deduped keep-max per location so
+    the keep-last rule is order-independent), signups open 10-minute
+    UNUSABLE spans. The reference's tolerance quirk is preserved: every
+    sample within +/-1 of an edit location is tagged (reference:
+    physioview/physioview.py:1720-1831). Oracle recomputes the nearest
+    match (backward wins ties), tolerance cut, span semi-join, and the
+    edited-beat algebra in SQL."""
+    from physioview_spark.sources.beat_editor import process_beat_edits
+
+    ev = read(spark, sf_dir, "events")
+    sec = F.timestamp_diff(
+        "SECOND", F.lit(EPOCH0).cast("timestamp_ntz"), F.col("ts"))
+    samples = (
+        ev.select(
+            F.col("user_id").cast("string").alias("subject_id"),
+            sec.cast("long").alias("sample_idx"),
+            F.when(F.col("event_type") == "purchase", F.lit(1.0))
+            .alias("beat"))
+        .groupBy("subject_id", "sample_idx")
+        .agg(F.max("beat").alias("beat"))
+    )
+    beat_edits = (
+        ev.where(F.col("event_type").isin("click", "error"))
+        .select(
+            F.col("user_id").cast("string").alias("subject_id"),
+            sec.cast("double").alias("x"),
+            F.when(F.col("event_type") == "click", F.lit("ADD"))
+            .otherwise(F.lit("DELETE")).alias("editType"))
+        .groupBy("subject_id", "x")
+        .agg(F.max("editType").alias("editType"))
+        .withColumn("from", F.lit(None).cast("double"))
+        .withColumn("to", F.lit(None).cast("double"))
+    )
+    spans = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").cast("string").alias("subject_id"),
+        F.lit(None).cast("double").alias("x"),
+        F.lit("UNUSABLE").alias("editType"),
+        sec.cast("double").alias("from"),
+        (sec + 600).cast("double").alias("to"),
+    )
+    edits = beat_edits.unionByName(spans)
+    out = process_beat_edits(samples, edits, use_ts=False)
+    return out.select("subject_id", "sample_idx", "deleted_beat",
+                      "added_beat", "unusable", "edited")
