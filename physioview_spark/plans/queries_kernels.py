@@ -329,3 +329,170 @@ def e4_ingest_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in per_stream[1:] + [al]:
         out = out.unionByName(f)
     return out.orderBy("subject_id", "stream")
+
+
+@q("edf_ingest_channels")
+def edf_ingest_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 through the driver contract: synthesize deterministic
+    Actiwave EDFs (int16-quantized ECG + 3-axis ACC at different rates),
+    ingest them distributed (binaryFile + mapInPandas decode), and roll
+    up per-channel checks — row counts, header rates, quantized means.
+    Both the plain and the time_aligned (Fourier-resampled ACC on the
+    ECG grid) paths are exercised."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from physioview_spark.sources.edf import load_actiwave, write_edf_bytes
+    from physioview_spark.testing import synth_ecg
+
+    d = tempfile.mkdtemp(prefix="edfq_")
+    fs_ecg, fs_acc, seconds = 256, 32, 20
+    for i, subj in enumerate(("edf_a", "edf_b")):
+        sig, _ = synth_ecg(fs=float(fs_ecg), duration=float(seconds),
+                           seed=31 + i)
+        rng = np.random.RandomState(41 + i)
+        m = fs_acc * seconds
+        signals = [
+            {"label": "ECG0", "fs": fs_ecg, "data": sig * 1000.0,
+             "dim": "uV"},
+            {"label": "X", "fs": fs_acc, "data": rng.normal(0, 1, m)},
+            {"label": "Y", "fs": fs_acc, "data": rng.normal(0, 1, m)},
+            {"label": "Z", "fs": fs_acc,
+             "data": 9.8 + rng.normal(0, .1, m)},
+        ]
+        with open(os.path.join(d, f"{subj}.edf"), "wb") as fh:
+            fh.write(write_edf_bytes(signals))
+
+    frames = load_actiwave(spark, d)
+    ecg = frames["ecg"].groupBy("subject_id").agg(
+        F.lit("ecg").alias("channel"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("ecg"), 6).alias("mean_value"),
+        F.round(F.min("fs"), 2).alias("fs"),
+    )
+    acc = frames["acc"].groupBy("subject_id").agg(
+        F.lit("acc_magnitude").alias("channel"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("magnitude"), 6).alias("mean_value"),
+        F.round(F.min("fs"), 2).alias("fs"),
+    )
+    aligned = load_actiwave(spark, d, time_aligned=True)["aligned"]
+    al = aligned.groupBy("subject_id").agg(
+        F.lit("aligned_z").alias("channel"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("z"), 6).alias("mean_value"),
+        F.round(F.min("fs"), 2).alias("fs"),
+    )
+    return (ecg.unionByName(acc).unionByName(al)
+            .select("subject_id", "channel", "n_rows", "mean_value", "fs")
+            .orderBy("subject_id", "channel"))
+
+
+@q("resample_grid_stats")
+def resample_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K19-K21 through the driver contract: a deterministic band-limited
+    signal pushed through each resampler (Fourier, polyphase up/down,
+    FIR decimate) inside a distributed Arrow pass; per-variant length +
+    energy + error-vs-analytic rollups."""
+    import numpy as np
+    import pandas as pd
+
+    from physioview_spark.dsp.apply import (
+        decimate_fir, fourier_resample, resample_poly,
+    )
+
+    fs = 128.0
+    n = int(fs * 30)
+    t = np.arange(n) / fs
+    x = (np.sin(2 * np.pi * 3.0 * t) + 0.5 * np.sin(2 * np.pi * 7.5 * t))
+    pdf = pd.DataFrame({
+        "subject_id": np.repeat("r0", n),
+        "sample_idx": np.arange(n, dtype=np.int64),
+        "value": x,
+    })
+    df = spark.createDataFrame(pdf)
+
+    schema = ("subject_id string, variant string, n_out long, "
+              "rms double, max_err double")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sample_idx")
+        sig = pdf["value"].to_numpy()
+        outs = {
+            "fourier_x2": fourier_resample(sig, 2 * len(sig)),
+            "poly_3_2": resample_poly(sig, 3, 2),
+            "decimate_4": decimate_fir(sig, 4),
+        }
+        rows = []
+        for name, y in outs.items():
+            ratio = len(y) / len(sig)
+            ty = np.arange(len(y)) / (fs * ratio)
+            ref = (np.sin(2 * np.pi * 3.0 * ty)
+                   + 0.5 * np.sin(2 * np.pi * 7.5 * ty))
+            # edge transients excluded: compare the interior 80%
+            sl = slice(len(y) // 10, -len(y) // 10)
+            rows.append((
+                pdf["subject_id"].iloc[0], name, len(y),
+                round(float(np.sqrt(np.mean(y[sl] ** 2))), 6),
+                round(float(np.max(np.abs(y[sl] - ref[sl]))), 6),
+            ))
+        return pd.DataFrame(rows, columns=["subject_id", "variant",
+                                           "n_out", "rms", "max_err"])
+
+    return (df.groupBy("subject_id")
+            .applyInPandas(lambda k, p: run(p), schema=schema)
+            .orderBy("subject_id", "variant"))
+
+
+@q("corrections_accept_revert")
+def corrections_accept_revert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 accept/revert through the driver contract: a beat train with
+    suggested corrections is accepted (beat := corrected, artifacts
+    re-identified by the CBD kernel) then reverted (beat :=
+    original_beat); per-segment rollups of both states plus the revert
+    round-trip check."""
+    import numpy as np
+
+    from physioview_spark.operators.corrections import (
+        accept_corrections, revert_corrections,
+    )
+
+    fs = 100.0
+    clean = np.arange(50, 100 * 120, 80)  # ~75 bpm at fs=100
+    rng = np.random.RandomState(17)
+    # corrected train: drop every 13th beat, jitter a few others
+    corrected = [int(b) for i, b in enumerate(clean) if i % 13 != 5]
+    n = 100 * 120
+    beat = np.full(n, np.nan)
+    beat[clean[clean < n]] = 1.0
+    corr = np.full(n, np.nan)
+    corr[[b for b in corrected if b < n]] = 1.0
+    rows = [("c0", i,
+             None if np.isnan(beat[i]) else 1.0,
+             None if np.isnan(corr[i]) else 1.0,
+             None) for i in range(n)]
+    samples = spark.createDataFrame(
+        rows, "subject_id string, sample_idx long, beat double, "
+              "corrected double, artifact double")
+
+    accepted = accept_corrections(samples, fs)
+    reverted = revert_corrections(accepted, fs)
+
+    seg = (F.floor(F.col("sample_idx") / int(30 * fs)) + 1).alias("segment")
+
+    def rollup(df, state):
+        return df.groupBy("subject_id", seg).agg(
+            F.lit(state).alias("state"),
+            F.sum(F.when(F.col("beat") == 1, 1).otherwise(0))
+            .alias("n_beats"),
+            F.sum(F.when(F.col("artifact") == 1, 1).otherwise(0))
+            .alias("n_artifacts"),
+        )
+
+    return (rollup(accepted, "accepted")
+            .unionByName(rollup(reverted, "reverted"))
+            .select("subject_id", "state", "segment", "n_beats",
+                    "n_artifacts")
+            .orderBy("subject_id", "state", "segment"))

@@ -31,6 +31,9 @@ FIXTURE_QUERIES = [
     # twins over committed input fixtures (tools/make_input_fixtures.py)
     # — no pinned output needed.
     "e4_ingest_aligned",
+    "edf_ingest_channels",
+    "resample_grid_stats",
+    "corrections_accept_revert",
     "multimodal_audio_features",
     "multimodal_video_frames",
     "multimodal_image_features",
