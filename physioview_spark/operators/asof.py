@@ -142,9 +142,11 @@ def interp_join(
     For each left row, the right series is sampled at the left key:
     interior keys blend the bracketing right values linearly; keys outside
     the right range extrapolate from the edge pair (interp1d semantics).
-    Implementation: two as-of passes (backward + forward) where the right
-    side also carries its lagged/led neighbor, so the edge slopes ride
-    along — fully relational, two shuffles, no Python.
+    Implementation: ONE tagged union of both sides, then a backward and a
+    forward carry window over the same partitioning — the right side (with
+    its lagged/led neighbors riding along) is computed once and the union
+    shuffles once, instead of the two sequential as-of passes this used to
+    take. Fully relational, a single Exchange on ``by``, no Python.
     """
     from pyspark.sql import Window
 
@@ -153,59 +155,71 @@ def interp_join(
     by = by or []
     out_col = out_col or f"{value_col}_interp"
 
-    # Neighbor keys are carried through the as-of passes ALREADY on the
-    # numeric axis (epoch microseconds for timestamps) — a timestamp_ntz
-    # column cannot be cast to double after the fact.
-    dt_r = dict(right.dtypes).get(on, "")
-    if dt_r == "timestamp_ntz":
-        rkey = F.timestamp_diff(
-            "MICROSECOND",
-            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col(on),
-        ).cast("double")
-    elif dt_r.startswith("timestamp"):
-        rkey = F.col(on).cast("double") * 1e6
-    else:
-        rkey = F.col(on).cast("double")
+    def _num_key(df: DataFrame) -> F.Column:
+        # Numeric ordering axis: epoch microseconds for timestamps (NTZ via
+        # timestamp_diff so the key ignores the session timezone).
+        dt = dict(df.dtypes).get(on, "")
+        if dt == "timestamp_ntz":
+            return F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col(on),
+            ).cast("double")
+        if dt.startswith("timestamp"):
+            return F.col(on).cast("double") * 1e6
+        return F.col(on).cast("double")
 
     w = Window.partitionBy(*by).orderBy(on)
-    r = (
+    rkey = _num_key(right)
+    rhs = (
         right.select(*by, on, value_col)
+        .withColumn("__k", rkey)
+        .withColumn("__rk", rkey)
+        .withColumn("__v", F.col(value_col).cast("double"))
         .withColumn("__pk", F.lag(rkey).over(w))
         .withColumn("__pv", F.lag(value_col).over(w))
         .withColumn("__nk", F.lead(rkey).over(w))
         .withColumn("__nv", F.lead(value_col).over(w))
+        .withColumn("__side", F.lit(0))
+        .drop(on, value_col)
     )
+    lhs = left.withColumn("__k", _num_key(left)).withColumn("__side", F.lit(1))
+    for c in ("__rk", "__v", "__pk", "__pv", "__nk", "__nv"):
+        lhs = lhs.withColumn(c, F.lit(None).cast("double"))
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    unioned = lhs.unionByName(rhs.select(*lhs.columns))
 
-    b = asof_join(
-        left, r.select(*by, on, value_col, "__pk", "__pv"),
-        on=on, by=by, direction="backward", suffix="_b",
+    # Right rows sort before left at equal keys (ascending __side) so an
+    # exact-timestamp match is visible to the backward carry; the forward
+    # carry orders __side descending for the symmetric reason.
+    w_back = (
+        Window.partitionBy(*by).orderBy("__k", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    f = asof_join(
-        b, r.select(*by, on, value_col, "__nk", "__nv"),
-        on=on, by=by, direction="forward", suffix="_f",
+    w_fwd = (
+        Window.partitionBy(*by).orderBy("__k", F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    # asof_join returns the matched key as epoch-us double for timestamps;
-    # rebuild the left key on the same scale
-    dt = dict(left.dtypes).get(on, "")
-    if dt == "timestamp_ntz":
-        k = F.timestamp_diff(
-            "MICROSECOND",
-            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col(on),
-        ).cast("double")
-    elif dt.startswith("timestamp"):
-        k = F.col(on).cast("double") * 1e6
-    else:
-        k = F.col(on).cast("double")
+    carry_b = {c: F.last(c, ignorenulls=True).over(w_back)
+               for c in ("__rk", "__v", "__pk", "__pv")}
+    carry_f = {c: F.first(c, ignorenulls=True).over(w_fwd)
+               for c in ("__rk", "__v", "__nk", "__nv")}
+    out = unioned.withColumns(
+        {f"__b{c}": e for c, e in carry_b.items()}
+        | {f"__f{c}": e for c, e in carry_f.items()}
+    ).where(F.col("__side") == 1)
 
-    kb, vb = F.col(f"{on}_b"), F.col(f"{value_col}_b")
-    kf, vf = F.col(f"{on}_f"), F.col(f"{value_col}_f")
-    pk, pv = F.col("__pk_b"), F.col("__pv_b")
-    nk, nv = F.col("__nk_f"), F.col("__nv_f")
+    k = F.col("__k")
+    kb, vb = F.col("__b__rk"), F.col("__b__v")
+    kf, vf = F.col("__f__rk"), F.col("__f__v")
+    pk, pv = F.col("__b__pk"), F.col("__b__pv")
+    nk, nv = F.col("__f__nk"), F.col("__f__nv")
 
     interior = vb + (vf - vb) * (k - kb) / F.nullif(kf - kb, F.lit(0.0))
     extrap_hi = vb + (vb - pv) * (k - kb) / F.nullif(kb - pk, F.lit(0.0))
     extrap_lo = vf + (vf - nv) * (k - kf) / F.nullif(kf - nk, F.lit(0.0))
-    out = f.withColumn(
+    out = out.withColumn(
         out_col,
         F.when(kb.isNull() & kf.isNull(), F.lit(None).cast("double"))
         .when(kb.isNull(), F.coalesce(extrap_lo, vf))
@@ -213,6 +227,4 @@ def interp_join(
         .when(kf == kb, vb)
         .otherwise(interior),
     )
-    drop = [f"{on}_b", f"{on}_f", f"{value_col}_b", f"{value_col}_f",
-            "__pk_b", "__pv_b", "__nk_f", "__nv_f"]
-    return out.drop(*drop)
+    return out.select(*left.columns, out_col)
