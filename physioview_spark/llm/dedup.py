@@ -153,6 +153,93 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list by iterative
+    min-label propagation: ``(node, cluster_id)`` where ``cluster_id`` is
+    the smallest node id in the component.
+
+    Each round is one equi-join (edges x labels) + one min-groupBy, with
+    the label frame eagerly materialized (``localCheckpoint``) so the plan
+    does not re-expand the whole lineage per iteration (the engine's known
+    iterative-plan-explosion hazard). Rounds needed = graph diameter;
+    near-dup graphs from LSH banding are near-cliques (diameter ~2), so
+    this converges in 2-3 rounds at any corpus size. For adversarial
+    long-path graphs the alternating star-contraction algorithm (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") drops rounds
+    to O(log^2 n); not needed for dedup workloads.
+
+    Deterministic: labels are min ids, independent of partitioning.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vl").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH candidate pairs → connected
+    components → ``(doc_id, cluster_id, cluster_size, is_keeper)``.
+
+    The keeper is the min doc id per cluster (deterministic de-selection
+    policy: a training pipeline drops every member with
+    ``is_keeper = false``). Only documents that appear in at least one
+    candidate pair are emitted — untouched documents are implicitly their
+    own singleton cluster and need no shuffle."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, band_size)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias(id_col),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -312,6 +312,61 @@ def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(docs, k=3, num_hashes=8, band_size=2)
 
 
+@q("doc_dup_clusters", """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+), seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS u, reach.r FROM edges e JOIN reach ON reach.u = e.u
+), cc AS (
+  SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+), sized AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+)
+SELECT cc.doc_id, cc.cluster_id,
+       CAST(sized.cluster_size AS BIGINT) AS cluster_size,
+       cc.doc_id = cc.cluster_id AS is_keeper
+FROM cc JOIN sized USING (cluster_id)
+""")
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: MinHash-LSH candidates →
+    distributed connected components (min-label propagation, eagerly
+    checkpointed per round) → cluster id / size / keeper flag. The keep
+    policy a 100 TB curation pipeline actually needs — transitive dup
+    groups collapse to one keeper even when A~B~C but A!~C. Oracle
+    recomputes the components with a recursive CTE over the same LSH
+    pair CTEs."""
+    docs = read(spark, sf_dir, "documents")
+    return dedup.dup_clusters(docs, k=3, num_hashes=8, band_size=2)
+
+
 @q("embedding_ann_lsh", """
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,

@@ -343,3 +343,36 @@ class TestTextExtensions:
         # docs sharing a long substring share fingerprints
         assert len(by_doc[0] & by_doc[1]) >= 3
         assert len(by_doc[0] & by_doc[2]) == 0
+
+
+class TestDupClusters:
+    def test_connected_components_path_and_clique(self, spark):
+        # component A: path 1-2-3-4 (needs >1 propagation round for the
+        # min label to reach the far end); component B: clique {10,11,12};
+        # component C: pair {20, 21}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4),
+             (10, 11), (10, 12), (11, 12),
+             (20, 21)],
+            "id_a long, id_b long",
+        )
+        cc = {r["node"]: r["cluster_id"]
+              for r in dedup.connected_components(pairs).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1,
+                      10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_dup_clusters_transitive_keeper(self, spark, docs):
+        out = dedup.dup_clusters(docs).toPandas()
+        # every cluster has exactly one keeper, and it is the min id
+        for cid, g in out.groupby("cluster_id"):
+            assert g["is_keeper"].sum() == 1
+            assert g.loc[g["is_keeper"], "doc_id"].iloc[0] == g["doc_id"].min()
+            assert (g["cluster_size"] == len(g)).all()
+        # cluster ids are closed: every cluster_id is a member doc_id
+        assert set(out["cluster_id"]) <= set(out["doc_id"])
+        # members of one cluster are mutually reachable through LSH pairs
+        pairs = dedup.minhash_lsh_candidates(docs).toPandas()
+        edges = set(map(tuple, pairs.values)) | set(
+            map(tuple, pairs[["id_b", "id_a"]].values))
+        nodes_in_pairs = {n for e in edges for n in e}
+        assert set(out["doc_id"]) == nodes_in_pairs
