@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from physioview_spark.llm import dedup, similarity, text
+from physioview_spark.llm import dedup, sampling, similarity, text
 from physioview_spark.plans.common import fixture_oracle, read
 
 QUERIES: dict = {}
@@ -365,6 +365,56 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair CTEs."""
     docs = read(spark, sf_dir, "documents")
     return dedup.dup_clusters(docs, k=3, num_hashes=8, band_size=2)
+
+
+@q("doc_stratified_sample", """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS n_stop
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, ROUND(
+    LEAST(n_tokens / 50.0, 1.0) * 0.4
+    + LEAST(ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) * 5.0, 1.0) * 0.3
+    + (1.0 - LEAST(ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) * 10.0, 1.0)) * 0.15
+    + (1.0 - LEAST(ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) * 5.0, 1.0)) * 0.15,
+  4) AS quality_score FROM t
+), b AS (
+  SELECT doc_id, lang,
+         CAST(LEAST(FLOOR(COALESCE(quality_score, 0) * 5), 4) AS INT) AS q_bucket
+  FROM s
+), r AS (
+  SELECT doc_id, lang, q_bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, q_bucket
+           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, lang, q_bucket, CAST(rn AS INT) AS sample_rank
+FROM r WHERE rn <= 20
+""")
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified quota sample: up to 20 docs per
+    (language, quality-bucket) stratum, ordered by a seeded hash of the
+    doc id so the sample is reproducible on any partitioning. The
+    ``rank <= quota`` filter compiles to Spark's WindowGroupLimit — a
+    partial per-mapper top-k BEFORE the shuffle, so at 100 TB the
+    exchange carries O(mappers x strata x quota) rows, not the corpus."""
+    docs = read(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).withColumn(
+        "quality_score", F.coalesce("quality_score", F.lit(0.0))
+    )
+    bucketed = scored.select(
+        "doc_id", "lang", sampling.quality_bucket("quality_score", 5)
+    )
+    return sampling.stratified_sample(
+        bucketed, ["lang", "q_bucket"], quota=20, seed=42
+    )
 
 
 @q("embedding_ann_lsh", """

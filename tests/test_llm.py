@@ -376,3 +376,38 @@ class TestDupClusters:
             map(tuple, pairs[["id_b", "id_a"]].values))
         nodes_in_pairs = {n for e in edges for n in e}
         assert set(out["doc_id"]) == nodes_in_pairs
+
+
+class TestStratifiedSample:
+    def test_quota_and_determinism(self, spark):
+        from physioview_spark.llm import sampling
+        rows = [(i, "en" if i % 3 else "de") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = sampling.stratified_sample(df, ["lang"], quota=10)
+        pdf = out.toPandas()
+        assert (pdf.groupby("lang").size() == 10).all()
+        assert set(pdf.groupby("lang")["sample_rank"].max()) == {10}
+        # deterministic across partitionings
+        again = sampling.stratified_sample(
+            df.repartition(13), ["lang"], quota=10).toPandas()
+        a = set(map(tuple, pdf[["doc_id", "sample_rank"]].values))
+        b = set(map(tuple, again[["doc_id", "sample_rank"]].values))
+        assert a == b
+
+    def test_dict_quotas_mixing_weights(self, spark):
+        from physioview_spark.llm import sampling
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = sampling.stratified_sample(
+            df, ["lang"], quota={("en",): 5, ("de",): 2})
+        counts = dict(
+            out.groupBy("lang").count().rdd.map(tuple).collect())
+        # per-stratum quotas honored; unlisted stratum (fr) dropped
+        assert counts == {"en": 5, "de": 2}
+
+    def test_small_stratum_underfills(self, spark):
+        from physioview_spark.llm import sampling
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "en"), (3, "de")], "doc_id long, lang string")
+        out = sampling.stratified_sample(df, ["lang"], quota=10).toPandas()
+        assert len(out) == 3  # every row kept when stratum < quota
