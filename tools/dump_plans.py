@@ -15,6 +15,7 @@ sys.path.insert(0, ".")
 DEFAULT = [
     "pricing_summary", "top_revenue_nations", "asof_latest_order",
     "rolling_event_counts", "dedup_keep_first", "embedding_cosine_topk",
+    "order_value_interp", "doc_stratified_sample", "asof_tolerance_match",
 ]
 
 
