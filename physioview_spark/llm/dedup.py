@@ -15,7 +15,7 @@ Scale stance (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from physioview_spark.llm.text import word_shingles
 
@@ -119,6 +119,25 @@ def minhash_signatures(
     )
 
 
+def _lsh_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """(id, band, band_hash) rows: band = hash of ``band_size``
+    consecutive minhash values."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    return sig.withColumn(
+        "band", F.floor(F.col("seed") / band_size)
+    ).groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash"))))
+        .alias("band_hash")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -126,16 +145,25 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band
-    (band = hash of ``band_size`` consecutive minhash values)."""
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    bands = sig.withColumn(
-        "band", F.floor(F.col("seed") / band_size)
-    ).groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash"))))
-        .alias("band_hash")
-    )
+    """Candidate near-dup pairs: docs sharing any LSH band.
+
+    ``max_bucket_size`` skips buckets larger than that many docs BEFORE
+    the self-join: a bucket of m members fans out into m*(m-1)/2 pairs,
+    so one boilerplate bucket (cookie banners, license headers) turns
+    the join quadratic at corpus scale. Oversized buckets are near-exact
+    dup groups — run :func:`exact_duplicates` (one linear shuffle) first
+    and cap the residual here. For clustering, prefer
+    :func:`lsh_star_edges`, which never goes quadratic."""
+    bands = _lsh_bands(df, text_col, id_col, k, num_hashes, band_size)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_hash")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -149,6 +177,31 @@ def minhash_lsh_candidates(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        .distinct()
+    )
+
+
+def lsh_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Star edges per LSH bucket: every member connects to the bucket's
+    min id instead of to every other member — O(m) edges per bucket vs
+    O(m^2) for all-pairs, with IDENTICAL connected components (within a
+    bucket, all-pairs and the star reach the same members, so the
+    transitive closure over the union of buckets is unchanged). This is
+    the scale path for cluster-level dedup: no self-join anywhere, one
+    window over (band, band_hash)."""
+    bands = _lsh_bands(df, text_col, id_col, k, num_hashes, band_size)
+    w = Window.partitionBy("band", "band_hash")
+    hub = F.min(id_col).over(w)
+    return (
+        bands.select(hub.alias("id_a"), F.col(id_col).alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 
@@ -226,7 +279,7 @@ def dup_clusters(
     ``is_keeper = false``). Only documents that appear in at least one
     candidate pair are emitted — untouched documents are implicitly their
     own singleton cluster and need no shuffle."""
-    pairs = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, band_size)
+    pairs = lsh_star_edges(df, text_col, id_col, k, num_hashes, band_size)
     cc = connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

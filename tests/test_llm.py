@@ -377,6 +377,25 @@ class TestDupClusters:
         nodes_in_pairs = {n for e in edges for n in e}
         assert set(out["doc_id"]) == nodes_in_pairs
 
+    def test_star_edges_same_components_as_all_pairs(self, spark, docs):
+        star = dedup.lsh_star_edges(docs)
+        allp = dedup.minhash_lsh_candidates(docs)
+        cc_star = {(r["node"], r["cluster_id"])
+                   for r in dedup.connected_components(star).collect()}
+        cc_all = {(r["node"], r["cluster_id"])
+                  for r in dedup.connected_components(allp).collect()}
+        assert cc_star == cc_all
+        # star never exceeds all-pairs edge count
+        assert star.count() <= allp.count()
+
+    def test_max_bucket_size_caps_blowup(self, spark):
+        # 6 identical docs -> one bucket of 6 -> 15 pairs uncapped, 0 capped
+        rows = [(i, "same text repeated for every single document here")
+                for i in range(6)] + [(10, "an unrelated document entirely")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert dedup.minhash_lsh_candidates(df).count() == 15
+        assert dedup.minhash_lsh_candidates(df, max_bucket_size=5).count() == 0
+
 
 class TestStratifiedSample:
     def test_quota_and_determinism(self, spark):
