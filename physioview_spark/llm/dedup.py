@@ -373,3 +373,41 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_hits`` distinct k-word shingles with any benchmark
+    document (the n-gram-overlap rule used to scrub eval sets out of
+    pretraining corpora).
+
+    Output: ``(id, n_bench_docs, max_overlap)`` for contaminated docs —
+    ``n_bench_docs`` = how many benchmark docs it collides with,
+    ``max_overlap`` = largest shared-shingle count with any one of them.
+
+    Scale shape: benchmark sets are tiny next to the corpus, so the
+    bench shingle frame is **broadcast** — the corpus side streams
+    through a broadcast hash join with no corpus-wide shuffle; the only
+    exchange is the final per-doc groupBy on the (filtered) hits."""
+    tsh = shingle_frame(train, text_col, id_col, k)
+    bsh = (
+        shingle_frame(bench, text_col, id_col, k)
+        .withColumnRenamed(id_col, "__bench_id")
+    )
+    hits = (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy(id_col, "__bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_hits)
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bench_docs"),
+        F.max("n_common").alias("max_overlap"),
+    )

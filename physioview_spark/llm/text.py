@@ -171,3 +171,108 @@ def winnow_fingerprints(
         ).alias("fp"),
     )
     return out.distinct()
+
+
+# --- repetition / chunking / PII -------------------------------------------
+
+#: Conservative, RE2-and-Java-compatible patterns so the DuckDB oracle can
+#: run the identical regexes (no lookaround, no backrefs).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``top_2gram_frac``: occurrences of the most frequent word 2-gram
+      over total 2-grams (boilerplate/listicle detector).
+    - ``dup_3gram_frac``: fraction of 3-gram occurrences that are
+      repeats, ``(total - distinct) / total`` (internal copy-paste).
+
+    Shape: two explode + partial-aggregable groupBys keyed by the doc id
+    — linear, map-side combinable, no self-joins. Short texts (fewer
+    tokens than the gram size) collapse to one whole-text gram, giving
+    frac 1.0 / 0.0 — filter on ``n_tokens`` first if that matters."""
+    g2 = df.select(
+        id_col, F.explode(word_shingles(text_col, 2)).alias("g")
+    ).groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    s2 = g2.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_2gram_frac")
+    )
+    g3 = df.select(
+        id_col, F.explode(word_shingles(text_col, 3)).alias("g")
+    ).groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    s3 = g3.groupBy(id_col).agg(
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+        ).alias("dup_3gram_frac")
+    )
+    return s2.join(s3, id_col)
+
+
+def token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (``stride < chunk_size``) — the context-window packing precursor.
+    1-to-N explode, no shuffle at all: chunk boundaries are computed from
+    the token array in place, so this pipelines into whatever follows.
+
+    Output: ``(id, chunk_id, chunk_text, chunk_tokens)``; the last chunk
+    may be short; a document shorter than ``chunk_size`` yields exactly
+    one chunk."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))) + 1
+    )
+    base = df.select(
+        id_col, toks.alias("__toks"), n_chunks.alias("__nc")
+    ).select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("__nc").cast("long") - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), (F.col("chunk_id") * stride + 1).cast("int"),
+        chunk_size,
+    )
+    return base.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+    )
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str | None = None,
+    out_col: str = "text_scrubbed",
+) -> DataFrame:
+    """Redact emails / NANP phones / IPv4 addresses with typed tags and
+    count what was removed. Pure JVM regex (whole-stage codegen) — no
+    Python in the path. Patterns are deliberately RE2-compatible so the
+    oracle runs them verbatim; swap in stricter ones per deployment."""
+    t = F.col(text_col)
+    counts = {
+        "n_emails": PII_EMAIL, "n_phones": PII_PHONE, "n_ips": PII_IPV4,
+    }
+    for name, pat in counts.items():
+        df = df.withColumn(
+            name,
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long"),
+        )
+    scrubbed = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4, "<IP>")
+    return df.withColumn(out_col, scrubbed)

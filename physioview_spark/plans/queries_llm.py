@@ -417,6 +417,129 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("doc_repetition_stats", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), g2 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 2 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 1), ' ') END AS g
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 1, 1))) AS i) gi
+), c2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+), s2 AS (
+  SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_2gram_frac
+  FROM c2 GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS g
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) gi
+), c3 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g
+), s3 AS (
+  SELECT doc_id,
+         ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6) AS dup_3gram_frac
+  FROM c3 GROUP BY doc_id
+)
+SELECT s2.doc_id, top_2gram_frac, dup_3gram_frac
+FROM s2 JOIN s3 USING (doc_id)
+""")
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: most-frequent-2-gram
+    fraction and duplicate-3-gram fraction per document. Linear explode +
+    partial-aggregable groupBys, no self-join."""
+    docs = read(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+@q("doc_token_chunks", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), nc AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE CAST(CEIL((len(t) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+  FROM toks
+), ch AS (
+  SELECT doc_id, t, CAST(ci AS BIGINT) AS chunk_id
+  FROM nc, LATERAL (SELECT UNNEST(generate_series(0, n_chunks - 1)) AS ci) g
+)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
+         AS chunk_tokens
+FROM ch
+""")
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows (32 tokens, stride 24 — 8-token overlap)
+    for context-window packing. Pure 1-to-N explode from the in-place
+    token array: zero shuffles, pipelines into downstream stages."""
+    docs = read(spark, sf_dir, "documents")
+    return text.token_chunks(docs, chunk_size=32, stride=24)
+
+
+@q("doc_pii_scrub", """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS scrub_hash
+FROM documents
+""")
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / NANP phones / IPv4) with per-type counts;
+    the scrubbed text is hashed for compact comparison. All JVM regex —
+    whole-stage codegen, no Python in the path. (The synthetic corpus is
+    PII-free, so counts are zero here; tests/test_llm.py exercises real
+    matches.)"""
+    docs = read(spark, sf_dir, "documents")
+    return text.pii_scrub(docs).select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5("text_scrubbed").alias("scrub_hash"),
+    )
+
+
+@q("doc_decontaminate", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+), hits AS (
+  SELECT tr.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_common
+  FROM sh tr JOIN sh b ON tr.shingle = b.shingle
+  WHERE b.doc_id % 25 = 0 AND tr.doc_id % 25 <> 0
+  GROUP BY tr.doc_id, b.doc_id
+  HAVING COUNT(*) >= 3
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_docs,
+       CAST(MAX(n_common) AS BIGINT) AS max_overlap
+FROM hits GROUP BY doc_id
+""")
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 3 distinct
+    3-gram shingles with any 'benchmark' doc (deterministic eval slice:
+    doc_id % 25 == 0). Bench shingles broadcast; the corpus side streams
+    through the hash join with no corpus-wide shuffle."""
+    docs = read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return dedup.decontaminate(train, bench, k=3, min_hits=3)
+
+
 @q("embedding_ann_lsh", """
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,

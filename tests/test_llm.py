@@ -430,3 +430,61 @@ class TestStratifiedSample:
             [(1, "en"), (2, "en"), (3, "de")], "doc_id long, lang string")
         out = sampling.stratified_sample(df, ["lang"], quota=10).toPandas()
         assert len(out) == 3  # every row kept when stratum < quota
+
+
+class TestCurationOps:
+    def test_repetition_stats_golden(self, spark):
+        rows = [
+            (0, "a b a b a b"),          # 2-grams: ab,ba,ab,ba,ab -> top 3/5
+            (1, "w x y z q r"),          # all 2-grams unique -> top 1/5
+            (2, "hi"),                   # short: one whole-text gram
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+        assert out[0]["top_2gram_frac"] == pytest.approx(3 / 5)
+        # 3-grams of doc 0: aba,bab,aba,bab -> 4 total, 2 distinct -> 0.5
+        assert out[0]["dup_3gram_frac"] == pytest.approx(0.5)
+        assert out[1]["top_2gram_frac"] == pytest.approx(1 / 5)
+        assert out[1]["dup_3gram_frac"] == 0.0
+        assert out[2]["top_2gram_frac"] == 1.0
+
+    def test_token_chunks_shapes(self, spark):
+        toks = " ".join(f"t{i}" for i in range(80))
+        df = spark.createDataFrame(
+            [(0, toks), (1, "just three tokens")], "doc_id long, text string")
+        out = text.token_chunks(df, chunk_size=32, stride=24).toPandas()
+        d0 = out[out.doc_id == 0].sort_values("chunk_id")
+        # 80 tokens, size 32, stride 24 -> ceil((80-32)/24)+1 = 3 chunks
+        assert list(d0["chunk_id"]) == [0, 1, 2]
+        assert list(d0["chunk_tokens"]) == [32, 32, 32]  # 48+32 = 80 exactly
+        assert d0.iloc[1]["chunk_text"].split()[0] == "t24"  # overlap of 8
+        # every token of the doc appears in some chunk
+        covered = set(w for t in d0["chunk_text"] for w in t.split())
+        assert covered == set(toks.split())
+        d1 = out[out.doc_id == 1]
+        assert len(d1) == 1 and d1.iloc[0]["chunk_tokens"] == 3
+
+    def test_pii_scrub_redacts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "mail bob@example.com or call 555-123-4567 from 10.0.0.1"),
+             (1, "no pii here at all")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+        assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ips"]) == (1, 1, 1)
+        assert out[0]["text_scrubbed"] == "mail <EMAIL> or call <PHONE> from <IP>"
+        assert out[1]["text_scrubbed"] == "no pii here at all"
+
+    def test_decontaminate_flags_overlap(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(0, "he saw the quick brown fox jumps over a fence today"),
+             (1, "completely unrelated words about spark and parquet files")],
+            "doc_id long, text string")
+        out = dedup.decontaminate(train, bench, k=3, min_hits=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        # shared 3-shingles: "the quick brown","quick brown fox",
+        # "brown fox jumps","fox jumps over" -> 4
+        assert r["doc_id"] == 0 and r["max_overlap"] == 4 and r["n_bench_docs"] == 1
