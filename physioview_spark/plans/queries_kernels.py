@@ -496,3 +496,35 @@ def corrections_accept_revert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("subject_id", "state", "segment", "n_beats",
                     "n_artifacts")
             .orderBy("subject_id", "state", "segment"))
+
+
+@q("moving_average_events", """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS value_ma
+FROM events
+""")
+def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (cumsum moving average, dsp/apply.py:122) under a TRUE SQL
+    twin: the centered mode='same' alignment with shrinking edge windows
+    is exactly a ROWS BETWEEN half PRECEDING AND half FOLLOWING window,
+    so DuckDB recomputes the kernel independently — no pinned fixture.
+    The kernel runs Arrow-batched per user via apply_kernel."""
+    from physioview_spark.dsp.apply import moving_average
+    from physioview_spark.functions.spark_kernels import apply_kernel
+    from physioview_spark.plans.common import read
+    from pyspark.sql import Window
+
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "event_id", "value",
+        (F.row_number().over(w) - 1).cast("long").alias("sample_idx"),
+    )
+    out = apply_kernel(
+        base, lambda x: moving_average(x, 7), "value", "value_ma",
+        by="user_id",
+    )
+    return out.select(
+        "user_id", "event_id", F.round("value_ma", 6).alias("value_ma")
+    )
