@@ -85,3 +85,53 @@ def quality_bucket(
     return F.least(
         F.floor(F.col(score_col) * n_buckets), F.lit(n_buckets - 1)
     ).cast("int").alias(out_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx_len: int = 2048,
+    n_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic sequence packing: assign every document a position
+    in a (shard, context-window) grid, the concat-then-chunk layout used
+    to build pretraining batches.
+
+    Documents are sharded by two md5 hex digits of their seeded hash
+    (so shard membership is reproducible in any engine), ordered within
+    the shard by the same hash, and laid head-to-tail: a document's
+    ``start_offset`` is the running token count before it, and its
+    ``seq_id`` is ``floor(start_offset / ctx_len)`` — the context window
+    its first token lands in. Documents longer than ``ctx_len`` span
+    windows; run :func:`physioview_spark.llm.text.token_chunks` first if
+    hard boundaries are required.
+
+    Scale shape: one shuffle on ``shard`` + a per-shard running-sum
+    window. No global sort — the cross-shard order is never needed, so
+    parallelism is ``n_shards`` regardless of corpus size."""
+    from physioview_spark.llm.text import tokens
+
+    h = sample_order(id_col, seed)
+    base = df.select(
+        id_col,
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        h.alias("__h"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("__h", 1, 2), 16, 10).cast("long") % n_shards,
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn(
+        "seq_id", F.floor(F.col("start_offset") / ctx_len).cast("long")
+    )

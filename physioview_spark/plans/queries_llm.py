@@ -417,6 +417,39 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("doc_pack_sequences", """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), sh AS (
+  SELECT doc_id, n_tokens, h,
+         CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 4
+              AS BIGINT) AS shard
+  FROM t
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_offset
+  FROM sh
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS seq_id
+FROM c
+""")
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing into 4 shards x 256-token context
+    windows: md5-sharded, hash-ordered, head-to-tail running token
+    offsets. One shuffle + per-shard running sum; no global sort. The
+    oracle rebuilds the md5 shard digits and the running sum in SQL."""
+    docs = read(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, ctx_len=256, n_shards=4, seed=42)
+
+
 @q("doc_repetition_stats", """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -488,3 +488,25 @@ class TestCurationOps:
         # shared 3-shingles: "the quick brown","quick brown fox",
         # "brown fox jumps","fox jumps over" -> 4
         assert r["doc_id"] == 0 and r["max_overlap"] == 4 and r["n_bench_docs"] == 1
+
+
+class TestPackSequences:
+    def test_contiguous_offsets_and_determinism(self, spark):
+        from physioview_spark.llm import sampling
+        rows = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sampling.pack_sequences(df, ctx_len=16, n_shards=4).toPandas()
+        assert len(out) == 60
+        # within each shard, offsets are contiguous head-to-tail
+        for _, g in out.groupby("shard"):
+            g = g.sort_values("start_offset")
+            expect = 0
+            for _, r in g.iterrows():
+                assert r["start_offset"] == expect
+                assert r["seq_id"] == expect // 16
+                expect += r["n_tokens"]
+        # independent of input partitioning
+        again = sampling.pack_sequences(
+            df.repartition(7), ctx_len=16, n_shards=4).toPandas()
+        key = lambda p: sorted(map(tuple, p.values))
+        assert key(out) == key(again)
