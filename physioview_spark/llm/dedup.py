@@ -35,11 +35,15 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def shingle_frame(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) rows."""
-    return df.select(
+                  id_col: str = "doc_id", k: int = 3,
+                  distinct: bool = True) -> DataFrame:
+    """(id, shingle) rows; ``distinct`` dedups them (a corpus-wide
+    shuffle — pass False when the consumer is duplicate-insensitive,
+    e.g. a per-doc min)."""
+    out = df.select(
         id_col, F.explode(word_shingles(text_col, k)).alias("shingle")
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -107,8 +111,13 @@ def minhash_signatures(
     num_hashes: int = 8,
 ) -> DataFrame:
     """(id, seed, minhash) rows: minhash = min over shingles of
-    md5(seed || '|' || shingle). Engine-portable by construction."""
-    sh = shingle_frame(df, text_col, id_col, k)
+    md5(seed || '|' || shingle). Engine-portable by construction.
+
+    The shingle frame is NOT deduped first: min over a multiset equals
+    min over its set, so skipping the distinct removes the only
+    corpus-size shuffle — the groupBy below map-side combines to one
+    (id, seed, min) partial per task."""
+    sh = shingle_frame(df, text_col, id_col, k, distinct=False)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     exploded = sh.select(id_col, "shingle", seeds)
     return exploded.groupBy(id_col, "seed").agg(
@@ -394,15 +403,19 @@ def decontaminate(
 
     Scale shape: benchmark sets are tiny next to the corpus, so the
     bench shingle frame is **broadcast** — the corpus side streams
-    through a broadcast hash join with no corpus-wide shuffle; the only
-    exchange is the final per-doc groupBy on the (filtered) hits."""
-    tsh = shingle_frame(train, text_col, id_col, k)
+    through a broadcast hash join with NO corpus-wide shuffle: corpus
+    shingles are exploded un-deduped (a distinct first would shuffle
+    the whole corpus), the broadcast join keeps only hit rows, and the
+    distinct-shingle dedup runs on those (tiny) hits."""
+    tsh = shingle_frame(train, text_col, id_col, k, distinct=False)
     bsh = (
         shingle_frame(bench, text_col, id_col, k)
         .withColumnRenamed(id_col, "__bench_id")
     )
     hits = (
         tsh.join(F.broadcast(bsh), "shingle")
+        .select(id_col, "__bench_id", "shingle")
+        .distinct()
         .groupBy(id_col, "__bench_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_hits)
