@@ -241,3 +241,42 @@ class TestStatefulIbi:
             batch["ibi_ms"].values.astype(float), equal_nan=True)
         assert np.isnan(got["ibi_ms"].iloc[0])
         assert list(got["ibi_ms"].iloc[1:]) == [800.0, 900.0, 800.0, 600.0]
+
+
+class TestDocCuration:
+    def test_batch_vs_stream_dedup_and_gate(self, spark, tmp_path):
+        from physioview_spark.streaming import streaming_doc_curation
+
+        sch = "doc_id long, ingest_ts timestamp, text string"
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda i, s, t: (i, base + pd.Timedelta(seconds=s), t)
+        good = ("the data and the pipeline of it is in that table and "
+                "it is good that the text is long enough to pass the bar")
+        rows = [
+            mk(0, 0, good),
+            mk(1, 1, good + " extra"),          # distinct text
+            mk(2, 2, good),                     # duplicate of 0
+            mk(3, 3, "12345!!!"),                # low quality -> gated
+            mk(4, 240, good),                   # later duplicate of 0
+        ]
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(pd.DataFrame(
+            rows, columns=["doc_id", "ingest_ts", "text"]), sch
+        ).coalesce(1).write.parquet(p)
+
+        batch = streaming_doc_curation(spark.read.parquet(p)).toPandas()
+
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(p))
+        out = streaming_doc_curation(stream)
+        q = (out.writeStream.format("memory").queryName("doc_curation")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.table("doc_curation").toPandas()
+
+        # same surviving set of unique texts, exactly one row per hash,
+        # low-quality doc gated out in both modes
+        assert sorted(got["text_hash"]) == sorted(batch["text_hash"])
+        assert got["text_hash"].is_unique and batch["text_hash"].is_unique
+        assert 3 not in set(got["doc_id"]) | set(batch["doc_id"])
+        assert len(got) == 2
