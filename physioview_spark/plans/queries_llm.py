@@ -827,6 +827,122 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(docs, k=8, window=4)
 
 
+@q("doc_curation_pipeline", """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+), seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS u, reach.r FROM edges e JOIN reach ON reach.u = e.u
+), cc AS (
+  SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+), hits AS (
+  SELECT tr.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_common
+  FROM sh tr JOIN sh b ON tr.shingle = b.shingle
+  WHERE b.doc_id % 25 = 0 AND tr.doc_id % 25 <> 0
+  GROUP BY tr.doc_id, b.doc_id
+  HAVING COUNT(*) >= 3
+), contam AS (
+  SELECT DISTINCT doc_id FROM hits
+), qt AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS ns
+  FROM documents
+), q AS (
+  SELECT doc_id, ROUND(
+    LEAST(nt / 50.0, 1.0) * 0.4
+    + LEAST(ROUND(CAST(ns AS DOUBLE) / NULLIF(nt, 0), 4) * 5.0, 1.0) * 0.3
+    + (1.0 - LEAST(ROUND(CAST(np AS DOUBLE) / NULLIF(nc, 0), 4) * 10.0, 1.0)) * 0.15
+    + (1.0 - LEAST(ROUND(CAST(nd AS DOUBLE) / NULLIF(nc, 0), 4) * 5.0, 1.0)) * 0.15,
+  4) AS quality_score FROM qt
+), ex AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+  FROM documents
+)
+SELECT d.doc_id,
+  CASE WHEN ex.exact_keeper <> d.doc_id THEN 'drop_duplicate'
+       WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> d.doc_id
+         THEN 'drop_near_dup'
+       WHEN contam.doc_id IS NOT NULL THEN 'drop_contaminated'
+       WHEN q.quality_score < 0.5 THEN 'drop_low_quality'
+       ELSE 'keep' END AS decision
+FROM documents d
+JOIN ex ON ex.doc_id = d.doc_id
+LEFT JOIN cc ON cc.doc_id = d.doc_id
+LEFT JOIN contam ON contam.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+""")
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation capstone, four gates in priority order composed as
+    ONE relational plan: exact-dup keeper (hash window), near-dup
+    cluster keeper (MinHash-LSH star edges -> connected components),
+    benchmark decontamination (broadcast n-gram overlap), quality
+    threshold. The oracle recomputes every stage in SQL, including the
+    recursive-CTE connected components."""
+    from pyspark.sql import Window
+
+    docs = read(spark, sf_dir, "documents")
+    exact_keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    base = docs.select("doc_id", exact_keeper.alias("__exk"))
+    clusters = dedup.dup_clusters(docs).select("doc_id", "cluster_id")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    contam = (
+        dedup.decontaminate(train, bench, k=3, min_hits=3)
+        .select("doc_id", F.lit(True).alias("__contam"))
+    )
+    quality = text.quality_score(docs).select("doc_id", "quality_score")
+    return (
+        base.join(clusters, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("__exk") != F.col("doc_id"), "drop_duplicate")
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("doc_id")),
+                "drop_near_dup",
+            )
+            .when(F.col("__contam"), "drop_contaminated")
+            .when(F.col("quality_score") < 0.5, "drop_low_quality")
+            .otherwise("keep")
+            .alias("decision"),
+        )
+    )
+
+
 @q("doc_curation_decisions", """
 WITH q AS (
   SELECT doc_id, lang, text,
