@@ -188,3 +188,80 @@ class TestMetricsInvariants:
         assert len(m) > 0
         np.testing.assert_allclose(
             m["pct_valid"] + m["pct_invalid"], 100.0, atol=0.02)
+
+
+# -------------------------------------------------------- curation suite
+
+def _union_find_components(edges, nodes):
+    """Reference union-find (pure python) for connected_components."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in nodes}
+
+
+@st.composite
+def random_graphs(draw):
+    n = draw(st.integers(2, 30))
+    m = draw(st.integers(1, 60))
+    edges = draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+        min_size=m, max_size=m))
+    return [(u, v) for u, v in edges if u != v]
+
+
+class TestCurationProperties:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(random_graphs())
+    def test_connected_components_match_union_find(self, spark, edges):
+        from physioview_spark.llm.dedup import connected_components
+        if not edges:
+            return
+        nodes = sorted({x for e in edges for x in e})
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        # min-label canonical form: cluster id == min node of component
+        ref_root = _union_find_components(edges, nodes)
+        comp_min = {}
+        for n, r in ref_root.items():
+            comp_min.setdefault(r, []).append(n)
+        want = {n: min(comp_min[r]) for n, r in ref_root.items()}
+        assert got == want
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.integers(1, 120), st.integers(1, 40), st.integers(1, 40))
+    def test_token_chunks_cover_every_token_in_order(self, spark, n_tok,
+                                                     size, stride):
+        from physioview_spark.llm.text import token_chunks
+        if stride > size:  # gaps would drop tokens; contract is overlap
+            stride = size
+        words = [f"w{i}" for i in range(n_tok)]
+        df = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id long, text string")
+        out = (token_chunks(df, chunk_size=size, stride=stride)
+               .orderBy("chunk_id").collect())
+        # chunk i starts at i*stride; concatenation in order covers all
+        # tokens at least once, ends exactly at the last token
+        seen = set()
+        for r in out:
+            toks = r["chunk_text"].split()
+            start = r["chunk_id"] * stride
+            assert toks == words[start:start + size]
+            assert r["chunk_tokens"] == len(toks)
+            seen.update(toks)
+        assert seen == set(words)
+        # no fully-redundant trailing chunk: last chunk contains the
+        # final token
+        assert words[-1] in out[-1]["chunk_text"].split()
