@@ -344,12 +344,17 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
     Small-corpus exact pass (self-join + popcount); at scale, bucket by
     ``max_hamming+1`` signature chunks first (pigeonhole) so only
-    same-chunk pairs join."""
+    same-chunk pairs join. ``max_bucket_size`` skips chunk buckets with
+    more members than that BEFORE the self-join — the same quadratic
+    guard as :func:`minhash_lsh_candidates` (an oversized bucket is a
+    near-exact dup family; handle it with :func:`exact_duplicates` or
+    cluster-level :func:`dup_clusters`)."""
     sig = simhash(df, text_col, id_col, bits)
     chunk_bits = bits // (max_hamming + 1)
     chunks = sig.select(
@@ -360,6 +365,13 @@ def simhash_near_dups(
         F.expr(f"shiftright(simhash, CAST(c * {chunk_bits} AS INT))")
         .bitwiseAND(F.lit((1 << chunk_bits) - 1)),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("c", "chunk_val")
+        chunks = (
+            chunks.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -510,3 +510,13 @@ class TestPackSequences:
             df.repartition(7), ctx_len=16, n_shards=4).toPandas()
         key = lambda p: sorted(map(tuple, p.values))
         assert key(out) == key(again)
+
+
+def test_simhash_max_bucket_size_guard(spark):
+    # identical docs share every signature chunk -> one bucket of 6;
+    # capped, the all-identical family produces no self-join pairs
+    rows = [(i, "identical boilerplate text appearing everywhere online")
+            for i in range(6)] + [(10, "something else entirely different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.simhash_near_dups(df).count() == 15
+    assert dedup.simhash_near_dups(df, max_bucket_size=5).count() == 0
