@@ -188,6 +188,7 @@ def embedding_near_dups(
     n_planes: int = 4,
     dim: int = 64,
     n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), multi-band LSH:
     each vector hashes into ``n_bands`` INDEPENDENT plane-set buckets and
@@ -198,13 +199,24 @@ def embedding_near_dups(
     b-th power while the join stays an equi-join on (band, bucket) — the
     same sub-quadratic cost shape, recall restored. Candidates are
     deduplicated on (id_a, id_b) BEFORE the exact cosine re-rank so a
-    pair sharing several bands is scored once."""
+    pair sharing several bands is scored once.
+
+    ``max_bucket_size`` skips (band, bucket) groups larger than the cap
+    before the self-join — the quadratic guard for embedding farms with
+    huge identical-vector families (cf. dedup.minhash_lsh_candidates)."""
     v = df.select(id_col, vec_col)
     banded = v.select(
         id_col,
         F.explode(_banded_buckets(F.col(vec_col), n_planes, dim,
                                   n_bands)).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

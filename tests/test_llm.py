@@ -520,3 +520,18 @@ def test_simhash_max_bucket_size_guard(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert dedup.simhash_near_dups(df).count() == 15
     assert dedup.simhash_near_dups(df, max_bucket_size=5).count() == 0
+
+
+def test_embedding_near_dup_bucket_guard(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    rows = [(i, (base + rng.normal(scale=1e-4, size=64)).tolist())
+            for i in range(6)]
+    rows.append((10, rng.normal(size=64).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = similarity.embedding_near_dups(df, threshold=0.99)
+    assert uncapped.count() == 15  # the identical family, all pairs
+    capped = similarity.embedding_near_dups(
+        df, threshold=0.99, max_bucket_size=5)
+    assert capped.count() == 0
