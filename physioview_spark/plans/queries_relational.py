@@ -1046,21 +1046,34 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     claim, hash-checked by the oracle."""
     import uuid
 
-    from physioview_spark.streaming import streaming_segment_sqa
+    from physioview_spark.streaming import (
+        await_stream, streaming_segment_sqa,
+    )
 
-    # match the batch reader's nanos handling (common.read sets
-    # nanosAsLong): declare ts as the raw nanos long and convert here
+    # The driver has shipped events.ts both as TIMESTAMP(NANOS) (reads
+    # as bigint under nanosAsLong — the conf common.read sets) and as
+    # plain timestamp[us] (reads as timestamp_ntz). Probe the batch
+    # schema and normalize either form; assuming nanos against micros
+    # data shifts every event to Jan-1970 and collapses the stream to a
+    # silent 0-row result (the r05 failure).
     read(spark, sf_dir, "events")  # ensures the legacy-nanos conf is set
-    ev_schema = ("event_id bigint, user_id bigint, ts bigint, "
-                 "event_type string, value double, properties string")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source wants a directory: stream the sf dir with
     # a glob pinned to the events table
-    stream = (spark.readStream.schema(ev_schema)
+    stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    # watermarks need TIMESTAMP (not NTZ): nanos -> whole-second epoch
+    # watermarks need TIMESTAMP (not NTZ): whole-second naive epoch
     # -> timestamp_seconds — identical instants in any session tz
-    ts_evt = F.timestamp_seconds(F.expr("ts div 1000000000"))
+    ts_type = dict((f.name, f.dataType.simpleString())
+                   for f in raw_schema.fields)["ts"]
+    if ts_type == "bigint":          # TIMESTAMP(NANOS) as raw long
+        secs = F.expr("ts div 1000000000")
+    elif ts_type == "timestamp_ntz":  # timestamp[us], not UTC-adjusted
+        secs = epoch_s("ts")
+    else:                             # timestamp (LTZ): long cast = epoch
+        secs = F.col("ts").cast("long")
+    ts_evt = F.timestamp_seconds(secs)
     samples = (stream
                .where(F.col("user_id") % 20 == 7)
                .select(
@@ -1075,7 +1088,12 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"seg_stream_{uuid.uuid4().hex[:8]}"
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # r05 regression: awaitTermination's boolean return was ignored, so
+    # on a loaded driver the 300 s timeout elapsed and this fell through
+    # to read an EMPTY memory table — a silent 0-row wrong answer.
+    # await_stream raises TimeoutError instead, so the driver records
+    # `err` rather than a hash mismatch.
+    await_stream(q)
     return (spark.table(name)
             .select(
                 "subject_id",

@@ -8,13 +8,15 @@ Streaming (watermark + event-time windows) — live ingest becomes a
 """
 
 from physioview_spark.streaming.rolling import (
-    streaming_eda_features, streaming_rolling_sqa, streaming_seconds_hr,
-    streaming_segment_sqa, with_watermark_if_streaming,
+    await_stream, streaming_eda_features, streaming_rolling_sqa,
+    streaming_seconds_hr, streaming_segment_sqa,
+    with_watermark_if_streaming,
 )
 from physioview_spark.streaming.stateful import streaming_ibis
 from physioview_spark.streaming.documents import streaming_doc_curation
 
 __all__ = [
+    "await_stream",
     "streaming_eda_features", "streaming_rolling_sqa",
     "streaming_seconds_hr", "streaming_segment_sqa",
     "with_watermark_if_streaming", "streaming_ibis",

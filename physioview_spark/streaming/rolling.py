@@ -14,7 +14,37 @@ streaming mode so late data is bounded and state can be evicted.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def await_stream(query, timeout_sec: float | None = None) -> None:
+    """Block until a (typically ``availableNow``-triggered) streaming
+    query terminates, or raise.
+
+    ``StreamingQuery.awaitTermination(timeout)`` signals timeout by
+    RETURNING ``False`` — it does not raise. A caller that ignores the
+    return and then reads the memory sink gets a partially-populated
+    (often empty) frame: a silent wrong answer instead of an error.
+    Here a timeout stops the query and raises ``TimeoutError`` so
+    harnesses record a failure they can see.
+
+    ``awaitTermination`` still raises ``StreamingQueryException`` itself
+    when the stream died with an error — that propagates unchanged.
+    """
+    if timeout_sec is None:
+        timeout_sec = float(
+            os.environ.get("PHYSIOVIEW_STREAM_TIMEOUT_SEC", "600"))
+    if not query.awaitTermination(timeout_sec):
+        try:
+            query.stop()
+        finally:
+            pass
+        raise TimeoutError(
+            f"streaming query {query.name!r} still running after "
+            f"{timeout_sec}s; refusing to read an incomplete sink "
+            "(raise PHYSIOVIEW_STREAM_TIMEOUT_SEC on a loaded machine)")
 
 
 def with_watermark_if_streaming(df: DataFrame, ts_col: str,

@@ -10,6 +10,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from physioview_spark.streaming import await_stream
+
 SCHEMA = ("subject_id string, ts timestamp, beat double, artifact double")
 
 
@@ -48,7 +50,7 @@ def _run_stream(spark, stream_df, name):
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode("append" if stream_df.isStreaming else "complete")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    await_stream(q, 120)
     return spark.table(name)
 
 
@@ -68,7 +70,7 @@ class TestWindowedParity:
         q = (streaming_segment_sqa(stream)
              .writeStream.format("memory").queryName("seg_sqa")
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        await_stream(q, 120)
         got_s = spark.table("seg_sqa")
 
         cols = ["subject_id", "segment_start", "n_detected", "n_artifact",
@@ -128,7 +130,7 @@ class TestWindowedParity:
         q = (streaming_rolling_sqa(stream, 60, 15)
              .writeStream.format("memory").queryName("roll_sqa")
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        await_stream(q, 120)
         got_s = spark.table("roll_sqa")
         cols = ["subject_id", "window_start", "n_detected", "n_artifact"]
         got_b = got_b.where(F.col("window_start") < F.lit(REAL_END))
@@ -167,7 +169,7 @@ class TestWindowedParity:
                 spark.readStream.schema(sch).parquet(p))
              .writeStream.format("memory").queryName("eda_feat")
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        await_stream(q, 120)
         got_s = spark.table("eda_feat")
 
         cut = F.lit(pd.Timestamp("2024-01-01 00:10:00"))
@@ -230,7 +232,7 @@ class TestStatefulIbi:
         q = (streaming_ibis(stream)
              .writeStream.format("memory").queryName("ibi_stream")
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        await_stream(q, 120)
         got = (spark.table("ibi_stream").orderBy("ts").toPandas())
 
         batch = streaming_ibis(spark.read.parquet(p)).orderBy("ts").toPandas()
@@ -271,7 +273,7 @@ class TestDocCuration:
         out = streaming_doc_curation(stream)
         q = (out.writeStream.format("memory").queryName("doc_curation")
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        await_stream(q, 120)
         got = spark.table("doc_curation").toPandas()
 
         # same surviving set of unique texts, exactly one row per hash,
@@ -280,3 +282,22 @@ class TestDocCuration:
         assert got["text_hash"].is_unique and batch["text_hash"].is_unique
         assert 3 not in set(got["doc_id"]) | set(batch["doc_id"])
         assert len(got) == 2
+
+
+class TestAwaitStream:
+    def test_timeout_raises_not_empty_frame(self, spark):
+        """The r05 regression class: a stream that has not terminated by
+        the deadline must RAISE (so the harness records an error), never
+        fall through to a partially-populated sink. A rate source with no
+        terminating trigger is deterministically still running."""
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", 1).load())
+        q = (src.writeStream.format("memory").queryName("never_ends")
+             .outputMode("append").start())
+        try:
+            with pytest.raises(TimeoutError):
+                await_stream(q, 0.5)
+            assert not q.isActive  # await_stream stopped it
+        finally:
+            if q.isActive:
+                q.stop()
