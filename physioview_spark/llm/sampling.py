@@ -87,19 +87,26 @@ def quality_bucket(
     ).cast("int").alias(out_col)
 
 
+# Rough chars-per-whitespace-token ratio used only to SIZE the packing
+# grid (never to compute offsets): English prose runs ~5-6 chars/token
+# including the separator; erring low just adds shards.
+_CHARS_PER_TOKEN = 5.0
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ctx_len: int = 2048,
-    n_shards: int = 64,
+    n_shards: int | None = None,
     seed: int = 42,
+    tokens_per_shard: int = 50_000_000,
 ) -> DataFrame:
     """Deterministic sequence packing: assign every document a position
     in a (shard, context-window) grid, the concat-then-chunk layout used
     to build pretraining batches.
 
-    Documents are sharded by two md5 hex digits of their seeded hash
+    Documents are sharded by leading md5 hex digits of their seeded hash
     (so shard membership is reproducible in any engine), ordered within
     the shard by the same hash, and laid head-to-tail: a document's
     ``start_offset`` is the running token count before it, and its
@@ -109,10 +116,27 @@ def pack_sequences(
     hard boundaries are required.
 
     Scale shape: one shuffle on ``shard`` + a per-shard running-sum
-    window. No global sort — the cross-shard order is never needed, so
-    parallelism is ``n_shards`` regardless of corpus size."""
+    window; no global sort (the cross-shard order is never needed). Each
+    shard's running sum executes in ONE task, so the shard count must
+    grow with the corpus: with ``n_shards=None`` (default) it is derived
+    as ``ceil(estimated_tokens / tokens_per_shard)`` from a one-column
+    ``sum(length(text))`` pre-aggregation — a cheap columnar scan, no
+    tokenization — keeping per-task input bounded at any corpus size
+    (the r04/r05 audit flagged a fixed default of 64 as ~1.5 TB/task at
+    100 TB). Pass an explicit ``n_shards`` to pin the grid (as the
+    oracle-checked query does); results stay deterministic for a given
+    (corpus, seed, grid)."""
     from physioview_spark.llm.text import tokens
 
+    if n_shards is None:
+        total_chars = (
+            df.agg(F.sum(F.length(text_col))).first()[0] or 0
+        )  # 1-row driver agg, same class as an AQE size estimate
+        est_tokens = total_chars / _CHARS_PER_TOKEN
+        n_shards = max(1, -(-int(est_tokens) // tokens_per_shard))
+    # two hex digits address 256 shards; auto-scaled grids may need
+    # more -> widen to 13 digits (52 bits, still exact in a long)
+    digits = 2 if n_shards <= 256 else 13
     h = sample_order(id_col, seed)
     base = df.select(
         id_col,
@@ -120,7 +144,8 @@ def pack_sequences(
         h.alias("__h"),
     ).withColumn(
         "shard",
-        F.conv(F.substring("__h", 1, 2), 16, 10).cast("long") % n_shards,
+        F.conv(F.substring("__h", 1, digits), 16, 10).cast("long")
+        % n_shards,
     )
     w = (
         Window.partitionBy("shard")

@@ -511,6 +511,44 @@ class TestPackSequences:
         key = lambda p: sorted(map(tuple, p.values))
         assert key(out) == key(again)
 
+    def test_auto_shards_bound_per_task_input(self, spark):
+        """n_shards=None derives the grid from corpus size so no single
+        task (= one shard's running sum) sorts an unbounded slice. On a
+        skewed corpus (one giant doc among many small) every shard's
+        token total must stay within a hash-balance factor of the target
+        plus the largest single document (which is indivisible)."""
+        from physioview_spark.llm import sampling
+        rows = [(i, " ".join(["w"] * (20 + i % 50))) for i in range(400)]
+        rows.append((999, " ".join(["g"] * 4000)))  # skew: one giant doc
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        target = 1000  # tokens per shard — tiny, to force many shards
+        out = sampling.pack_sequences(
+            df, ctx_len=16, tokens_per_shard=target).toPandas()
+        assert len(out) == 401
+        n_shards = out["shard"].nunique()
+        assert n_shards > 4  # actually scaled up from the corpus size
+        per_shard = out.groupby("shard")["n_tokens"].sum()
+        max_doc = out["n_tokens"].max()
+        assert per_shard.max() <= 3 * target + max_doc
+        # deterministic for the same corpus + seed, any partitioning
+        again = sampling.pack_sequences(
+            df.repartition(11), ctx_len=16,
+            tokens_per_shard=target).toPandas()
+        key = lambda p: sorted(map(tuple, p.values))
+        assert key(out) == key(again)
+
+    def test_wide_grid_uses_more_than_256_shards(self, spark):
+        """Explicit n_shards > 256 must actually address every shard —
+        the 2-hex-digit shard key only reaches 256 buckets, so the wide
+        path widens the digit slice."""
+        from physioview_spark.llm import sampling
+        rows = [(i, "a b c") for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sampling.pack_sequences(
+            df, ctx_len=16, n_shards=512).toPandas()
+        assert out["shard"].nunique() > 256
+        assert out["shard"].max() < 512
+
 
 def test_simhash_max_bucket_size_guard(spark):
     # identical docs share every signature chunk -> one bucket of 6;
