@@ -61,14 +61,17 @@ def main() -> None:
         df = qs[name](spark, warm_dir)
         df.collect() if name in SMALL_OUTPUT else df.count()
 
-    # best-of-2 per query: the second run reuses compiled code and a warm
-    # page cache, so min() reflects engine cost, not machine-load noise
+    # best-of-N per query: repeats reuse compiled code and a warm page
+    # cache, so min() reflects engine cost, not machine-load noise.
+    # Rounds 4-5 showed ±13% total swings on byte-identical plans
+    # (PLANS.md "bench variance"), so N=3 by default.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         best = None
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             if name in SMALL_OUTPUT:
