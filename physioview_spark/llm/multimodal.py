@@ -1,11 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio codecs are not present in this environment, so the decode
-step is a deterministic fake behind the same interface a real decoder
-would use (``mapInPandas`` over Arrow record batches, binary in /
-feature-struct out). The Spark-side contract — schema, batch shape,
-partition behavior, metadata columns — is real and tested; swapping in
-PIL/ffmpeg later changes only the inner function.
+The decode seam handles REAL container formats parseable with the
+standard library — RIFF/WAVE PCM audio (via ``wave``) and binary PNM
+images (P5 grayscale / P6 RGB) — next to the deterministic in-house
+test codecs ("PVIM"/"PVAU"/"PVVD"), which remain as corrupt-path and
+legacy fixtures. Rich codecs (JPEG/MP3/MP4) need libraries absent from
+this environment; their payloads simply fail the magic sniff and
+surface as ``valid=false`` rows, the same contract a real decoder error
+would produce. The Spark side — ``mapInPandas`` over Arrow record
+batches, binary in / feature-struct out, no shuffle — is identical for
+every format; swapping in PIL/ffmpeg later changes only the inner
+per-payload function.
 
 Payload format of the deterministic fake ("PVIM" codec):
     bytes 0-3   magic  b"PVIM"
@@ -17,7 +22,9 @@ Payload format of the deterministic fake ("PVIM" codec):
 
 from __future__ import annotations
 
+import io
 import struct
+import wave as wave_mod
 from typing import Iterator
 
 import numpy as np
@@ -47,13 +54,67 @@ def encode_fake_image(doc_id: int, width: int = 16, height: int = 16,
     )
 
 
-def _decode(payload: bytes):
-    """Parse the PVIM header + pixels; None on any corruption.
+def encode_ppm(doc_id: int, width: int = 16, height: int = 16,
+               gray: bool = False) -> bytes:
+    """Deterministic REAL PNM image: binary P6 (RGB) or P5 (grayscale),
+    maxval 255 — the stdlib-parseable netpbm container."""
+    c = 1 if gray else 3
+    rng = np.random.RandomState(doc_id % (2 ** 31))
+    pixels = rng.randint(0, 256, size=width * height * c, dtype=np.uint8)
+    magic = b"P5" if gray else b"P6"
+    header = magic + b"\n# pv synthetic\n" + \
+        f"{width} {height}\n255\n".encode()
+    return header + pixels.tobytes()
 
-    A real implementation would call the image library here — the
-    signature (bytes -> ndarray | None) is the stable seam.
+
+def _parse_pnm(payload: bytes):
+    """Binary netpbm (P5/P6, maxval <= 255) -> (pixels, w, h, c) | None.
+
+    Full header grammar: any whitespace between tokens, ``#`` comments
+    to end-of-line, exactly one whitespace byte after maxval, then the
+    raster. Any malformation (short raster, 16-bit maxval, zero dims)
+    returns None -> a ``valid=false`` row, never an exception.
     """
-    if payload is None or len(payload) < 9 or payload[:4] != b"PVIM":
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        return None
+    vals, i, n = [], 2, len(payload)
+    while len(vals) < 3:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if i < n and payload[i:i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        if j == i or not payload[i:j].isdigit():
+            return None
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace byte terminating the header
+    w, h, maxval = vals
+    c = 3 if magic == b"P6" else 1
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    body = payload[i:]
+    if len(body) != w * h * c:
+        return None
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w * c), w, h, c
+
+
+def _decode(payload: bytes):
+    """bytes -> (pixels as (h, w*c) uint8, w, h, c) | None.
+
+    Sniffs the magic: real binary PNM (P5/P6) or the in-house PVIM test
+    codec. Unknown or corrupt payloads return None (valid=false row).
+    """
+    if payload is None or len(payload) < 2:
+        return None
+    if payload[:2] in (b"P5", b"P6"):
+        return _parse_pnm(payload)
+    if len(payload) < 9 or payload[:4] != b"PVIM":
         return None
     w, h, c = struct.unpack(">HHB", payload[4:9])
     expected = w * h * c
@@ -98,14 +159,24 @@ def extract_image_features(
 
 
 def fake_image_table(spark, n: int = 64, corrupt_every: int = 10) -> DataFrame:
-    """Synthetic binary table with typed metadata; every ``corrupt_every``-th
-    payload is truncated (exercises the invalid path)."""
+    """Synthetic binary table with typed metadata, cycling REAL binary
+    PNM payloads (P6 RGB, P5 grayscale) with the in-house PVIM test
+    codec; every ``corrupt_every``-th payload is truncated (exercises
+    the invalid path for each format)."""
     rows = []
     for i in range(n):
-        payload = encode_fake_image(i, width=8 + (i % 5) * 4, height=8)
+        w = 8 + (i % 5) * 4
+        kind = i % 3
+        if kind == 0:
+            payload, mime = encode_ppm(i, w, 8), "image/x-portable-pixmap"
+        elif kind == 1:
+            payload, mime = (encode_ppm(i, w, 8, gray=True),
+                             "image/x-portable-graymap")
+        else:
+            payload, mime = encode_fake_image(i, w, 8), "image/pvim"
         if corrupt_every and i % corrupt_every == corrupt_every - 1:
             payload = payload[: len(payload) // 2]
-        rows.append((i, "image/pvim", len(payload), bytearray(payload)))
+        rows.append((i, mime, len(payload), bytearray(payload)))
     return spark.createDataFrame(
         rows, "doc_id long, mime string, n_bytes long, payload binary"
     )
@@ -125,22 +196,76 @@ AUDIO_SCHEMA = T.StructType([
 ])
 
 
-def encode_fake_audio(doc_id: int, sample_rate: int = 8000,
-                      seconds: float = 1.0) -> bytes:
-    """Deterministic "PVAU" payload: magic + rate (uint32 BE) + int16 PCM."""
+def _synth_pcm(doc_id: int, sample_rate: int, seconds: float) -> np.ndarray:
+    """Deterministic test waveform (sine + seeded noise) as int16."""
     rng = np.random.RandomState(doc_id % (2 ** 31))
     n = int(sample_rate * seconds)
     t = np.arange(n) / sample_rate
-    wave = (0.5 * np.sin(2 * np.pi * (100 + doc_id % 200) * t)
-            + 0.05 * rng.standard_normal(n))
-    pcm = np.clip(wave * 32767, -32768, 32767).astype(">i2")
+    wav = (0.5 * np.sin(2 * np.pi * (100 + doc_id % 200) * t)
+           + 0.05 * rng.standard_normal(n))
+    return np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+
+
+def encode_fake_audio(doc_id: int, sample_rate: int = 8000,
+                      seconds: float = 1.0) -> bytes:
+    """Deterministic "PVAU" payload: magic + rate (uint32 BE) + int16 PCM."""
+    pcm = _synth_pcm(doc_id, sample_rate, seconds).astype(">i2")
     return b"PVAU" + struct.pack(">I", sample_rate) + pcm.tobytes()
 
 
+def encode_wav(doc_id: int, sample_rate: int = 8000, seconds: float = 1.0,
+               channels: int = 1) -> bytes:
+    """Deterministic REAL RIFF/WAVE file (PCM16 LE) via the stdlib
+    ``wave`` writer — same synthetic waveform as the PVAU fixture."""
+    pcm = _synth_pcm(doc_id, sample_rate, seconds)
+    if channels > 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1).reshape(-1)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _parse_wav(payload: bytes):
+    """RIFF/WAVE -> (float mono waveform in [-1, 1], rate) | None.
+
+    Stdlib ``wave`` handles the chunk walk; PCM 8-bit (unsigned) and
+    16-bit (signed LE) are supported, multi-channel is averaged to mono.
+    Malformed headers/raster return None (valid=false), not an error.
+    """
+    try:
+        with wave_mod.open(io.BytesIO(bytes(payload))) as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave_mod.Error, EOFError, struct.error):
+        return None
+    if rate <= 0 or nch <= 0 or sw not in (1, 2) or len(raw) < sw * nch:
+        return None
+    if sw == 2:
+        x = np.frombuffer(raw[: len(raw) // 2 * 2], "<i2")
+        x = x.astype(np.float64) / 32767.0
+    else:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 127.0
+    if nch > 1:
+        x = x[: len(x) // nch * nch].reshape(-1, nch).mean(axis=1)
+    if len(x) == 0:
+        return None
+    return x, rate
+
+
 def _decode_audio(payload: bytes):
-    """bytes -> (float waveform, sample_rate) | None — the stable seam
-    where a real codec (soundfile/ffmpeg) would plug in."""
-    if payload is None or len(payload) < 8 or payload[:4] != b"PVAU":
+    """bytes -> (float waveform, sample_rate) | None — sniffs real
+    RIFF/WAVE or the in-house PVAU test codec."""
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:4] == b"RIFF":
+        return _parse_wav(payload)
+    if payload[:4] != b"PVAU":
         return None
     (rate,) = struct.unpack(">I", payload[4:8])
     body = payload[8:]

@@ -679,14 +679,25 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("multimodal_audio_features")
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio binary-column plumbing: PCM decode seam, loudness/duration/
-    zero-crossing features via row-local mapInPandas."""
+    """Audio binary-column plumbing: real RIFF/WAVE decode (stdlib
+    ``wave``) for most rows, the PVAU test codec and a truncated payload
+    for the legacy and corrupt paths; loudness/duration/zero-crossing
+    features via row-local mapInPandas."""
     from physioview_spark.llm.multimodal import (
-        encode_fake_audio, extract_audio_features,
+        encode_fake_audio, encode_wav, extract_audio_features,
     )
 
-    rows = [(i, bytearray(encode_fake_audio(i, seconds=0.5)))
-            for i in range(32)]
+    rows = []
+    for i in range(32):
+        if i % 8 == 7:        # legacy in-house codec path
+            p = encode_fake_audio(i, seconds=0.5)
+        elif i % 8 == 3:      # real stereo WAV, averaged to mono
+            p = encode_wav(i, seconds=0.5, channels=2)
+        else:                 # real mono WAV
+            p = encode_wav(i, seconds=0.5)
+        if i == 30:           # corrupt: truncated inside the header
+            p = p[:20]
+        rows.append((i, bytearray(p)))
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     return extract_audio_features(df).orderBy("doc_id")
 

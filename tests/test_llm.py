@@ -213,6 +213,62 @@ def test_multimodal_decode_plumbing(spark):
     assert abs(feats[4]["mean_intensity"] - round(float(img.mean()), 4)) < 1e-9
 
 
+class TestRealCodecs:
+    def test_ppm_p6_and_p5_roundtrip(self):
+        from physioview_spark.llm.multimodal import _decode, encode_ppm
+
+        img, w, h, c = _decode(encode_ppm(7, width=12, height=5))
+        assert (w, h, c) == (12, 5, 3) and img.shape == (5, 36)
+        img, w, h, c = _decode(encode_ppm(7, width=12, height=5, gray=True))
+        assert (w, h, c) == (12, 5, 1) and img.shape == (5, 12)
+
+    def test_pnm_header_grammar_and_corruption(self):
+        from physioview_spark.llm.multimodal import _decode
+
+        # comments + arbitrary whitespace in the header are legal
+        raster = bytes(range(6))
+        assert _decode(b"P5 # c\n # c2\n 3\t2\n255\n" + raster) is not None
+        # short raster, 16-bit maxval, zero dims, bad token -> None
+        assert _decode(b"P5\n3 2\n255\n" + raster[:-1]) is None
+        assert _decode(b"P5\n3 2\n65535\n" + raster * 2) is None
+        assert _decode(b"P5\n0 2\n255\n") is None
+        assert _decode(b"P5\n3 x\n255\n" + raster) is None
+
+    def test_wav_roundtrip_matches_pvau(self):
+        """The same synthetic waveform through the REAL RIFF/WAVE
+        container and the PVAU fixture must decode identically."""
+        from physioview_spark.llm.multimodal import (
+            _decode_audio, encode_fake_audio, encode_wav,
+        )
+
+        w_wav, r_wav = _decode_audio(encode_wav(5, seconds=0.25))
+        w_pv, r_pv = _decode_audio(encode_fake_audio(5, seconds=0.25))
+        assert r_wav == r_pv == 8000
+        np.testing.assert_allclose(w_wav, w_pv)
+
+    def test_wav_stereo_averages_to_mono(self):
+        from physioview_spark.llm.multimodal import _decode_audio, encode_wav
+
+        mono, _ = _decode_audio(encode_wav(5, seconds=0.25))
+        stereo, rate = _decode_audio(
+            encode_wav(5, seconds=0.25, channels=2))
+        assert rate == 8000 and len(stereo) == len(mono)
+        np.testing.assert_allclose(stereo, mono)
+
+    def test_wav_corrupt_header_is_invalid_row(self, spark):
+        from physioview_spark.llm.multimodal import (
+            encode_wav, extract_audio_features,
+        )
+
+        rows = [(0, bytearray(encode_wav(0, seconds=0.25))),
+                (1, bytearray(encode_wav(1, seconds=0.25)[:20]))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in
+               extract_audio_features(df).collect()}
+        assert out[0]["valid"] and out[0]["duration_s"] == 0.25
+        assert not out[1]["valid"] and out[1]["sample_rate"] is None
+
+
 class TestMultimodalAudioVideo:
     def test_audio_features_and_corruption(self, spark):
         from physioview_spark.llm.multimodal import (
