@@ -13,12 +13,14 @@ from physioview_spark.streaming.rolling import (
     with_watermark_if_streaming,
 )
 from physioview_spark.streaming.stateful import streaming_ibis
-from physioview_spark.streaming.documents import streaming_doc_curation
+from physioview_spark.streaming.documents import (
+    streaming_doc_curation, streaming_near_dup_lsh,
+)
 
 __all__ = [
     "await_stream",
     "streaming_eda_features", "streaming_rolling_sqa",
     "streaming_seconds_hr", "streaming_segment_sqa",
     "with_watermark_if_streaming", "streaming_ibis",
-    "streaming_doc_curation",
+    "streaming_doc_curation", "streaming_near_dup_lsh",
 ]

@@ -284,6 +284,52 @@ class TestDocCuration:
         assert len(got) == 2
 
 
+class TestStreamingNearDup:
+    def test_batch_vs_stream_lsh_parity(self, spark, tmp_path):
+        """Incremental MinHash-LSH over two micro-batches must emit
+        exactly the candidate-pair set the batch operator finds on the
+        full corpus — including pairs whose members arrived in DIFFERENT
+        micro-batches (the accumulating band-table join)."""
+        from physioview_spark.llm.dedup import minhash_lsh_candidates
+        from physioview_spark.streaming import streaming_near_dup_lsh
+
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "rain in spain falls mainly on the plain every day")
+        near = base.replace("lazy dog", "sleepy dog")  # near-dup of 0
+        sch = "doc_id long, text string"
+        f1 = [(0, base), (1, "completely unrelated text about spark "
+                             "catalyst plans and parquet column pruning")]
+        f2 = [(2, base),          # exact dup of 0, later micro-batch
+              (3, near),          # near dup of 0, later micro-batch
+              (4, "another standalone document mentioning duckdb "
+                  "oracles and window aggregation semantics")]
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(f1, sch).coalesce(1).write.mode(
+            "append").parquet(p)
+        spark.createDataFrame(f2, sch).coalesce(1).write.mode(
+            "append").parquet(p)
+
+        corpus = spark.read.parquet(p)
+        want = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_candidates(corpus).collect()}
+        assert (0, 2) in want  # cross-batch exact dup must be a candidate
+
+        state = str(tmp_path / "state")
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(p))
+        q = (streaming_near_dup_lsh(stream, state)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        await_stream(q, 120)
+
+        got = {(r["id_a"], r["id_b"]) for r in
+               spark.read.parquet(state + "/pairs").collect()}
+        assert got == want
+        # each unordered pair emitted exactly once across all batches
+        assert spark.read.parquet(state + "/pairs").count() == len(got)
+
+
 class TestAwaitStream:
     def test_timeout_raises_not_empty_frame(self, spark):
         """The r05 regression class: a stream that has not terminated by
