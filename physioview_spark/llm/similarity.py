@@ -65,9 +65,9 @@ def cosine_topk(
     )
 
 
-def hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
-    """Sign of <vec, h_plane>: h components are deterministic pseudo-randoms
-    in [-0.5, 0.5) from md5(plane||dim-index) — reproducible everywhere."""
+def _plane_dot(vec: Column, plane_id: int, dim: int) -> Column:
+    """<vec, h_plane>: h components are deterministic pseudo-randoms in
+    [-0.5, 0.5) from md5(plane||dim-index) — reproducible everywhere."""
     comps = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (
@@ -80,12 +80,16 @@ def hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
             ).cast("double") / F.lit(float(1 << 32)) - 0.5
         ),
     )
-    dot = F.aggregate(
+    return F.aggregate(
         F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return (dot >= 0).cast("int")
+
+
+def hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
+    """Sign bit of <vec, h_plane> (see :func:`_plane_dot`)."""
+    return (_plane_dot(vec, plane_id, dim) >= 0).cast("int")
 
 
 def lsh_bucket(vec: Column, n_planes: int, dim: int, band: int = 0) -> Column:
@@ -111,6 +115,51 @@ def _banded_buckets(vec: Column, n_planes: int, dim: int,
     ])
 
 
+def _probe_buckets(vec: Column, n_planes: int, dim: int, band: int,
+                   n_probe: int) -> Column:
+    """Multi-probe bucket list for ONE band: the vector's own bucket
+    plus the ``n_probe`` Hamming-distance-1 buckets whose flipped plane
+    has the smallest |margin| — the classic multi-probe LSH probing
+    sequence (Lv et al., VLDB'07) truncated to single-bit perturbations.
+    A near-boundary plane is the likeliest sign to differ between two
+    close vectors, so flipping lowest-|dot| bits buys the most recall
+    per extra probe. Pure JVM expressions; evaluated on the QUERY side
+    only — the corpus still hashes each vector to exactly one bucket per
+    band."""
+    dots = [_plane_dot(vec, band * n_planes + p, dim)
+            for p in range(n_planes)]
+    base = F.lit(0)
+    for d in dots:
+        base = base * 2 + (d >= 0).cast("int")
+    # own bucket sorts first (margin -1 < any |dot|)
+    cands = [F.struct(F.lit(-1.0).alias("m"), base.alias("bucket"))]
+    for p, d in enumerate(dots):
+        mask = 1 << (n_planes - 1 - p)
+        cands.append(F.struct(
+            F.abs(d).alias("m"),
+            base.bitwiseXOR(F.lit(mask)).alias("bucket")))
+    arr = F.array_sort(F.array(*cands))
+    return F.array_distinct(F.transform(
+        F.slice(arr, 1, 1 + min(n_probe, n_planes)),
+        lambda s: s["bucket"]))
+
+
+def _banded_probe_buckets(vec: Column, n_planes: int, dim: int,
+                          n_bands: int, n_probe: int) -> Column:
+    """(band, bucket) structs across all bands, multi-probe on each."""
+    def tag(bnd):
+        # NB: a two-arg lambda would be read by F.transform as
+        # (element, index) — keep the closure single-arg
+        return lambda b: F.struct(
+            F.lit(bnd).alias("band"), b.alias("bucket"))
+
+    per_band = []
+    for bnd in range(n_bands):
+        probes = _probe_buckets(vec, n_planes, dim, bnd, n_probe)
+        per_band.append(F.transform(probes, tag(bnd)))
+    return F.flatten(F.array(*per_band))
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -118,6 +167,7 @@ def lsh_topk(
     n_planes: int = 4,
     dim: int = 64,
     n_bands: int = 1,
+    n_probe: int = 0,
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -131,9 +181,15 @@ def lsh_topk(
     p-plane band with probability 1-(1-theta/pi)^p and by ALL b bands
     with that to the b-th power, so recall rises with b while the join
     stays an equi-join on (band, bucket) — the corpus is still scanned
-    once, just exploded b-fold. Candidates sharing several bands are
-    deduplicated on (query_id, match_id) before the exact re-rank.
-    Recall measured against ``cosine_topk`` in tests.
+    once, just exploded b-fold. ``n_probe`` > 0 adds MULTI-PROBE on the
+    query side: each query additionally probes the n_probe
+    Hamming-distance-1 buckets flipping its lowest-|margin| planes
+    (:func:`_probe_buckets`), lifting recall at a FIXED band count —
+    i.e. without growing the corpus-side explode at all (the expensive
+    side at 100 TB; the query side is broadcast). Candidates reached
+    via several bands/probes are deduplicated on (query_id, match_id)
+    before the exact re-rank. Recall measured against ``cosine_topk``
+    in tests.
     """
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -141,7 +197,7 @@ def lsh_topk(
     c = corpus.select(
         F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv")
     )
-    if n_bands == 1:
+    if n_bands == 1 and n_probe == 0:
         qb = q.withColumn("bucket", lsh_bucket(F.col("__qv"), n_planes, dim))
         cb = c.withColumn("bucket", lsh_bucket(F.col("__cv"), n_planes, dim))
         scored = (
@@ -154,8 +210,8 @@ def lsh_topk(
     else:
         qb = q.select(
             "query_id", "__qv",
-            F.explode(_banded_buckets(F.col("__qv"), n_planes, dim,
-                                      n_bands)).alias("bb"),
+            F.explode(_banded_probe_buckets(
+                F.col("__qv"), n_planes, dim, n_bands, n_probe)).alias("bb"),
         ).select("query_id", "__qv", "bb.band", "bb.bucket")
         cb = c.select(
             "match_id", "__cv",

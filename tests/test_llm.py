@@ -163,6 +163,35 @@ def test_lsh_topk_multiband_recall(spark, vectors):
     assert out.columns == ["query_id", "match_id", "sim", "rank"]
 
 
+def test_lsh_topk_multiprobe_recall(spark, vectors):
+    """Multi-probe LSH: probing Hamming-adjacent (lowest-margin) buckets
+    of the QUERY code lifts recall at a fixed band count — the
+    corpus-side explode (the expensive side at scale) does not grow."""
+    exact = similarity.cosine_topk(
+        vectors.where(F.col("vec_id") < 10), vectors, k=3
+    )
+    e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+
+    def recall(n_probe):
+        out = similarity.lsh_topk(
+            vectors.where(F.col("vec_id") < 10), vectors, k=3,
+            n_planes=2, dim=16, n_bands=2, n_probe=n_probe,
+        )
+        got = {(r["query_id"], r["match_id"]) for r in out.collect()}
+        return len(e & got) / len(e), got
+
+    r0, _ = recall(0)
+    r2, got2 = recall(2)
+    assert r2 >= 0.95, r2
+    assert r2 >= r0
+    assert (3, 7) in got2
+    # no false positives: multi-probe only widens the candidate set,
+    # the exact re-rank still scores true cosine
+    out = similarity.lsh_topk(vectors.limit(2), vectors, k=3,
+                              n_planes=2, dim=16, n_bands=2, n_probe=1)
+    assert out.columns == ["query_id", "match_id", "sim", "rank"]
+
+
 def test_embedding_near_dups(spark, vectors):
     out = similarity.embedding_near_dups(
         vectors, threshold=0.99, n_planes=2, dim=16
