@@ -9,7 +9,9 @@ order-insensitive value comparison. Usage:
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -40,6 +42,76 @@ def normalize(rows, cols):
     return out
 
 
+def _sorted_tuples(rows, cols):
+    def key(v):
+        return (repr(type(v)), repr(v))
+    out = [tuple(r[c] for c in sorted(cols)) for r in rows]
+    return sorted(out, key=lambda t: [key(v) for v in t])
+
+
+def _close(a, b, rel=1e-6, abs_=1e-9) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=rel, abs_tol=abs_)
+    return a == b
+
+
+def compare_values(srows, scols, drows, dcols):
+    """('ok'|'stale'|'fail', detail): the exact (6-decimal-rounded) hash
+    compare, with a float-tolerance re-check distinguishing NUMERIC-ONLY
+    drift from a genuinely wrong answer.
+
+    'stale' = every value matches within (rel 1e-6, abs 1e-9) but the
+    exact compare differs — the signature of a fixture generated under a
+    different numpy/BLAS build (an ulp flip moving a value across the
+    6-decimal rounding boundary), not of a kernel bug.
+    """
+    a = normalize(srows, scols)
+    b = normalize(drows, dcols)
+    if a == b:
+        return "ok", ""
+    diffs = [(x, y) for x, y in zip(a, b) if x != y]
+    detail = (f"{len(diffs)} value mismatches; first: "
+              f"spark={diffs[0][0]!r} duck={diffs[0][1]!r}")
+    ta = _sorted_tuples(srows, scols)
+    tb = _sorted_tuples(drows, dcols)
+    for ra, rb in zip(ta, tb):
+        for va, vb in zip(ra, rb):
+            if not _close(va, vb):
+                return "fail", detail
+    return "stale", detail
+
+
+def _versions_note() -> str:
+    """Recorded fixture-generation versions vs the running ones."""
+    from physioview_spark.plans.common import FIXTURE_DIR
+
+    path = os.path.join(FIXTURE_DIR, "VERSIONS.json")
+    try:
+        with open(path) as f:
+            recorded = json.load(f)
+    except OSError:
+        return "no VERSIONS.json recorded"
+    import platform
+
+    import numpy
+    import pandas
+    import pyarrow
+    import pyspark
+    current = {
+        "numpy": numpy.__version__, "pandas": pandas.__version__,
+        "pyarrow": pyarrow.__version__, "pyspark": pyspark.__version__,
+        "python": platform.python_version(),
+    }
+    drift = {k: (recorded.get(k), v) for k, v in current.items()
+             if recorded.get(k) != v}
+    if drift:
+        return "library drift since fixture generation: " + ", ".join(
+            f"{k} {old} -> {new}" for k, (old, new) in sorted(drift.items()))
+    return "recorded versions match the running ones"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -56,7 +128,7 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
+    n_pass = n_fail = n_rowsonly = n_stale = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,27 +154,35 @@ def main():
             continue
         dcols = ddf.column_names
         drows = ddf.to_pylist()
+        from physioview_spark.plans.common import FIXTURE_DIR
+        is_fixture = FIXTURE_DIR in oracles[name]
         problems = []
+        stale = False
         if set(scols) != set(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         elif len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         else:
-            a = normalize(srows, scols)
-            b = normalize(drows, dcols)
-            if a != b:
-                diffs = [(x, y) for x, y in zip(a, b) if x != y]
-                problems.append(
-                    f"{len(diffs)} value mismatches; first: "
-                    f"spark={diffs[0][0]!r} duck={diffs[0][1]!r}"
-                )
-        if problems:
+            status, detail = compare_values(srows, scols, drows, dcols)
+            if status == "stale" and is_fixture:
+                stale = True
+            elif status != "ok":
+                problems.append(detail)
+        if stale:
+            # numeric-only drift on a PINNED fixture: not a kernel bug —
+            # the fixture predates a library upgrade. Regenerate.
+            print(f"STALE {name}: values match within tolerance but "
+                  f"differ exactly ({_versions_note()}); regenerate with "
+                  f"`python tools/make_fixture_oracles.py {name}`")
+            n_stale += 1
+        elif problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
             print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} FAIL")
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_stale} stale, "
+          f"{n_fail} FAIL")
     sys.exit(1 if n_fail else 0)
 
 
