@@ -36,6 +36,8 @@ _PRIORITY = [
     "doc_curation_decisions",
     # red in round 5 (fixed this round) — needs a fresh green row
     "streaming_segment_counts",
+    # new in round 6 — never checked
+    "streaming_near_dup_pairs",
 ]
 
 

@@ -312,6 +312,65 @@ def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(docs, k=3, num_hashes=8, band_size=2)
 
 
+@q("streaming_near_dup_pairs", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+), seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+""")
+def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch unification for NEAR-dup dedup, hash-gated: the
+    documents table is replayed as TWO micro-batches (split on doc_id
+    parity) through the incremental MinHash-LSH operator
+    (:func:`physioview_spark.streaming.streaming_near_dup_lsh` —
+    foreachBatch against an accumulating band table), and the union of
+    emitted pairs must equal the BATCH ``minhash_lsh_candidates`` over
+    the whole corpus — the same oracle SQL as
+    ``doc_minhash_lsh_candidates``. Cross-batch pairs (even doc vs odd
+    doc) only exist if the accumulated-state join works."""
+    import uuid
+
+    from physioview_spark.streaming import (
+        await_stream, streaming_near_dup_lsh,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    tmp = f"/tmp/pv_stream_lsh_{uuid.uuid4().hex[:8]}"
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches with
+    # near-dups split across them
+    (docs.where(F.col("doc_id") % 2 == 0).coalesce(1)
+     .write.mode("append").parquet(f"{tmp}/in"))
+    (docs.where(F.col("doc_id") % 2 == 1).coalesce(1)
+     .write.mode("append").parquet(f"{tmp}/in"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in"))
+    q = (streaming_near_dup_lsh(stream, f"{tmp}/state")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", f"{tmp}/ckpt").start())
+    await_stream(q)
+    return spark.read.parquet(f"{tmp}/state/pairs").select("id_a", "id_b")
+
+
 @q("doc_dup_clusters", """
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
