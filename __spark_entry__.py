@@ -38,6 +38,7 @@ _PRIORITY = [
     "streaming_segment_counts",
     # new in round 6 — never checked
     "streaming_near_dup_pairs",
+    "doc_token_budget_sample",
 ]
 
 

@@ -87,6 +87,72 @@ def quality_bucket(
     ).cast("int").alias(out_col)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    mode: str = "exact",
+) -> DataFrame:
+    """Fill a per-stratum TOKEN budget (not a row quota), deterministically
+    — the domain-mixing primitive: "x billion tokens of lang=de", not
+    "x documents".
+
+    Documents are taken in seeded-hash order until the stratum's
+    cumulative token count reaches ``budget_tokens``; the document that
+    crosses the budget is included (budgets are approximate by one doc).
+    Output: input id/strata + ``n_tokens`` + ``tokens_before`` (the
+    stratum's running total before this doc).
+
+    ``mode='exact'`` computes the hash-ordered running sum with one
+    window per stratum — exact, but a stratum's prefix scan runs in one
+    task; right when strata are bounded (languages x buckets).
+    ``mode='rate'`` is the corpus-scale path: one tiny per-stratum
+    total-token aggregate sets a keep-rate, then a stateless
+    hash-threshold filter keeps ~budget tokens per stratum with NO
+    window and no per-stratum serialization — the standard deterministic
+    sampling trade (expected budget, not exact) at 100 TB.
+    """
+    from physioview_spark.llm.text import tokens
+
+    h = sample_order(id_col, seed)
+    base = df.select(
+        *strata_cols, id_col,
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        h.alias("__h"),
+    )
+    if mode == "exact":
+        w = (
+            Window.partitionBy(*strata_cols)
+            .orderBy("__h", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            base.withColumn(
+                "tokens_before",
+                F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .where(F.col("tokens_before") < budget_tokens)
+            .select(*strata_cols, id_col, "n_tokens", "tokens_before")
+        )
+    if mode != "rate":
+        raise ValueError(f"mode must be 'exact' or 'rate', got {mode!r}")
+    totals = base.groupBy(*strata_cols).agg(
+        F.sum("n_tokens").alias("__total"))
+    frac = (
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        base.join(F.broadcast(totals), strata_cols)
+        .withColumn("__rate", F.least(
+            F.lit(1.0), F.lit(float(budget_tokens)) / F.col("__total")))
+        .where(frac < F.col("__rate"))
+        .select(*strata_cols, id_col, "n_tokens")
+    )
+
+
 # Rough chars-per-whitespace-token ratio used only to SIZE the packing
 # grid (never to compute offsets): English prose runs ~5-6 chars/token
 # including the separator; erring low just adds shards.

@@ -476,6 +476,34 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("doc_token_budget_sample", """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_tokens, h,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS tokens_before
+  FROM t
+)
+SELECT lang, doc_id, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before
+FROM r WHERE tokens_before < 2000
+""")
+def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling (the domain-mixing primitive:
+    "N tokens of each language", not "N documents"): docs taken in
+    seeded-hash order until the language's cumulative token count
+    crosses 2000. Exact mode = hash-ordered running-sum window per
+    stratum; the corpus-scale rate mode (no window, stateless
+    hash-threshold after a tiny per-stratum total aggregate) holds its
+    expected-budget bound in pytest."""
+    docs = read(spark, sf_dir, "documents")
+    return sampling.token_budget_sample(docs, ["lang"], 2000, seed=42)
+
+
 @q("doc_pack_sequences", """
 WITH t AS (
   SELECT doc_id,

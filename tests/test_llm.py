@@ -596,6 +596,44 @@ class TestPackSequences:
         key = lambda p: sorted(map(tuple, p.values))
         assert key(out) == key(again)
 
+    def test_token_budget_exact_semantics(self, spark):
+        """Exact mode: docs taken in hash order until the stratum's
+        cumulative tokens cross the budget; the crossing doc is included,
+        nothing after it."""
+        from physioview_spark.llm import sampling
+        rows = [(i, "en" if i % 2 == 0 else "de",
+                 " ".join(["w"] * 10)) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                         "text string")
+        out = sampling.token_budget_sample(
+            df, ["lang"], budget_tokens=55).toPandas()
+        # 10 tokens/doc, budget 55 -> 6 docs per stratum (tokens_before
+        # of the 6th is 50 < 55; the 7th would be 60)
+        per = out.groupby("lang").size()
+        assert (per == 6).all()
+        assert out["tokens_before"].max() == 50
+        # deterministic under repartitioning
+        again = sampling.token_budget_sample(
+            df.repartition(7), ["lang"], budget_tokens=55).toPandas()
+        key = lambda p: sorted(map(tuple, p.values))
+        assert key(out) == key(again)
+
+    def test_token_budget_rate_mode_bound(self, spark):
+        """Rate mode: stateless hash-threshold keep, expected tokens per
+        stratum near the budget — no window, no per-stratum serial scan."""
+        from physioview_spark.llm import sampling
+        rows = [(i, "en", " ".join(["w"] * 10)) for i in range(600)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                         "text string")
+        out = sampling.token_budget_sample(
+            df, ["lang"], budget_tokens=2000, mode="rate").toPandas()
+        got = out["n_tokens"].sum()
+        assert 1000 <= got <= 3200, got  # expected 2000 of 6000 corpus
+        # over-budget strata only: a rate of 1 keeps everything
+        all_in = sampling.token_budget_sample(
+            df, ["lang"], budget_tokens=10**9, mode="rate").toPandas()
+        assert len(all_in) == 600
+
     def test_auto_shards_bound_per_task_input(self, spark):
         """n_shards=None derives the grid from corpus size so no single
         task (= one shard's running sum) sorts an unbounded slice. On a
