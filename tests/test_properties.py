@@ -265,3 +265,53 @@ class TestCurationProperties:
         # no fully-redundant trailing chunk: last chunk contains the
         # final token
         assert words[-1] in out[-1]["chunk_text"].split()
+
+
+# ------------------------------------------------- multimodal decode seams
+
+class TestCodecFuzz:
+    """The decode seams are the boundary where untrusted bytes enter the
+    engine: on ANY input they must return a parse or None — never raise
+    (an executor-side exception kills the whole stage at scale)."""
+
+    @given(st.binary(max_size=256))
+    @settings(max_examples=300, deadline=None)
+    def test_image_decode_total(self, payload):
+        from physioview_spark.llm.multimodal import _decode
+        r = _decode(payload)
+        assert r is None or len(r) == 4
+
+    @given(st.binary(max_size=256))
+    @settings(max_examples=300, deadline=None)
+    def test_audio_decode_total(self, payload):
+        from physioview_spark.llm.multimodal import _decode_audio
+        r = _decode_audio(payload)
+        assert r is None or len(r) == 2
+
+    @given(st.binary(max_size=256))
+    @settings(max_examples=200, deadline=None)
+    def test_pnm_prefixed_garbage_total(self, tail):
+        # force the parser past the magic sniff into header/raster logic
+        from physioview_spark.llm.multimodal import _decode
+        for magic in (b"P5", b"P6", b"P5\n# c"):
+            r = _decode(magic + tail)
+            assert r is None or len(r) == 4
+
+    @given(st.binary(max_size=256))
+    @settings(max_examples=200, deadline=None)
+    def test_wav_prefixed_garbage_total(self, tail):
+        from physioview_spark.llm.multimodal import _decode_audio
+        r = _decode_audio(b"RIFF" + tail)
+        assert r is None or len(r) == 2
+
+    @given(payloads=st.lists(st.binary(max_size=256), min_size=1,
+                             max_size=24))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_video_garbage_yields_no_rows(self, spark, payloads):
+        from physioview_spark.llm.multimodal import sample_video_frames
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary")
+        # corrupt/unknown video payloads contribute zero rows, no error
+        assert sample_video_frames(df).count() >= 0

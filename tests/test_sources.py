@@ -496,3 +496,39 @@ class TestShuffleFreeIngest:
         np.testing.assert_allclose(default["ecg"].values, fast["ecg"].values)
         plan = fast_df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestEventsTsRepresentations:
+    def test_read_normalizes_nanos_and_micros_identically(
+            self, spark, tmp_path):
+        """The driver has shipped events.ts as TIMESTAMP(NANOS) (r01-r04)
+        and as timestamp[us] (r05+). common.read must yield the SAME
+        normalized frame for the same instants in either representation
+        (the r05 streaming failure class)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from physioview_spark.plans.common import read
+
+        us = [1704067200_000000, 1704067212_345678]  # 2024-01-01 + 12.3s
+        base = {"event_id": [1, 2], "user_id": [7, 7],
+                "event_type": ["purchase", "error"], "value": [1.0, 2.0],
+                "props": ['{"k":1}', '{"k":2}']}
+        d_us = str(tmp_path / "us"); d_ns = str(tmp_path / "ns")
+        for d, ty, vals in (
+                (d_us, pa.timestamp("us"), us),
+                (d_ns, pa.timestamp("ns"), [v * 1000 for v in us])):
+            t = pa.table({**base, "ts": pa.array(vals, type=ty)})
+            import os
+            os.makedirs(d)
+            pq.write_table(t, f"{d}/events.parquet",
+                           store_schema=False)  # plain logical types
+        a = read(spark, d_us, "events")
+        b = read(spark, d_ns, "events")
+        assert dict(a.dtypes)["ts"].startswith("timestamp")
+        ra = [(r["event_id"], str(r["ts"])) for r in
+              a.orderBy("event_id").collect()]
+        rb = [(r["event_id"], str(r["ts"])) for r in
+              b.orderBy("event_id").collect()]
+        assert ra == rb
+        assert "2024-01-01" in ra[0][1]
