@@ -298,6 +298,57 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    bucket every vector by its nearest centroid (the IVF coarse
+    quantizer), compare pairs only WITHIN a bucket, and drop each vector
+    that has a lower-id near-duplicate (rounded cosine >= threshold) in
+    its bucket — the deterministic keep-first policy. Returns the kept
+    rows as (id, bucket).
+
+    This is the pairwise variant (drop on any lower-id neighbor);
+    cluster-exact semantics compose from
+    :func:`physioview_spark.llm.dedup.connected_components` over the
+    pair list when transitivity matters. Scale shape: one JVM-side
+    centroid argmin per vector (no shuffle), one equi-join on bucket for
+    the pair search — cross-bucket pairs are never scored, which is the
+    SemDeDup trade: recall bounded by quantizer quality, cost linear in
+    sum of bucket-size^2 (cap via ``max_bucket_size``, the same
+    quadratic guard as the LSH paths)."""
+    v = df.select(id_col, vec_col)
+    b = v.withColumn("bucket", assign_ivf_bucket(F.col(vec_col), centroids))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    lo = b.select(F.col(id_col).alias("__lo_id"),
+                  F.col(vec_col).alias("__lo_v"), "bucket")
+    hi = b.select(F.col(id_col).alias("__hi_id"),
+                  F.col(vec_col).alias("__hi_v"), "bucket")
+    dropped = (
+        lo.join(hi, "bucket")
+        .where(F.col("__lo_id") < F.col("__hi_id"))
+        .where(F.round(cosine(F.col("__lo_v"), F.col("__hi_v")), 6)
+               >= threshold)
+        .select(F.col("__hi_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        b.join(dropped, id_col, "left_anti")
+        .select(id_col, F.col("bucket").cast("int").alias("bucket"))
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

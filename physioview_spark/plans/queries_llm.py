@@ -764,6 +764,46 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("embedding_semantic_dedup", """
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding
+  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+), dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, cid AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn FROM dists)
+  WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM assigned lo JOIN assigned hi
+    ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+   AND ROUND(list_cosine_similarity(lo.embedding::DOUBLE[],
+                                    hi.embedding::DOUBLE[]), 6) >= 0.95
+)
+SELECT a.vec_id, CAST(a.bucket AS INT) AS bucket
+FROM assigned a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+""")
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-bucket by nearest centroid
+    (deterministic seed-vector codebook, same as ``embedding_ann_ivf``),
+    score cosine pairs only within buckets, drop vectors with a
+    lower-id near-duplicate (keep-first). The oracle rebuilds the
+    quantizer, the within-bucket pair set, and the anti-join in SQL."""
+    emb = read(spark, sf_dir, "embeddings")
+    cents_rows = (
+        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    return similarity.semantic_dedup(emb, cents, threshold=0.95)
+
+
 @q("multimodal_audio_features")
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio binary-column plumbing: real RIFF/WAVE decode (stdlib

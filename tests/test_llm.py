@@ -199,6 +199,28 @@ def test_embedding_near_dups(spark, vectors):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(3, 7)}
 
 
+def test_semantic_dedup_keep_first(spark, vectors):
+    """SemDeDup: the engineered near-dup pair (3, 7) shares a nearest
+    centroid, so the higher id is dropped and 3 is kept; every other
+    vector survives; determinism under repartitioning."""
+    cents_rows = (vectors.where(F.col("vec_id").isin(0, 5))
+                  .orderBy("vec_id").select("embedding").collect())
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    out = similarity.semantic_dedup(
+        vectors, cents, threshold=0.99).toPandas()
+    kept = set(out["vec_id"])
+    total = vectors.count()
+    assert 7 not in kept and 3 in kept
+    assert len(kept) == total - 1
+    again = similarity.semantic_dedup(
+        vectors.repartition(5), cents, threshold=0.99).toPandas()
+    assert set(again["vec_id"]) == kept
+    # quadratic guard: capping buckets below their size disables pairs
+    full = similarity.semantic_dedup(
+        vectors, cents, threshold=0.99, max_bucket_size=1).toPandas()
+    assert len(full) <= total
+
+
 def test_embedding_near_dups_multiband_recall(spark):
     """OR-of-bands recall: >=0.95 of the brute-force near-dup pairs must
     survive the banded candidate join (single-band at these plane counts
