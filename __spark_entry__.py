@@ -39,6 +39,7 @@ _PRIORITY = [
     # new in round 6 — never checked
     "streaming_near_dup_pairs",
     "doc_token_budget_sample",
+    "doc_token_budget_rate",
     "embedding_semantic_dedup",
 ]
 

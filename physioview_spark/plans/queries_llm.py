@@ -504,6 +504,38 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(docs, ["lang"], 2000, seed=42)
 
 
+@q("doc_token_budget_rate", """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), tot AS (
+  SELECT lang, SUM(n_tokens) AS total FROM t GROUP BY lang
+), f AS (
+  SELECT t.lang, t.doc_id, t.n_tokens,
+         (SELECT SUM((strpos('0123456789abcdef',
+                             substring(t.h, j.j, 1)) - 1)
+                     * (1::BIGINT << ((8 - j.j) * 4)))
+          FROM UNNEST(generate_series(1, 8)) AS j(j)) / 4294967296.0
+           AS frac,
+         LEAST(1.0, 2000.0 / tot.total) AS rate
+  FROM t JOIN tot USING (lang)
+)
+SELECT lang, doc_id, n_tokens FROM f WHERE frac < rate
+""")
+def doc_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of token-budget sampling, hash-gated: a tiny
+    per-stratum total-token aggregate sets a keep-rate, then a STATELESS
+    seeded-hash threshold keeps ~budget tokens per stratum — no window,
+    no per-stratum serial scan. The hash fraction (8 md5 hex digits /
+    2^32) and the rate division are bit-identical doubles in both
+    engines, so the filter is engine-portable at the boundary."""
+    docs = read(spark, sf_dir, "documents")
+    return sampling.token_budget_sample(
+        docs, ["lang"], 2000, seed=42, mode="rate")
+
+
 @q("doc_pack_sequences", """
 WITH t AS (
   SELECT doc_id,
