@@ -41,6 +41,7 @@ _PRIORITY = [
     "doc_token_budget_sample",
     "doc_token_budget_rate",
     "embedding_semantic_dedup",
+    "doc_char_entropy",
 ]
 
 

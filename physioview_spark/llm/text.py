@@ -276,3 +276,47 @@ def pii_scrub(
     scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
     scrubbed = F.regexp_replace(scrubbed, PII_IPV4, "<IP>")
     return df.withColumn(out_col, scrubbed)
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) of the character
+    distribution — the curation signal that catches gibberish, encoded
+    blobs, and single-char floods that token-level heuristics miss
+    (natural prose runs ~4-4.5 bits/char; base64 ~6; "aaaa..." ~0).
+
+    Relational form: explode to (doc, char) counts, then
+    ``log2(N) - sum(c*log2(c))/N`` from exact integer counts. Both
+    group-bys partial-aggregate map-side, and the first shuffle carries
+    at most (docs x alphabet) rows — bounded per doc by the alphabet,
+    not the text length, so the plan is linear at any corpus size.
+
+    Output: ``(id_col, n_chars, n_distinct_chars, entropy_bits)``;
+    empty text yields null entropy.
+    """
+    chars = df.select(
+        id_col,
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).where(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    log2 = lambda c: F.log(2.0, c)  # noqa: E731
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(F.col("__c") * log2(F.col("__c"))).alias("__clogc"),
+    )
+    n = F.col("n_chars").cast("double")
+    ent = log2(n) - F.col("__clogc") / n
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0))
+            .alias("n_distinct_chars"),
+            F.round(ent, 6).alias("entropy_bits"),
+        )
+    )

@@ -504,6 +504,38 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(docs, ["lang"], 2000, seed=42)
 
 
+@q("doc_char_entropy", """
+WITH ch AS (
+  SELECT doc_id, substring(text, i.i, 1) AS c
+  FROM documents, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(text), 1))) AS i) i
+  WHERE len(text) > 0
+), cnt AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM ch GROUP BY doc_id, c
+), agg AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+         SUM(n * log2(n)) AS clogc
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_chars, 0) AS n_chars,
+       COALESCE(a.n_distinct_chars, 0) AS n_distinct_chars,
+       ROUND(log2(CAST(a.n_chars AS DOUBLE)) - a.clogc / a.n_chars, 6)
+         AS entropy_bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (bits/char) — the
+    curation signal for gibberish/encoded blobs. Exact-count relational
+    form: (doc, char) explode with map-side combine (first shuffle
+    bounded by docs x alphabet, not text length), then
+    log2(N) - sum(c*log2 c)/N."""
+    docs = read(spark, sf_dir, "documents")
+    return text.char_entropy(docs)
+
+
 @q("doc_token_budget_rate", """
 WITH t AS (
   SELECT doc_id, lang,

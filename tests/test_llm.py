@@ -199,6 +199,26 @@ def test_embedding_near_dups(spark, vectors):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(3, 7)}
 
 
+def test_char_entropy_known_values(spark):
+    """Entropy against closed forms: uniform 4-char text = 2 bits,
+    single-char flood = 0 bits, empty text = null."""
+    from physioview_spark.llm import text as T
+    rows = [(0, "abcd" * 16), (1, "a" * 40), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.char_entropy(df).collect()}
+    assert abs(out[0]["entropy_bits"] - 2.0) < 1e-9
+    assert out[0]["n_distinct_chars"] == 4 and out[0]["n_chars"] == 64
+    assert out[1]["entropy_bits"] == 0.0
+    assert out[2]["entropy_bits"] is None and out[2]["n_chars"] == 0
+    # gibberish (wide alphabet) scores above natural-ish prose
+    rows2 = [(0, "the cat sat on the mat and the dog sat too"),
+             (1, "qZ3$kP9@xW1!mR7#vT5%bN2^cJ8&")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    o2 = {r["doc_id"]: r["entropy_bits"]
+          for r in T.char_entropy(df2).collect()}
+    assert o2[1] > o2[0]
+
+
 def test_semantic_dedup_keep_first(spark, vectors):
     """SemDeDup: the engineered near-dup pair (3, 7) shares a nearest
     centroid, so the higher id is dropped and 3 is kept; every other
