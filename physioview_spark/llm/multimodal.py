@@ -327,6 +327,85 @@ def encode_fake_video(doc_id: int, n_frames: int = 24, width: int = 8,
     return header + frames.tobytes()
 
 
+def encode_y4m(doc_id: int, n_frames: int = 24, width: int = 8,
+               height: int = 8, fps_num: int = 12, fps_den: int = 1) -> bytes:
+    """Deterministic REAL YUV4MPEG2 (.y4m) stream: the uncompressed
+    video container ffmpeg pipelines exchange — text header, then
+    ``FRAME`` sections of raw 4:2:0 Y/U/V planes. Same luma content as
+    the PVVD fixture for the same doc_id/dims."""
+    rng = np.random.RandomState(doc_id % (2 ** 31))
+    y = rng.randint(0, 256, size=(n_frames, height, width), dtype=np.uint8)
+    cw, ch_ = (width + 1) // 2, (height + 1) // 2
+    header = (f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} "
+              f"Ip A1:1 C420jpeg\n").encode()
+    out = [header]
+    for i in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(y[i].tobytes())
+        out.append(np.full(cw * ch_, 128, dtype=np.uint8).tobytes())  # U
+        out.append(np.full(cw * ch_, 128, dtype=np.uint8).tobytes())  # V
+    return b"".join(out)
+
+
+def _parse_y4m(payload: bytes):
+    """YUV4MPEG2 -> (luma frames (n, h, w) uint8, fps) | None.
+
+    Header grammar: space-separated W/H/F (+ ignored Ip/A/C/X tags) up
+    to the first newline; each frame is ``FRAME[ params]\\n`` + raw
+    planes (4:2:0 assumed — the only layout the encoder above emits and
+    by far the most common in the wild). Any malformation returns None.
+    """
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fps = 0.0
+    for tag in payload[len(b"YUV4MPEG2"):nl].split(b" "):
+        try:
+            if tag[:1] == b"W":
+                w = int(tag[1:])
+            elif tag[:1] == b"H":
+                h = int(tag[1:])
+            elif tag[:1] == b"F":
+                num, den = tag[1:].split(b":")
+                fps = int(num) / int(den)
+        except (ValueError, ZeroDivisionError):
+            return None
+    if not w or not h or w <= 0 or h <= 0 or fps <= 0:
+        return None
+    frame_len = w * h + 2 * (((w + 1) // 2) * ((h + 1) // 2))
+    frames, i, n = [], nl + 1, len(payload)
+    while i < n:
+        fnl = payload.find(b"\n", i)
+        if fnl < 0 or payload[i:i + 5] != b"FRAME":
+            return None
+        body = payload[fnl + 1: fnl + 1 + frame_len]
+        if len(body) != frame_len:
+            return None
+        frames.append(np.frombuffer(body[: w * h], dtype=np.uint8)
+                      .reshape(h, w))
+        i = fnl + 1 + frame_len
+    if not frames:
+        return None
+    return np.stack(frames), fps
+
+
+def _parse_video(payload: bytes):
+    """bytes -> (luma frames (n, h, w), fps) | None — sniffs real
+    YUV4MPEG2 or the in-house PVVD test codec."""
+    if payload is None or len(payload) < 10:
+        return None
+    if payload[:9] == b"YUV4MPEG2":
+        return _parse_y4m(payload)
+    if len(payload) < 14 or payload[:4] != b"PVVD":
+        return None
+    nf, w, h, fps = struct.unpack(">HHHf", payload[4:14])
+    body = payload[14:]
+    if len(body) != nf * w * h or nf == 0 or fps <= 0:
+        return None
+    return np.frombuffer(body, dtype=np.uint8).reshape(nf, h, w), fps
+
+
 def sample_video_frames(
     df: DataFrame,
     every_k: int = 4,
@@ -341,15 +420,11 @@ def sample_video_frames(
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None or len(payload) < 14 \
-                        or payload[:4] != b"PVVD":
+                decoded = _parse_video(payload)
+                if decoded is None:
                     continue
-                nf, w, h, fps = struct.unpack(">HHHf", payload[4:14])
-                body = payload[14:]
-                if len(body) != nf * w * h or nf == 0 or fps <= 0:
-                    continue
-                frames = np.frombuffer(body, dtype=np.uint8) \
-                    .reshape(nf, h, w)
+                frames, fps = decoded
+                nf = len(frames)
                 prev = None
                 for i in range(0, nf, every_k):
                     f_i = frames[i].astype(np.float64)

@@ -896,13 +896,22 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("multimodal_video_frames")
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame with
-    motion deltas (UDTF-shaped mapInPandas)."""
+    motion deltas (UDTF-shaped mapInPandas). Most rows are REAL
+    YUV4MPEG2 streams (stdlib-parseable raw-plane container); the PVVD
+    test codec and a truncated stream cover legacy and corrupt paths."""
     from physioview_spark.llm.multimodal import (
-        encode_fake_video, sample_video_frames,
+        encode_fake_video, encode_y4m, sample_video_frames,
     )
 
-    rows = [(i, bytearray(encode_fake_video(i, n_frames=24, fps=12.0)))
-            for i in range(16)]
+    rows = []
+    for i in range(16):
+        if i % 5 == 4:        # legacy in-house codec path
+            p = encode_fake_video(i, n_frames=24, fps=12.0)
+        else:                 # real Y4M stream
+            p = encode_y4m(i, n_frames=24, fps_num=12)
+        if i == 13:           # corrupt: truncated mid-frame
+            p = p[: len(p) // 2]
+        rows.append((i, bytearray(p)))
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     return sample_video_frames(df, every_k=4).orderBy("doc_id", "frame_idx")
 

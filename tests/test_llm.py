@@ -326,6 +326,28 @@ class TestRealCodecs:
         assert rate == 8000 and len(stereo) == len(mono)
         np.testing.assert_allclose(stereo, mono)
 
+    def test_y4m_roundtrip_matches_pvvd(self):
+        """Same deterministic luma through the REAL YUV4MPEG2 container
+        and the PVVD fixture decodes to identical frames and fps."""
+        from physioview_spark.llm.multimodal import (
+            _parse_video, encode_fake_video, encode_y4m,
+        )
+
+        fy, fpsy = _parse_video(encode_y4m(3, n_frames=6))
+        fp, fpsp = _parse_video(encode_fake_video(3, n_frames=6))
+        assert fpsy == fpsp == 12.0
+        np.testing.assert_array_equal(fy, fp)
+
+    def test_y4m_corruption_paths(self):
+        from physioview_spark.llm.multimodal import _parse_video, encode_y4m
+
+        good = encode_y4m(3, n_frames=4)
+        assert _parse_video(good) is not None
+        assert _parse_video(good[: len(good) // 2]) is None  # mid-frame
+        assert _parse_video(b"YUV4MPEG2 W0 H8 F12:1\n") is None
+        assert _parse_video(b"YUV4MPEG2 W8 H8 F12:0\nFRAME\n") is None
+        assert _parse_video(good.replace(b"FRAME", b"FRAMX", 1)) is None
+
     def test_wav_corrupt_header_is_invalid_row(self, spark):
         from physioview_spark.llm.multimodal import (
             encode_wav, extract_audio_features,
