@@ -42,6 +42,7 @@ _PRIORITY = [
     "doc_token_budget_rate",
     "embedding_semantic_dedup",
     "doc_char_entropy",
+    "doc_strip_boilerplate",
 ]
 
 

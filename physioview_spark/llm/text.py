@@ -320,3 +320,67 @@ def char_entropy(
             F.round(ent, 6).alias("entropy_bits"),
         )
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_repeats: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """C4-style corpus-level line dedup: remove every line that occurs
+    at least ``min_repeats`` times ACROSS the corpus (cookie banners,
+    nav menus, license headers), preserving the order of surviving
+    lines.
+
+    Output: ``(id_col, out_col, n_lines, n_boilerplate)`` — a document
+    whose every line is boilerplate keeps an empty string.
+
+    Scale shape: lines explode linearly; the frequency aggregate
+    partial-combines map-side and is FILTERED to lines with freq >=
+    min_repeats before the join — repeated boilerplate is a tiny
+    fraction of distinct lines, so the hot set broadcasts and the strip
+    is a broadcast LEFT ANTI join, never a corpus-vs-corpus shuffle.
+    Reassembly sorts each doc's surviving (pos, line) pairs inside one
+    aggregate row (array_sort on structs), not with a window.
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    hot = (
+        lines.groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .where(F.col("__freq") >= min_repeats)
+        .select("__line")
+    )
+    kept = lines.join(F.broadcast(hot), "__line", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__pos"), F.col("__line")))),
+                    lambda s: s["__line"],
+                ),
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            (F.coalesce("n_lines", F.lit(0))
+             - F.coalesce("__n_kept", F.lit(0))).alias("n_boilerplate"),
+        )
+    )

@@ -504,6 +504,41 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(docs, ["lang"], 2000, seed=42)
 
 
+@q("doc_strip_boilerplate", """
+WITH ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ll FROM documents
+), l AS (
+  SELECT doc_id, ll[g.i] AS line, g.i AS pos
+  FROM ls, LATERAL (
+    SELECT UNNEST(generate_series(1, len(ll))) AS i) g
+), hot AS (
+  SELECT line FROM l GROUP BY line HAVING COUNT(*) >= 3
+), kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE line NOT IN (SELECT line FROM hot)
+), reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.text_clean, '') AS text_clean,
+       COALESCE(t.n_lines, 0) AS n_lines,
+       COALESCE(t.n_lines, 0) - COALESCE(r.n_kept, 0) AS n_boilerplate
+FROM documents d
+LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
+""")
+def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup: strip every line occurring >= 3
+    times across the corpus, preserving surviving-line order. The hot
+    set (repeated lines only) broadcasts, so the strip is a broadcast
+    anti-join — never a corpus-vs-corpus shuffle."""
+    docs = read(spark, sf_dir, "documents")
+    return text.strip_boilerplate_lines(docs, min_repeats=3)
+
+
 @q("doc_char_entropy", """
 WITH ch AS (
   SELECT doc_id, substring(text, i.i, 1) AS c

@@ -199,6 +199,33 @@ def test_embedding_near_dups(spark, vectors):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(3, 7)}
 
 
+def test_strip_boilerplate_lines(spark):
+    """Lines repeated >= min_repeats across the corpus are stripped from
+    every doc; unique lines survive in order; all-boilerplate docs keep
+    an empty string."""
+    from physioview_spark.llm import text as T
+    banner = "accept our cookies"
+    rows = [
+        (0, f"{banner}\nunique alpha\nunique beta"),
+        (1, f"unique gamma\n{banner}"),
+        (2, f"{banner}"),
+        (3, "one of a kind\nalso unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           T.strip_boilerplate_lines(df, min_repeats=3).collect()}
+    assert out[0]["text_clean"] == "unique alpha\nunique beta"
+    assert out[0]["n_lines"] == 3 and out[0]["n_boilerplate"] == 1
+    assert out[1]["text_clean"] == "unique gamma"
+    assert out[2]["text_clean"] == "" and out[2]["n_boilerplate"] == 1
+    assert out[3]["text_clean"] == "one of a kind\nalso unique"
+    assert out[3]["n_boilerplate"] == 0
+    # below the threshold nothing is stripped
+    out4 = {r["doc_id"]: r for r in
+            T.strip_boilerplate_lines(df, min_repeats=4).collect()}
+    assert out4[2]["text_clean"] == banner
+
+
 def test_char_entropy_known_values(spark):
     """Entropy against closed forms: uniform 4-char text = 2 bits,
     single-char flood = 0 bits, empty text = null."""
