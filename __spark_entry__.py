@@ -43,6 +43,7 @@ _PRIORITY = [
     "embedding_semantic_dedup",
     "doc_char_entropy",
     "doc_strip_boilerplate",
+    "doc_trigram_typicality",
 ]
 
 

@@ -384,3 +384,57 @@ def strip_boilerplate_lines(
              - F.coalesce("__n_kept", F.lit(0))).alias("n_boilerplate"),
         )
     )
+
+
+def trigram_typicality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-shaped LM quality signal without an external model: score
+    each document by the mean negative log2-probability of its character
+    trigrams under the CORPUS trigram distribution. Typical prose scores
+    low; gibberish, encoded blobs, and off-distribution text score high.
+
+    Two linear passes: (1) corpus trigram counts — map-side combined,
+    the shuffle is bounded by distinct trigrams, not corpus size;
+    (2) per-occurrence join of each doc's trigram multiset against the
+    counts (shuffle on trigram key), then a per-doc mean. Every doc
+    trigram exists in the corpus counts by construction, so there is no
+    unseen-mass smoothing to tune.
+
+    Output: ``(id_col, n_trigrams, avg_neg_log2p)``; docs shorter than
+    3 chars yield null.
+    """
+    t = F.lower(F.col(text_col))
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — the
+    # short-text case needs an explicit guard
+    grams = F.when(
+        F.length(t) < 3, F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), F.length(t) - 2),
+        lambda i: F.substring(t, i, 3),
+    ))
+    occ = df.select(id_col, F.explode(grams).alias("__g"))
+    counts = occ.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    # corpus total as a broadcast 1-row frame — no driver action, no
+    # extra corpus pass (it reduces from the counts table)
+    tot = counts.agg(F.sum("__c").alias("__tot"))
+    log2 = lambda c: F.log(2.0, c)  # noqa: E731
+    scored = (
+        occ.join(counts, "__g")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(-F.avg(log2(F.col("__c") / F.col("__tot"))), 6)
+            .alias("avg_neg_log2p"),
+        )
+    )
+    return (
+        df.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            "avg_neg_log2p",
+        )
+    )

@@ -504,6 +504,36 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(docs, ["lang"], 2000, seed=42)
 
 
+@q("doc_trigram_typicality", """
+WITH g AS (
+  SELECT doc_id, substring(lower(text), i.i, 3) AS tg
+  FROM documents, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(text) - 2, 0))) AS i) i
+), cnt AS (
+  SELECT tg, CAST(COUNT(*) AS DOUBLE) AS c FROM g GROUP BY tg
+), tot AS (
+  SELECT SUM(c) AS t FROM cnt
+), sc AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         ROUND(-AVG(log2(cnt.c / tot.t)), 6) AS avg_neg_log2p
+  FROM g JOIN cnt USING (tg), tot
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_trigrams, 0) AS n_trigrams,
+       s.avg_neg_log2p
+FROM documents d LEFT JOIN sc s USING (doc_id)
+""")
+def doc_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality scoring without an external model: mean
+    negative log2-probability of each doc's character trigrams under
+    the corpus trigram distribution. Typical prose scores low; encoded
+    blobs and off-distribution text score high. Two linear passes, the
+    corpus total reduced from the (bounded) counts table and broadcast."""
+    docs = read(spark, sf_dir, "documents")
+    return text.trigram_typicality(docs)
+
+
 @q("doc_strip_boilerplate", """
 WITH ls AS (
   SELECT doc_id, string_split(text, chr(10)) AS ll FROM documents

@@ -199,6 +199,22 @@ def test_embedding_near_dups(spark, vectors):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(3, 7)}
 
 
+def test_trigram_typicality_orders_outliers(spark):
+    """A doc drawn from the corpus's dominant trigram distribution must
+    score LOWER (more typical) than an off-distribution outlier; tiny
+    docs (<3 chars) yield null."""
+    from physioview_spark.llm import text as T
+    common = "the cat and the dog and the rat sat on the mat"
+    rows = [(i, common) for i in range(5)]
+    rows.append((10, "zqxjkwvzqxjkwv!!##%%zzkk"))  # off-distribution
+    rows.append((11, "ab"))                        # too short
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.trigram_typicality(df).collect()}
+    assert out[11]["avg_neg_log2p"] is None and out[11]["n_trigrams"] == 0
+    assert out[0]["avg_neg_log2p"] < out[10]["avg_neg_log2p"]
+    assert out[0]["n_trigrams"] == len(common) - 2
+
+
 def test_strip_boilerplate_lines(spark):
     """Lines repeated >= min_repeats across the corpus are stripped from
     every doc; unique lines survive in order; all-boilerplate docs keep
