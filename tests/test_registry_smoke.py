@@ -45,3 +45,22 @@ def test_every_oracle_has_a_query():
 def test_entry_returns_flagship(spark):
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_priority_list_consistent():
+    """Every _PRIORITY name must resolve to a registered query (catches
+    typos when the rotation list is edited between rounds), the registry
+    must be duplicate-free, and the priority block must fit the driver's
+    50-query verification window."""
+    import __spark_entry__ as e
+
+    qs, oracles = e._registry()
+    names = list(qs)
+    missing = [n for n in e._PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert len(set(e._PRIORITY)) == len(e._PRIORITY)
+    assert len(names) == len(set(names))
+    assert len(e._PRIORITY) <= 50
+    assert set(e._PRIORITY) <= set(names[:50])
+    # oracles reference registered queries only
+    assert set(oracles) <= set(qs)
