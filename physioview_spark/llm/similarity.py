@@ -321,20 +321,26 @@ def semantic_dedup(
     the pair search — cross-bucket pairs are never scored, which is the
     SemDeDup trade: recall bounded by quantizer quality, cost linear in
     sum of bucket-size^2 (cap via ``max_bucket_size``, the same
-    quadratic guard as the LSH paths)."""
+    quadratic guard as the LSH paths: pair SEARCH is suppressed in an
+    oversized bucket, but its documents are all kept — the guard bounds
+    work, it never drops data)."""
     v = df.select(id_col, vec_col)
     b = v.withColumn("bucket", assign_ivf_bucket(F.col(vec_col), centroids))
+    # The quadratic guard applies only to the pair-scoring input; `b`
+    # itself stays complete so every document survives to the kept-rows
+    # anti-join (docs in skipped buckets can never appear in `dropped`).
+    scored = b
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket")
-        b = (
+        scored = (
             b.withColumn("__bsz", F.count(F.lit(1)).over(w))
             .where(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-    lo = b.select(F.col(id_col).alias("__lo_id"),
-                  F.col(vec_col).alias("__lo_v"), "bucket")
-    hi = b.select(F.col(id_col).alias("__hi_id"),
-                  F.col(vec_col).alias("__hi_v"), "bucket")
+    lo = scored.select(F.col(id_col).alias("__lo_id"),
+                       F.col(vec_col).alias("__lo_v"), "bucket")
+    hi = scored.select(F.col(id_col).alias("__hi_id"),
+                       F.col(vec_col).alias("__hi_v"), "bucket")
     dropped = (
         lo.join(hi, "bucket")
         .where(F.col("__lo_id") < F.col("__hi_id"))

@@ -337,25 +337,30 @@ def strip_boilerplate_lines(
     Output: ``(id_col, out_col, n_lines, n_boilerplate)`` — a document
     whose every line is boilerplate keeps an empty string.
 
-    Scale shape: lines explode linearly; the frequency aggregate
-    partial-combines map-side and is FILTERED to lines with freq >=
-    min_repeats before the join — repeated boilerplate is a tiny
-    fraction of distinct lines, so the hot set broadcasts and the strip
-    is a broadcast LEFT ANTI join, never a corpus-vs-corpus shuffle.
-    Reassembly sorts each doc's surviving (pos, line) pairs inside one
-    aggregate row (array_sort on structs), not with a window.
+    Scale shape: lines explode linearly; both the frequency aggregate
+    and the anti-join key on ``xxhash64(line)`` — an 8-byte key, so the
+    count shuffle and any fallback shuffle anti-join move hashes, never
+    the line strings. No broadcast hint is forced: at web scale the
+    "hot" set (every line repeated >= min_repeats times — empty lines,
+    boilerplate variants) is unbounded, so AQE must stay free to pick a
+    broadcast when the set is actually small and a shuffled anti-join on
+    the 8-byte key when it is not. xxhash64 collisions (~n^2/2^64)
+    would strip an innocent line; at any realistic distinct-line count
+    this is below measurement. Reassembly sorts each doc's surviving
+    (pos, line) pairs inside one aggregate row (array_sort on structs),
+    not with a window.
     """
     lines = df.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
-    )
+    ).withColumn("__lh", F.xxhash64("__line"))
     hot = (
-        lines.groupBy("__line")
+        lines.groupBy("__lh")
         .agg(F.count(F.lit(1)).alias("__freq"))
         .where(F.col("__freq") >= min_repeats)
-        .select("__line")
+        .select("__lh")
     )
-    kept = lines.join(F.broadcast(hot), "__line", "left_anti")
+    kept = lines.join(hot, "__lh", "left_anti")
     rebuilt = (
         kept.groupBy(id_col)
         .agg(
@@ -387,19 +392,37 @@ def strip_boilerplate_lines(
 
 
 def trigram_typicality(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 65536,
 ) -> DataFrame:
     """CCNet-shaped LM quality signal without an external model: score
     each document by the mean negative log2-probability of its character
     trigrams under the CORPUS trigram distribution. Typical prose scores
     low; gibberish, encoded blobs, and off-distribution text score high.
 
-    Two linear passes: (1) corpus trigram counts — map-side combined,
-    the shuffle is bounded by distinct trigrams, not corpus size;
-    (2) per-occurrence join of each doc's trigram multiset against the
-    counts (shuffle on trigram key), then a per-doc mean. Every doc
-    trigram exists in the corpus counts by construction, so there is no
-    unseen-mass smoothing to tune.
+    Scale shape — three bounded steps, no corpus-sized shuffle on the
+    (Zipfian-skewed) trigram key:
+
+    1. Per-(doc, trigram) multiplicities — one shuffle keyed on the
+       composite (doc, trigram), which is NOT skewed (the hottest
+       trigram splits across every doc). The join input is now bounded
+       by docs x distinct-trigrams-per-doc, sub-linear in text length.
+    2. Corpus counts reduce FROM the multiplicities (map-side combined)
+       and are then BOUNDED: the ``top_k`` most frequent trigrams keep
+       exact counts (deterministic tie-break on the trigram string, via
+       TakeOrderedAndProject — no single-partition window); every tail
+       trigram scores through one residual probability, the MEAN tail
+       count (tail mass / distinct tail types) — a per-trigram
+       estimate, unlike the whole tail mass, which would overestimate
+       rare-gram probability and invert the typicality ordering on
+       flat distributions. Under a Zipfian corpus top-K covers ~all
+       occurrences, so scores barely move; when distinct trigrams
+       <= top_k the semantics are exact.
+    3. The bounded (<= top_k rows) table and the 1-row totals frame are
+       explicitly broadcast — the scoring join is map-side, immune to
+       trigram skew at any corpus size.
 
     Output: ``(id_col, n_trigrams, avg_neg_log2p)``; docs shorter than
     3 chars yield null.
@@ -414,19 +437,34 @@ def trigram_typicality(
         lambda i: F.substring(t, i, 3),
     ))
     occ = df.select(id_col, F.explode(grams).alias("__g"))
-    counts = occ.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("double").alias("__c"))
-    # corpus total as a broadcast 1-row frame — no driver action, no
-    # extra corpus pass (it reduces from the counts table)
-    tot = counts.agg(F.sum("__c").alias("__tot"))
+    dg = occ.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__m"))
+    counts = dg.groupBy("__g").agg(F.sum("__m").alias("__c"))
+    topk = counts.orderBy(F.col("__c").desc(), F.col("__g").asc()) \
+        .limit(int(top_k))
+    # 1-row totals frame: corpus mass/types + top-K mass/types (the
+    # residual = mean tail count derives from the four). No driver
+    # action, no extra corpus pass — both reduce from counts.
+    glob = counts.agg(
+        F.sum("__c").alias("__tot"),
+        F.count(F.lit(1)).cast("double").alias("__nd"),
+    ).crossJoin(topk.agg(
+        F.sum("__c").alias("__topm"),
+        F.count(F.lit(1)).cast("double").alias("__nk"),
+    ))
     log2 = lambda c: F.log(2.0, c)  # noqa: E731
+    rare = (F.col("__tot") - F.col("__topm")) / F.greatest(
+        F.col("__nd") - F.col("__nk"), F.lit(1.0))
+    ceff = F.coalesce(F.col("__c"), rare)
     scored = (
-        occ.join(counts, "__g")
-        .crossJoin(F.broadcast(tot))
+        dg.join(F.broadcast(topk), "__g", "left")
+        .crossJoin(F.broadcast(glob))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-            F.round(-F.avg(log2(F.col("__c") / F.col("__tot"))), 6)
+            F.sum("__m").cast("long").alias("n_trigrams"),
+            F.round(
+                -(F.sum(F.col("__m") * log2(ceff / F.col("__tot")))
+                  / F.sum("__m")), 6)
             .alias("avg_neg_log2p"),
         )
     )

@@ -509,15 +509,25 @@ WITH g AS (
   SELECT doc_id, substring(lower(text), i.i, 3) AS tg
   FROM documents, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(text) - 2, 0))) AS i) i
+), dg AS (
+  SELECT doc_id, tg, CAST(COUNT(*) AS DOUBLE) AS m FROM g GROUP BY doc_id, tg
 ), cnt AS (
-  SELECT tg, CAST(COUNT(*) AS DOUBLE) AS c FROM g GROUP BY tg
-), tot AS (
-  SELECT SUM(c) AS t FROM cnt
+  SELECT tg, SUM(m) AS c FROM dg GROUP BY tg
+), topk AS (
+  SELECT tg, c FROM cnt ORDER BY c DESC, tg ASC LIMIT 4096
+), gl AS (
+  SELECT (SELECT SUM(c) FROM cnt) AS t,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM cnt) AS nd,
+         (SELECT SUM(c) FROM topk) AS topm,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM topk) AS nk
 ), sc AS (
-  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-         ROUND(-AVG(log2(cnt.c / tot.t)), 6) AS avg_neg_log2p
-  FROM g JOIN cnt USING (tg), tot
-  GROUP BY g.doc_id
+  SELECT dg.doc_id, CAST(SUM(dg.m) AS BIGINT) AS n_trigrams,
+         ROUND(-(SUM(dg.m * log2(
+                   COALESCE(topk.c, (gl.t - gl.topm)
+                            / GREATEST(gl.nd - gl.nk, 1.0)) / gl.t))
+                 / SUM(dg.m)), 6) AS avg_neg_log2p
+  FROM dg LEFT JOIN topk USING (tg), gl
+  GROUP BY dg.doc_id
 )
 SELECT d.doc_id,
        COALESCE(s.n_trigrams, 0) AS n_trigrams,
@@ -527,11 +537,15 @@ FROM documents d LEFT JOIN sc s USING (doc_id)
 def doc_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped LM quality scoring without an external model: mean
     negative log2-probability of each doc's character trigrams under
-    the corpus trigram distribution. Typical prose scores low; encoded
-    blobs and off-distribution text score high. Two linear passes, the
-    corpus total reduced from the (bounded) counts table and broadcast."""
+    the corpus trigram distribution, BOUNDED for scale: exact counts
+    for the 4096 most frequent trigrams (deterministic tie-break); the
+    tail scores through one residual probability, the mean tail count
+    (tail mass / distinct tail types). The counts table is
+    therefore <= 4097 rows and broadcast — no corpus-sized shuffle on
+    the Zipfian trigram key; the per-doc join input is pre-aggregated
+    to (doc, trigram) multiplicities, sub-linear in text length."""
     docs = read(spark, sf_dir, "documents")
-    return text.trigram_typicality(docs)
+    return text.trigram_typicality(docs, top_k=4096)
 
 
 @q("doc_strip_boilerplate", """
@@ -562,9 +576,10 @@ LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
 """)
 def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-level line dedup: strip every line occurring >= 3
-    times across the corpus, preserving surviving-line order. The hot
-    set (repeated lines only) broadcasts, so the strip is a broadcast
-    anti-join — never a corpus-vs-corpus shuffle."""
+    times across the corpus, preserving surviving-line order. The count
+    and anti-join both key on xxhash64(line) (8 bytes, never the string)
+    with no forced broadcast — AQE broadcasts a genuinely small hot set
+    and falls back to a shuffled anti-join on the hash otherwise."""
     docs = read(spark, sf_dir, "documents")
     return text.strip_boilerplate_lines(docs, min_repeats=3)
 

@@ -39,7 +39,9 @@ def await_stream(query, timeout_sec: float | None = None) -> None:
     if not query.awaitTermination(timeout_sec):
         try:
             query.stop()
-        finally:
+        except Exception:
+            # stop() failing (e.g. the query just errored) must not
+            # replace the TimeoutError diagnosis below
             pass
         raise TimeoutError(
             f"streaming query {query.name!r} still running after "

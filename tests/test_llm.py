@@ -215,6 +215,44 @@ def test_trigram_typicality_orders_outliers(spark):
     assert out[0]["n_trigrams"] == len(common) - 2
 
 
+def test_trigram_typicality_topk_residual(spark):
+    """Bounded-counts path: with top_k smaller than the distinct-trigram
+    count, tail trigrams score through the single residual rare bucket;
+    the typical-vs-outlier ordering survives, and a top_k larger than
+    the vocabulary reproduces the exact (unbounded) scores. The scoring
+    join must broadcast the bounded table (never shuffle on the skewed
+    trigram key)."""
+    from physioview_spark.llm import text as T
+    common = "the cat and the dog and the rat sat on the mat"
+    rows = [(i, common) for i in range(5)]
+    rows.append((10, "zqxjkwvzqxjkwv!!##%%zzkk"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r["doc_id"]: r for r in T.trigram_typicality(df).collect()}
+    # top_k sized to the typical doc's vocabulary (every common gram has
+    # count >= 5, every outlier gram <= 2, so count-desc top-K keeps all
+    # common grams exact and routes the outlier through the residual) —
+    # mirroring the real regime where top-K covers the prose mass
+    n_common = (df.where("doc_id = 0")
+                .selectExpr("explode(transform(sequence(1, length(text) - 2),"
+                            " i -> substring(lower(text), i, 3))) g")
+                .distinct().count())
+    capped = T.trigram_typicality(df, top_k=n_common)
+    out = {r["doc_id"]: r for r in capped.collect()}
+    # ordering preserved even though the outlier's grams are all rare
+    assert out[0]["avg_neg_log2p"] < out[10]["avg_neg_log2p"]
+    # rare grams share one bucket prob, so the outlier score changes
+    assert out[10]["avg_neg_log2p"] != exact[10]["avg_neg_log2p"]
+    # multiplicity-weighted n_trigrams unchanged by the bounding
+    assert out[0]["n_trigrams"] == exact[0]["n_trigrams"]
+    # top_k >= vocab => exact semantics
+    wide = {r["doc_id"]: r
+            for r in T.trigram_typicality(df, top_k=10**6).collect()}
+    assert all(wide[k]["avg_neg_log2p"] == exact[k]["avg_neg_log2p"]
+               for k in exact)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_strip_boilerplate_lines(spark):
     """Lines repeated >= min_repeats across the corpus are stripped from
     every doc; unique lines survive in order; all-boilerplate docs keep
@@ -240,6 +278,21 @@ def test_strip_boilerplate_lines(spark):
     out4 = {r["doc_id"]: r for r in
             T.strip_boilerplate_lines(df, min_repeats=4).collect()}
     assert out4[2]["text_clean"] == banner
+
+
+def test_strip_boilerplate_plan_no_forced_broadcast(spark):
+    """The hot-line set is unbounded at corpus scale, so the plan must
+    NOT carry an unconditional broadcast hint — AQE decides. The
+    anti-join must also key on the 8-byte xxhash64, not the raw line."""
+    from physioview_spark.llm import text as T
+    df = spark.createDataFrame(
+        [(0, "a\nb"), (1, "a\nc")], "doc_id long, text string")
+    out = T.strip_boilerplate_lines(df, min_repeats=2)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "broadcast" not in logical
+    assert "xxhash64" in logical
+    # and the line strings themselves never form the join key
+    assert "LeftAnti" in logical and "__lh" in logical
 
 
 def test_char_entropy_known_values(spark):
@@ -278,10 +331,13 @@ def test_semantic_dedup_keep_first(spark, vectors):
     again = similarity.semantic_dedup(
         vectors.repartition(5), cents, threshold=0.99).toPandas()
     assert set(again["vec_id"]) == kept
-    # quadratic guard: capping buckets below their size disables pairs
+    # quadratic guard: capping buckets below their size disables the
+    # PAIR SEARCH only — every document (including those in skipped
+    # buckets) must still be kept; the guard bounds work, not output
     full = similarity.semantic_dedup(
         vectors, cents, threshold=0.99, max_bucket_size=1).toPandas()
-    assert len(full) <= total
+    assert set(full["vec_id"]) == set(
+        r["vec_id"] for r in vectors.select("vec_id").collect())
 
 
 def test_embedding_near_dups_multiband_recall(spark):

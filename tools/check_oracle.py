@@ -43,10 +43,25 @@ def normalize(rows, cols):
 
 
 def _sorted_tuples(rows, cols):
+    """Rows as column-sorted tuples, ordered so the tolerance re-check
+    zips the SAME logical rows on both sides: non-float columns (ids,
+    strings — usually a unique key) lead the sort key, and floats are
+    rounded coarsely (3 dp) before comparison, so an ulp flip at the
+    6-decimal boundary cannot move a row's sort position and misalign
+    the pairing (which would misclassify stale fixtures as FAIL)."""
     def key(v):
+        if isinstance(v, float):
+            return (repr(type(v)), repr(None if math.isnan(v)
+                                         else round(v, 3)))
         return (repr(type(v)), repr(v))
+
+    def row_key(t):
+        nonfloat = [key(v) for v in t if not isinstance(v, float)]
+        floats = [key(v) for v in t if isinstance(v, float)]
+        return (nonfloat, floats)
+
     out = [tuple(r[c] for c in sorted(cols)) for r in rows]
-    return sorted(out, key=lambda t: [key(v) for v in t])
+    return sorted(out, key=row_key)
 
 
 def _close(a, b, rel=1e-6, abs_=1e-9) -> bool:
