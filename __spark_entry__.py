@@ -18,33 +18,70 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 # The driver verifies the FIRST 50 registry entries per round. Serve the
-# least-recently-verified queries first so every declared operator gets a
-# driver-green row; long-green queries rotate behind the window (they stay
-# covered by pytest and by earlier rounds' CORRECTNESS records).
-_PRIORITY = [
-    # never driver-checked in rounds 1-5 — must enter the window
-    "doc_curation_pipeline", "kernel_acc_auc", "e4_ingest_aligned",
-    "edf_ingest_channels", "resample_grid_stats",
-    "corrections_accept_revert", "moving_average_events",
-    # green only in round 3 — re-verify
-    "kernel_cardiac_sqa_ecg", "kernel_cardiac_rolling_ppg",
-    "kernel_eda_scr", "kernel_seconds_hr", "kernel_beat_correction",
-    "kernel_hrv_features", "kernel_eda_quality_metrics",
-    # green only in round 4
-    "multimodal_image_features", "embedding_near_dup_pairs",
-    "doc_bpe_token_stats", "doc_winnow_fingerprints",
-    "doc_curation_decisions",
-    # red in round 5 (fixed this round) — needs a fresh green row
-    "streaming_segment_counts",
-    # new in round 6 — never checked
-    "streaming_near_dup_pairs",
-    "doc_token_budget_sample",
-    "doc_token_budget_rate",
-    "embedding_semantic_dedup",
-    "doc_char_entropy",
-    "doc_strip_boilerplate",
-    "doc_trigram_typicality",
+# least-recently-verified queries first so every declared operator keeps a
+# fresh driver-green row; long-green queries rotate behind the window (they
+# stay covered by pytest and by earlier rounds' CORRECTNESS records).
+#
+# The rotation is DERIVED from the CORRECTNESS_r*.json files committed in
+# the tree (last round each query passed its driver check), so it cannot
+# go stale when a round forgets to re-edit a hand-written list. The only
+# hand-maintained part is _CHANGED_THIS_ROUND: queries whose code was
+# touched AFTER their last green row — their prior green no longer attests
+# the current bytes, so they jump the queue. Append to it as you edit.
+_CHANGED_THIS_ROUND = [
+    # r06 restructured these after their r05 green (real codec row mixes;
+    # multi-probe LSH plumbing) — the driver has never hashed these bytes
+    "multimodal_audio_features", "multimodal_video_frames",
+    "embedding_ann_lsh",
+    # r07 edits
+    "doc_strip_boilerplate",        # xxhash64 anti-join, de-broadcast
+    "doc_trigram_typicality",       # bounded top-K + residual counts
+    "embedding_semantic_dedup",     # cap no longer drops oversized buckets
 ]
+
+
+def _last_verified() -> dict[str, int]:
+    """Last round each query passed its driver check, parsed from the
+    CORRECTNESS_r*.json files next to this file. A full check passes when
+    rows+schema+hash all match; an oracle-less query passes its weaker
+    rows-only check when the driver recorded a row count without error."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                records = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            full = (rec.get("rows_match") and rec.get("schema_match")
+                    and rec.get("hash_match"))
+            rows_only = (rec.get("err") == "no_oracle"
+                         and rec.get("spark_rows") is not None)
+            if full or rows_only:
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def _serve_order(names: list[str]) -> list[str]:
+    """Changed-since-green queries first, then never-verified, then by
+    ascending last-verified round; name-sorted within a tier so the
+    order is deterministic across sessions."""
+    changed = [n for n in _CHANGED_THIS_ROUND if n in names]
+    last = _last_verified()
+    rest = sorted((n for n in names if n not in changed),
+                  key=lambda n: (last.get(n, 0), n))
+    return changed + rest
 
 
 def _registry():
@@ -66,9 +103,7 @@ def _registry():
     for m in modules:
         qs.update(m.QUERIES)
         oracles.update(m.ORACLE)
-    order = [n for n in _PRIORITY if n in qs] + [
-        n for n in qs if n not in _PRIORITY]
-    qs = {n: qs[n] for n in order}
+    qs = {n: qs[n] for n in _serve_order(list(qs))}
     return qs, oracles
 
 

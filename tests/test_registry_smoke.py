@@ -47,20 +47,30 @@ def test_entry_returns_flagship(spark):
     assert df.count() > 0
 
 
-def test_priority_list_consistent():
-    """Every _PRIORITY name must resolve to a registered query (catches
-    typos when the rotation list is edited between rounds), the registry
-    must be duplicate-free, and the priority block must fit the driver's
-    50-query verification window."""
+def test_rotation_consistent():
+    """The mechanically-derived serve order must (a) resolve every
+    _CHANGED_THIS_ROUND name (catches typos when the list is edited),
+    (b) lead with the changed-since-green queries inside the driver's
+    50-query window, and (c) place least-recently-verified queries
+    before more-recently-verified ones."""
     import __spark_entry__ as e
 
     qs, oracles = e._registry()
     names = list(qs)
-    missing = [n for n in e._PRIORITY if n not in qs]
-    assert not missing, f"_PRIORITY names not in registry: {missing}"
-    assert len(set(e._PRIORITY)) == len(e._PRIORITY)
     assert len(names) == len(set(names))
-    assert len(e._PRIORITY) <= 50
-    assert set(e._PRIORITY) <= set(names[:50])
+    missing = [n for n in e._CHANGED_THIS_ROUND if n not in qs]
+    assert not missing, f"_CHANGED_THIS_ROUND names not in registry: {missing}"
+    assert len(set(e._CHANGED_THIS_ROUND)) == len(e._CHANGED_THIS_ROUND)
+    assert len(e._CHANGED_THIS_ROUND) <= 50
+    assert names[:len(e._CHANGED_THIS_ROUND)] == [
+        n for n in e._CHANGED_THIS_ROUND if n in qs]
+    # after the changed block, last-verified round is non-decreasing
+    last = e._last_verified()
+    tail = names[len(e._CHANGED_THIS_ROUND):]
+    rounds = [last.get(n, 0) for n in tail]
+    assert rounds == sorted(rounds)
+    # the CORRECTNESS files in the tree actually parsed (the rotation is
+    # meaningless if the mechanical derivation silently saw nothing)
+    assert last and max(last.values()) >= 6
     # oracles reference registered queries only
     assert set(oracles) <= set(qs)
