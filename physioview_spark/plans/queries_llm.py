@@ -347,28 +347,43 @@ def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted pairs must equal the BATCH ``minhash_lsh_candidates`` over
     the whole corpus — the same oracle SQL as
     ``doc_minhash_lsh_candidates``. Cross-batch pairs (even doc vs odd
-    doc) only exist if the accumulated-state join works."""
-    import uuid
+    doc) only exist if the accumulated-state join works.
+
+    The scratch input/checkpoint/state live in a ``tempfile`` directory
+    removed (and the managed band table dropped) before returning; the
+    emitted pair list — candidate pairs only, a few dozen rows at any
+    tested SF — is rehosted through the driver so the returned frame
+    outlives the cleanup (same small-result pattern as the IVF codebook
+    collect below)."""
+    import shutil
+    import tempfile
 
     from physioview_spark.streaming import (
-        await_stream, streaming_near_dup_lsh,
+        await_stream, drop_near_dup_state, streaming_near_dup_lsh,
     )
 
     docs = read(spark, sf_dir, "documents")
-    tmp = f"/tmp/pv_stream_lsh_{uuid.uuid4().hex[:8]}"
-    # two files -> maxFilesPerTrigger=1 forces two micro-batches with
-    # near-dups split across them
-    (docs.where(F.col("doc_id") % 2 == 0).coalesce(1)
-     .write.mode("append").parquet(f"{tmp}/in"))
-    (docs.where(F.col("doc_id") % 2 == 1).coalesce(1)
-     .write.mode("append").parquet(f"{tmp}/in"))
-    stream = (spark.readStream.schema(docs.schema)
-              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in"))
-    q = (streaming_near_dup_lsh(stream, f"{tmp}/state")
-         .trigger(availableNow=True)
-         .option("checkpointLocation", f"{tmp}/ckpt").start())
-    await_stream(q)
-    return spark.read.parquet(f"{tmp}/state/pairs").select("id_a", "id_b")
+    tmp = tempfile.mkdtemp(prefix="pv_stream_lsh_")
+    try:
+        # two files -> maxFilesPerTrigger=1 forces two micro-batches
+        # with near-dups split across them
+        (docs.where(F.col("doc_id") % 2 == 0).coalesce(1)
+         .write.mode("append").parquet(f"{tmp}/in"))
+        (docs.where(F.col("doc_id") % 2 == 1).coalesce(1)
+         .write.mode("append").parquet(f"{tmp}/in"))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in"))
+        q = (streaming_near_dup_lsh(stream, f"{tmp}/state")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", f"{tmp}/ckpt").start())
+        await_stream(q)
+        out = spark.read.parquet(f"{tmp}/state/pairs") \
+            .select("id_a", "id_b")
+        rows, schema = out.collect(), out.schema
+    finally:
+        drop_near_dup_state(spark, f"{tmp}/state")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @q("doc_dup_clusters", """

@@ -14,6 +14,7 @@ from physioview_spark.streaming.rolling import (
 )
 from physioview_spark.streaming.stateful import streaming_ibis
 from physioview_spark.streaming.documents import (
+    drop_near_dup_state, near_dup_batch_processor,
     streaming_doc_curation, streaming_near_dup_lsh,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "streaming_eda_features", "streaming_rolling_sqa",
     "streaming_seconds_hr", "streaming_segment_sqa",
     "with_watermark_if_streaming", "streaming_ibis",
+    "drop_near_dup_state", "near_dup_batch_processor",
     "streaming_doc_curation", "streaming_near_dup_lsh",
 ]

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
 from physioview_spark.llm import text
@@ -55,6 +54,22 @@ def streaming_doc_curation(
     )
 
 
+def _band_table_name(state_dir: str) -> str:
+    """Catalog name for a stream instance's accumulated band table,
+    derived from the state dir so concurrent streams don't collide."""
+    import hashlib
+
+    return ("pv_stream_bands_"
+            + hashlib.md5(state_dir.encode()).hexdigest()[:12])
+
+
+def drop_near_dup_state(spark, state_dir: str) -> None:
+    """Drop the managed band table backing a
+    :func:`streaming_near_dup_lsh` instance (the pairs output under
+    ``state_dir`` is plain parquet — remove the directory itself)."""
+    spark.sql(f"DROP TABLE IF EXISTS {_band_table_name(state_dir)}")
+
+
 def streaming_near_dup_lsh(
     docs: DataFrame,
     state_dir: str,
@@ -63,6 +78,7 @@ def streaming_near_dup_lsh(
     k: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    n_buckets: int = 8,
 ):
     """NEAR-dup candidate detection over a document stream: incremental
     MinHash-LSH via ``foreachBatch`` against an accumulating band table.
@@ -76,37 +92,74 @@ def streaming_near_dup_lsh(
     exactly once — in the micro-batch of its later-arriving member —
     so the union of emitted pairs over any prefix of the stream equals
     the batch :func:`physioview_spark.llm.dedup.minhash_lsh_candidates`
-    over the same prefix (parity-tested in tests/test_streaming.py).
+    over the same prefix (parity-tested in tests/test_streaming.py,
+    including across a simulated micro-batch retry).
 
-    State layout under ``state_dir``:
-      ``bands/``  (id, band, band_hash) parquet, append-only
-      ``pairs/``  (id_a, id_b) parquet, append-only
+    State layout:
+      - accumulated bands: a MANAGED BUCKETED TABLE (``n_buckets`` on
+        the join key ``(band, band_hash)``), partitioned by ``batch_id``
+        — the bucketed scan joins the batch's bands without an Exchange
+        on the accumulated side, so per-batch shuffle cost covers the
+        BATCH only, independent of how much state has accumulated.
+        Drop via :func:`drop_near_dup_state`.
+      - ``state_dir/pairs``: (id_a, id_b) parquet partitioned by
+        ``batch_id``, written with DYNAMIC PARTITION OVERWRITE.
 
-    Scale shape: per batch, one shuffle over the BATCH's shingles (tiny)
-    plus a (batch-bands x accumulated-bands) equi-join on (band,
-    band_hash) — batch side broadcast when small. At 100 TB the
-    accumulated table should be a bucketed table (or Delta with a merge
-    keyed on ``batch_id`` for exactly-once retries); the append-parquet
-    form here keeps the same plan shape with plain files.
+    Exactly-once on retry: foreachBatch may redeliver a batch_id after a
+    failure. Pairs are overwrite-keyed on their batch_id partition
+    (idempotent rewrite of identical rows); bands append LAST and only
+    after checking the table does not already hold this batch_id's
+    partition — if it does, every state write of the attempt committed
+    and the redelivery is a no-op. The prior-bands read filters
+    ``batch_id < current``, so a retry never joins against its own
+    earlier output.
+
+    Remaining 100 TB maintenance (not a per-batch cost): each batch
+    appends one file per bucket, so a long-running stream wants a
+    periodic compaction rewrite of old partitions into fewer files —
+    the read-side plan shape is unchanged by it.
 
     Returns a ``DataStreamWriter`` — caller picks trigger/checkpoint and
     calls ``start()``.
     """
+    return docs.writeStream.foreachBatch(near_dup_batch_processor(
+        state_dir, text_col, id_col, k, num_hashes, band_size, n_buckets))
+
+
+def near_dup_batch_processor(
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n_buckets: int = 8,
+):
+    """The ``foreachBatch`` body behind :func:`streaming_near_dup_lsh`,
+    exposed so tests can drive micro-batches (and redeliver one, the
+    retry path) without a running stream."""
     from physioview_spark.llm.dedup import _lsh_bands
 
-    bands_path = os.path.join(state_dir, "bands")
     pairs_path = os.path.join(state_dir, "pairs")
+    table = _band_table_name(state_dir)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        have_state = spark.catalog.tableExists(table)
+        if have_state and (
+            spark.read.table(table)
+            .where(F.col("batch_id") == batch_id).limit(1).count() > 0
+        ):
+            return  # retried batch whose state writes all committed
         new = _lsh_bands(
             batch, text_col, id_col, k, num_hashes, band_size
         ).persist()
         try:
-            try:
-                prior = spark.read.parquet(bands_path)
-            except AnalysisException:  # first micro-batch: no state yet
-                prior = None
+            prior = (
+                spark.read.table(table)
+                .where(F.col("batch_id") < batch_id)
+                if have_state else None
+            )
             new_sel = new.select(
                 F.col(id_col).alias("__new_id"), "band", "band_hash")
             # within-batch candidates (strict < : each pair once)
@@ -131,10 +184,17 @@ def streaming_near_dup_lsh(
                 F.least("__new_id", "__old_id").alias("id_a"),
                 F.greatest("__new_id", "__old_id").alias("id_b"))
              .distinct()
-             .write.mode("append").parquet(pairs_path))
+             .withColumn("batch_id", F.lit(int(batch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(pairs_path))
             (new.select(id_col, "band", "band_hash")
-             .write.mode("append").parquet(bands_path))
+             .withColumn("batch_id", F.lit(int(batch_id)))
+             .write.mode("append")
+             .partitionBy("batch_id")
+             .bucketBy(n_buckets, "band", "band_hash")
+             .format("parquet").saveAsTable(table))
         finally:
             new.unpersist()
 
-    return docs.writeStream.foreachBatch(_process)
+    return _process

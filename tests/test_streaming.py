@@ -10,7 +10,9 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from physioview_spark.streaming import await_stream
+from physioview_spark.streaming import (
+    await_stream, drop_near_dup_state, near_dup_batch_processor,
+)
 
 SCHEMA = ("subject_id string, ts timestamp, beat double, artifact double")
 
@@ -328,6 +330,54 @@ class TestStreamingNearDup:
         assert got == want
         # each unordered pair emitted exactly once across all batches
         assert spark.read.parquet(state + "/pairs").count() == len(got)
+        drop_near_dup_state(spark, state)
+
+    def test_three_batches_with_retry_exactly_once(self, spark, tmp_path):
+        """foreachBatch redelivers a batch_id after a failure; the state
+        writes are keyed on batch_id (pairs: dynamic partition
+        overwrite; bands: append guarded by partition presence), so a
+        redelivered micro-batch changes NOTHING — across three
+        micro-batches with batch 1 delivered twice, the emitted pairs
+        still equal the batch operator on the full corpus, each exactly
+        once, and the band table holds one copy of each batch's bands."""
+        from physioview_spark.llm.dedup import minhash_lsh_candidates
+        from physioview_spark.streaming.documents import _band_table_name
+
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "rain in spain falls mainly on the plain every day")
+        sch = "doc_id long, text string"
+        batches = [
+            [(0, base), (1, "unrelated text about catalyst plans")],
+            [(2, base.replace("lazy dog", "sleepy dog")),
+             (3, "standalone duckdb oracle windowing notes")],
+            [(4, base), (5, "third batch filler document entirely")],
+        ]
+        frames = [spark.createDataFrame(b, sch) for b in batches]
+        state = str(tmp_path / "state")
+        proc = near_dup_batch_processor(state)
+        proc(frames[0], 0)
+        proc(frames[1], 1)
+        proc(frames[1], 1)  # simulated retry: must be a no-op
+        proc(frames[2], 2)
+
+        corpus = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        want = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_candidates(corpus).collect()}
+        assert {(0, 4), (0, 2)} <= want  # cross-batch dups in play
+        pairs = spark.read.parquet(state + "/pairs")
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got == want
+        assert pairs.count() == len(got)  # no duplicate emissions
+        bands = spark.read.table(_band_table_name(state))
+        per_batch = {r["batch_id"]: r["n"] for r in
+                     bands.groupBy("batch_id").agg(
+                         F.count(F.lit(1)).alias("n")).collect()}
+        assert set(per_batch) == {0, 1, 2}  # one copy per batch, no dup
+        # the accumulated side is a bucketed scan: the state join needs
+        # no Exchange over previously-written bands
+        assert "bucket" in bands._jdf.queryExecution().executedPlan() \
+            .toString().lower()
+        drop_near_dup_state(spark, state)
 
 
 class TestAwaitStream:
