@@ -37,6 +37,8 @@ _CHANGED_THIS_ROUND = [
     "doc_strip_boilerplate",        # xxhash64 anti-join, de-broadcast
     "doc_trigram_typicality",       # bounded top-K + residual counts
     "embedding_semantic_dedup",     # cap no longer drops oversized buckets
+    "streaming_near_dup_pairs",     # bucketed batch_id-keyed state
+    "doc_token_budget_sample",      # two-level exact prefix scan
 ]
 
 

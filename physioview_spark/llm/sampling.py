@@ -95,6 +95,7 @@ def token_budget_sample(
     id_col: str = "doc_id",
     seed: int = 42,
     mode: str = "exact",
+    n_blocks: int = 256,
 ) -> DataFrame:
     """Fill a per-stratum TOKEN budget (not a row quota), deterministically
     — the domain-mixing primitive: "x billion tokens of lang=de", not
@@ -106,14 +107,22 @@ def token_budget_sample(
     Output: input id/strata + ``n_tokens`` + ``tokens_before`` (the
     stratum's running total before this doc).
 
-    ``mode='exact'`` computes the hash-ordered running sum with one
-    window per stratum — exact, but a stratum's prefix scan runs in one
-    task; right when strata are bounded (languages x buckets).
-    ``mode='rate'`` is the corpus-scale path: one tiny per-stratum
-    total-token aggregate sets a keep-rate, then a stateless
+    ``mode='exact'`` computes the hash-ordered running sum as a
+    TWO-LEVEL prefix scan (the ``pack_sequences`` sub-shard +
+    offset-merge trick): the seeded-hash order is cut into ``n_blocks``
+    order-contiguous blocks by hash PREFIX (a prefix range is a
+    contiguous slice of the hash order, so block boundaries respect the
+    global order — a modulo would not), per-(stratum, block) sums merge
+    into block offsets with a window over at most ``n_blocks`` rows per
+    stratum, and the heavy running sum windows on (stratum, block) —
+    per-task input is stratum/n_blocks, not the whole stratum. Blocks
+    whose offset already exceeds the budget are pruned BEFORE the heavy
+    window, so its input is ~budget-sized however large the stratum is.
+    ``mode='rate'`` is the cheapest corpus-scale path: one tiny
+    per-stratum total-token aggregate sets a keep-rate, then a stateless
     hash-threshold filter keeps ~budget tokens per stratum with NO
-    window and no per-stratum serialization — the standard deterministic
-    sampling trade (expected budget, not exact) at 100 TB.
+    window — the standard deterministic sampling trade (expected
+    budget, not exact) at 100 TB.
     """
     from physioview_spark.llm.text import tokens
 
@@ -124,15 +133,38 @@ def token_budget_sample(
         h.alias("__h"),
     )
     if mode == "exact":
-        w = (
-            Window.partitionBy(*strata_cols)
+        # order-contiguous block id from the first 16 bits of the hash:
+        # p * n_blocks <= 2^32, exact in a double, /2^16 exact -> the
+        # floor is the precise range split for any n_blocks <= 65536
+        p = F.conv(F.substring("__h", 1, 4), 16, 10).cast("long")
+        blocked = base.withColumn(
+            "__blk",
+            F.floor((p * F.lit(int(n_blocks))) / F.lit(65536)).cast("long"))
+        bsums = blocked.groupBy(*strata_cols, "__blk").agg(
+            F.sum("n_tokens").alias("__bsum"))
+        wb = (
+            Window.partitionBy(*strata_cols).orderBy("__blk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        boffs = (
+            bsums.withColumn(
+                "__boff", F.sum("__bsum").over(wb) - F.col("__bsum"))
+            # blocks starting past the budget cannot contribute rows —
+            # prune them before the per-block window AND its join
+            .where(F.col("__boff") < budget_tokens)
+            .select(*strata_cols, "__blk", "__boff")
+        )
+        ww = (
+            Window.partitionBy(*strata_cols, "__blk")
             .orderBy("__h", id_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return (
-            base.withColumn(
+            blocked.join(boffs, [*strata_cols, "__blk"])
+            .withColumn(
                 "tokens_before",
-                F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                F.col("__boff")
+                + F.sum("n_tokens").over(ww) - F.col("n_tokens"))
             .where(F.col("tokens_before") < budget_tokens)
             .select(*strata_cols, id_col, "n_tokens", "tokens_before")
         )

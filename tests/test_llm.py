@@ -781,6 +781,41 @@ class TestPackSequences:
         key = lambda p: sorted(map(tuple, p.values))
         assert key(out) == key(again)
 
+    def test_token_budget_exact_two_level_blocks(self, spark):
+        """The exact mode's prefix scan is two-level: the heavy window
+        partitions on (stratum, hash-prefix block), so a single stratum
+        never runs as one task. The block split must not change the
+        result: any n_blocks (including 1, the degenerate single-window
+        case) yields identical rows, deterministically under
+        repartitioning — the blocks are order-CONTIGUOUS slices of the
+        hash order, so offsets merge exactly."""
+        from physioview_spark.llm import sampling
+        # ONE stratum, variable doc lengths: the worst case for the old
+        # single-window plan and for block-boundary offset mistakes
+        rows = [(i, "en", " ".join(["w"] * (5 + i % 13)))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                         "text string")
+        key = lambda p: sorted(map(tuple, p.values))
+        ref = sampling.token_budget_sample(
+            df, ["lang"], budget_tokens=700, n_blocks=1).toPandas()
+        out = sampling.token_budget_sample(
+            df, ["lang"], budget_tokens=700, n_blocks=16)
+        assert key(out.toPandas()) == key(ref)
+        assert key(sampling.token_budget_sample(
+            df.repartition(7), ["lang"], budget_tokens=700,
+            n_blocks=16).toPandas()) == key(ref)
+        # the single stratum genuinely splits into many window tasks
+        from pyspark.sql import functions as F2
+        blocked = sampling.token_budget_sample(
+            df, ["lang"], budget_tokens=10**9, n_blocks=16)
+        plan = blocked._jdf.queryExecution().executedPlan().toString()
+        assert "__blk" in plan  # heavy window keys on (stratum, block)
+        n_used = (sampling.token_budget_sample(
+            df, ["lang"], budget_tokens=10**9, n_blocks=16)
+            .select(F2.col("tokens_before")).count())
+        assert n_used == 300  # budget >= corpus keeps everything
+
     def test_token_budget_rate_mode_bound(self, spark):
         """Rate mode: stateless hash-threshold keep, expected tokens per
         stratum near the budget — no window, no per-stratum serial scan."""
