@@ -338,31 +338,35 @@ def simhash(
     return agg.select(id_col, sig.cast("long").alias("simhash"))
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    text_col: str = "text",
+def hamming_banded_pairs(
+    sig: DataFrame,
+    sig_col: str,
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance <= max_hamming.
+    """All pairs whose ``bits``-wide signatures are within Hamming
+    distance ``max_hamming`` — the shared engine behind SimHash text
+    near-dups and perceptual-hash image near-dups.
 
-    Small-corpus exact pass (self-join + popcount); at scale, bucket by
-    ``max_hamming+1`` signature chunks first (pigeonhole) so only
-    same-chunk pairs join. ``max_bucket_size`` skips chunk buckets with
-    more members than that BEFORE the self-join — the same quadratic
-    guard as :func:`minhash_lsh_candidates` (an oversized bucket is a
+    Pigeonhole banding: the signature splits into ``max_hamming + 1``
+    disjoint chunks, so two signatures within the distance agree exactly
+    on at least one chunk — candidate generation joins on (chunk index,
+    chunk value) with 100% recall, then an exact popcount filter gives
+    100% precision. ``max_bucket_size`` skips chunk buckets with more
+    members than that BEFORE the self-join — the quadratic guard shared
+    with :func:`minhash_lsh_candidates` (an oversized bucket is a
     near-exact dup family; handle it with :func:`exact_duplicates` or
-    cluster-level :func:`dup_clusters`)."""
-    sig = simhash(df, text_col, id_col, bits)
+    cluster-level :func:`dup_clusters`). Output: (id_a, id_b, hamming).
+    """
     chunk_bits = bits // (max_hamming + 1)
     chunks = sig.select(
-        id_col, "simhash",
+        id_col, sig_col,
         F.explode(F.sequence(F.lit(0), F.lit(max_hamming))).alias("c"),
     ).withColumn(
         "chunk_val",
-        F.expr(f"shiftright(simhash, CAST(c * {chunk_bits} AS INT))")
+        F.expr(f"shiftright({sig_col}, CAST(c * {chunk_bits} AS INT))")
         .bitwiseAND(F.lit((1 << chunk_bits) - 1)),
     )
     if max_bucket_size is not None:
@@ -383,8 +387,8 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
         )
         .distinct()
     )
@@ -394,6 +398,22 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming — SimHash
+    signatures through the shared :func:`hamming_banded_pairs`
+    pigeonhole engine."""
+    sig = simhash(df, text_col, id_col, bits)
+    return hamming_banded_pairs(
+        sig, "simhash", id_col, bits, max_hamming, max_bucket_size)
 
 
 def decontaminate(

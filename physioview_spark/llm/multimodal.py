@@ -158,6 +158,115 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("phash", T.LongType(), True),
+    T.StructField("valid", T.BooleanType(), False),
+])
+
+
+def _luma(img: np.ndarray, w: int, h: int, c: int) -> np.ndarray:
+    """(h, w*c) uint8 -> (h, w) float64 luma plane (BT.601 weights for
+    RGB; identity for grayscale)."""
+    if c == 1:
+        return img.astype(np.float64)
+    rgb = img.reshape(h, w, c).astype(np.float64)
+    return (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2])
+
+
+def _average_hash(luma: np.ndarray, grid: int = 8) -> int | None:
+    """Average-hash over the luma plane: block-average to a grid x grid
+    mosaic (exact block partition via array_split — no interpolation
+    dependency), threshold each cell at the mosaic mean. Returns the
+    hash as a SIGNED 64-bit int (Spark LongType); None when the image
+    is smaller than the grid."""
+    h, w = luma.shape
+    if h < grid or w < grid:
+        return None
+    cells = np.array(
+        [[blk.mean() for blk in np.array_split(rows, grid, axis=1)]
+         for rows in np.array_split(luma, grid, axis=0)])
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual hash per image: decode -> luma plane -> ``grid^2``-bit
+    average hash, via the same shuffle-free ``mapInPandas`` seam as
+    :func:`extract_image_features`. Corrupt or sub-grid payloads yield
+    ``valid=false`` with a null hash."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                decoded = _decode(payload)
+                ph = None
+                if decoded is not None:
+                    img, w, h, c = decoded
+                    ph = _average_hash(_luma(img, w, h, c), grid)
+                out.append((int(doc_id), ph, ph is not None))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)
+
+
+def image_near_dups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash (64-bit average-hash
+    over the decoded luma plane) -> Hamming-banded candidate pairs
+    through the shared pigeonhole engine
+    (:func:`physioview_spark.llm.dedup.hamming_banded_pairs`) -> exact
+    popcount verify. 100% recall at the given distance by the
+    pigeonhole argument (max_hamming+1 disjoint chunks), 100% precision
+    from the verify — parity with brute-force exact Hamming is asserted
+    in tests. Scale shape is the SimHash path's: one mapInPandas decode
+    pass (no shuffle), one equi-join on (chunk index, chunk value) with
+    the shared quadratic bucket guard. Output: (id_a, id_b, hamming).
+    """
+    from physioview_spark.llm.dedup import hamming_banded_pairs
+
+    sig = image_phash(df, payload_col, id_col).where("valid")
+    return hamming_banded_pairs(
+        sig, "phash", id_col, 64, max_hamming, max_bucket_size)
+
+
+def perturb_payload(payload: bytes, n_tweaks: int = 4,
+                    seed: int = 0, delta: int = 3) -> bytes:
+    """Near-duplicate fixture generator: nudge ``n_tweaks`` raster bytes
+    of a decodable image payload by ±``delta`` intensity steps (format
+    untouched — the raster is the trailing w*h*c bytes for every codec
+    this module decodes)."""
+    decoded = _decode(payload)
+    if decoded is None:
+        return payload
+    _, w, h, c = decoded
+    raster_len = w * h * c
+    head, raster = payload[:-raster_len], bytearray(payload[-raster_len:])
+    rng = np.random.RandomState(seed)
+    for pos in rng.choice(raster_len, size=min(n_tweaks, raster_len),
+                          replace=False):
+        raster[pos] = int(np.clip(raster[pos]
+                                  + (delta if rng.rand() < 0.5 else -delta),
+                                  0, 255))
+    return bytes(head) + bytes(raster)
+
+
 def fake_image_table(spark, n: int = 64, corrupt_every: int = 10) -> DataFrame:
     """Synthetic binary table with typed metadata, cycling REAL binary
     PNM payloads (P6 RGB, P5 grayscale) with the in-house PVIM test
@@ -177,6 +286,41 @@ def fake_image_table(spark, n: int = 64, corrupt_every: int = 10) -> DataFrame:
         if corrupt_every and i % corrupt_every == corrupt_every - 1:
             payload = payload[: len(payload) // 2]
         rows.append((i, mime, len(payload), bytearray(payload)))
+    return spark.createDataFrame(
+        rows, "doc_id long, mime string, n_bytes long, payload binary"
+    )
+
+
+def fake_image_near_dup_table(
+    spark, n_base: int = 48, n_dups: int = 16, corrupt_every: int = 10,
+) -> DataFrame:
+    """The :func:`fake_image_table` payload cycle plus ``n_dups``
+    planted near-duplicates: ids ``n_base + j`` carry id ``j``'s payload
+    with a few raster bytes nudged (:func:`perturb_payload`) — ground
+    truth for the perceptual-hash near-dup path."""
+    rows = []
+    payloads: dict[int, bytes] = {}
+    for i in range(n_base):
+        w = 8 + (i % 5) * 4
+        kind = i % 3
+        if kind == 0:
+            payload, mime = encode_ppm(i, w, 8), "image/x-portable-pixmap"
+        elif kind == 1:
+            payload, mime = (encode_ppm(i, w, 8, gray=True),
+                             "image/x-portable-graymap")
+        else:
+            payload, mime = encode_fake_image(i, w, 8), "image/pvim"
+        if corrupt_every and i % corrupt_every == corrupt_every - 1:
+            payload = payload[: len(payload) // 2]
+        payloads[i] = payload
+        rows.append((i, mime, len(payload), bytearray(payload)))
+    for j in range(n_dups):
+        i = n_base + j
+        # strong enough to spread planted pairs over Hamming 0..5 (the
+        # banded path must catch nonzero distances, not just exact ties)
+        payload = perturb_payload(payloads[j], n_tweaks=16, seed=i,
+                                  delta=40)
+        rows.append((i, "image/near-dup", len(payload), bytearray(payload)))
     return spark.createDataFrame(
         rows, "doc_id long, mime string, n_bytes long, payload binary"
     )

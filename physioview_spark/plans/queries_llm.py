@@ -1021,6 +1021,22 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(imgs).orderBy("doc_id")
 
 
+@q("multimodal_image_near_dups")
+def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection tying the multimodal decode seam
+    to the dedup suite: 64-bit average-hash over the decoded luma plane
+    (mapInPandas, no shuffle), Hamming-banded candidate pairs through
+    the shared pigeonhole engine, exact popcount verify. Fixture plants
+    16 perturbed near-dup variants; parity with brute-force exact
+    Hamming is pytest-asserted (tests/test_llm.py)."""
+    from physioview_spark.llm.multimodal import (
+        fake_image_near_dup_table, image_near_dups,
+    )
+
+    imgs = fake_image_near_dup_table(spark, n_base=48, n_dups=16)
+    return image_near_dups(imgs, max_hamming=6).orderBy("id_a", "id_b")
+
+
 @q("embedding_near_dup_pairs", """
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,

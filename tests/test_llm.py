@@ -340,6 +340,52 @@ def test_semantic_dedup_keep_first(spark, vectors):
         r["vec_id"] for r in vectors.select("vec_id").collect())
 
 
+def test_image_near_dups_exact_hamming_parity(spark):
+    """The banded image near-dup path must return EXACTLY the pairs a
+    brute-force Hamming scan over the perceptual hashes finds (100%
+    recall from the pigeonhole chunks, 100% precision from the popcount
+    verify) — including most of the planted perturbed variants, and
+    nothing involving corrupt payloads."""
+    from physioview_spark.llm import multimodal as M
+
+    df = M.fake_image_near_dup_table(spark, n_base=48, n_dups=16)
+    phs = {r["doc_id"]: r["phash"]
+           for r in M.image_phash(df).collect() if r["valid"]}
+    mask = (1 << 64) - 1
+    want = {(a, b): bin((phs[a] ^ phs[b]) & mask).count("1")
+            for a in phs for b in phs if a < b
+            if bin((phs[a] ^ phs[b]) & mask).count("1") <= 6}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in M.image_near_dups(df, max_hamming=6).collect()}
+    assert got == want
+    planted = [(j, 48 + j) for j in range(16) if j in phs and 48 + j in phs]
+    found = [p for p in planted if p in got]
+    assert len(found) >= len(planted) - 2, (planted, sorted(got))
+    # corrupt payloads (truncated every 10th) never reach the pair set
+    assert all(a % 10 != 9 and b % 10 != 9 for a, b in got
+               if a < 48 and b < 48)
+
+
+def test_image_phash_validity_and_stability(spark):
+    """Sub-grid images hash to null/invalid; identical payloads hash
+    identically; a perturbed payload stays within a small Hamming
+    distance of its source."""
+    from physioview_spark.llm import multimodal as M
+
+    tiny = M.encode_fake_image(1, width=4, height=4)   # below 8x8 grid
+    base = M.encode_ppm(7, 16, 8)
+    near = M.perturb_payload(base, n_tweaks=3, seed=99)
+    df = spark.createDataFrame(
+        [(0, bytearray(tiny)), (1, bytearray(base)), (2, bytearray(base)),
+         (3, bytearray(near))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in M.image_phash(df).collect()}
+    assert not out[0]["valid"] and out[0]["phash"] is None
+    assert out[1]["valid"] and out[1]["phash"] == out[2]["phash"]
+    d = bin((out[1]["phash"] ^ out[3]["phash"]) & ((1 << 64) - 1))
+    assert d.count("1") <= 6
+
+
 def test_embedding_near_dups_multiband_recall(spark):
     """OR-of-bands recall: >=0.95 of the brute-force near-dup pairs must
     survive the banded candidate join (single-band at these plane counts
