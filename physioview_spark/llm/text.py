@@ -439,6 +439,11 @@ def trigram_typicality(
     occ = df.select(id_col, F.explode(grams).alias("__g"))
     dg = occ.groupBy(id_col, "__g").agg(
         F.count(F.lit(1)).cast("double").alias("__m"))
+    # three downstream lineages (counts -> topk / totals, and the
+    # scoring join) re-expand dg's corpus explode without this persist
+    # (same spill-safe pattern as get_missing's shared beat frame)
+    from pyspark import StorageLevel
+    dg = dg.persist(StorageLevel.MEMORY_AND_DISK)
     counts = dg.groupBy("__g").agg(F.sum("__m").alias("__c"))
     topk = counts.orderBy(F.col("__c").desc(), F.col("__g").asc()) \
         .limit(int(top_k))

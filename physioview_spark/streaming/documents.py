@@ -70,6 +70,40 @@ def drop_near_dup_state(spark, state_dir: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {_band_table_name(state_dir)}")
 
 
+def compact_near_dup_state(
+    spark, state_dir: str, upto_batch_id: int, n_buckets: int = 8,
+) -> None:
+    """Periodic maintenance for a long-running
+    :func:`streaming_near_dup_lsh` stream: every micro-batch appends one
+    file per bucket, so old partitions accumulate small files. This
+    rewrites all partitions with ``batch_id <= upto_batch_id`` into a
+    single consolidated partition (same bucketing spec — the read-side
+    join plan is unchanged), then swaps it in atomically via a staging
+    table + rename. Run it from a separate maintenance job BETWEEN
+    micro-batches of batches already final (a compacted batch_id must be
+    older than any batch the stream could still redeliver — Structured
+    Streaming only retries the latest unresolved batch, so anything
+    below the last committed checkpoint is safe).
+
+    The consolidated rows keep ``batch_id = upto_batch_id`` so the
+    processor's ``batch_id < current`` prior-read and its retry guard
+    semantics are preserved for all live batches."""
+    table = _band_table_name(state_dir)
+    staging = table + "_compact"
+    src = spark.read.table(table)
+    old = (src.where(F.col("batch_id") <= upto_batch_id)
+           .withColumn("batch_id", F.lit(int(upto_batch_id))))
+    keep = src.where(F.col("batch_id") > upto_batch_id)
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    (old.unionByName(keep)
+     .write.mode("overwrite")
+     .partitionBy("batch_id")
+     .bucketBy(n_buckets, "band", "band_hash")
+     .format("parquet").saveAsTable(staging))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+
+
 def streaming_near_dup_lsh(
     docs: DataFrame,
     state_dir: str,

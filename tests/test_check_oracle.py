@@ -45,6 +45,31 @@ class TestCompareValues:
             _rows([1.25, 2.5]), ["id", "x"], _rows([1.25, 2.6]), ["id", "x"])
         assert status == "fail"
 
+    def test_pairing_follows_key_columns_not_float_order(self):
+        """Tolerance re-check row pairing: rows align on the non-float
+        (key) columns, not on the floats' sort position. Two rows whose
+        float values are SWAPPED between the sides must therefore FAIL —
+        a float-led sort would pair equal floats from different rows and
+        misreport the swap as harmless numeric drift. (Column name 'm'
+        sorts before 'z_id', so the float led the old sort key.)"""
+        a = [{"m": 1.0, "z_id": 1}, {"m": 1.5, "z_id": 2}]
+        b = [{"m": 1.5, "z_id": 1}, {"m": 1.0, "z_id": 2}]
+        status, _ = check_oracle.compare_values(
+            a, ["m", "z_id"], b, ["m", "z_id"])
+        assert status == "fail"
+
+    def test_ulp_drift_stays_stale_when_float_leads_sort(self):
+        """The misalignment class the fix targets: with the float column
+        alphabetically first, an ulp flip must still pair each row with
+        its twin and diagnose 'stale'."""
+        v = 0.1234565
+        pert = math.nextafter(v, 1.0)
+        a = [{"m": v, "z_id": 1}, {"m": 2.5, "z_id": 2}]
+        b = [{"m": pert, "z_id": 1}, {"m": 2.5, "z_id": 2}]
+        status, _ = check_oracle.compare_values(
+            a, ["m", "z_id"], b, ["m", "z_id"])
+        assert status == "stale"
+
     def test_nan_pairs_match(self):
         status, _ = check_oracle.compare_values(
             _rows([float("nan")]), ["id", "x"],

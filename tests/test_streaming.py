@@ -379,6 +379,51 @@ class TestStreamingNearDup:
             .toString().lower()
         drop_near_dup_state(spark, state)
 
+    def test_compaction_preserves_pairs_and_bucketing(self, spark,
+                                                      tmp_path):
+        """Folding finalized partitions into one (the periodic
+        small-file maintenance) must not change what later micro-batches
+        emit: after compacting batches 0-1, a new batch still finds its
+        cross-batch near-dups against the consolidated state, and the
+        table keeps its bucketing spec."""
+        from physioview_spark.llm.dedup import minhash_lsh_candidates
+        from physioview_spark.streaming.documents import (
+            _band_table_name, compact_near_dup_state,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "rain in spain falls mainly on the plain every day")
+        sch = "doc_id long, text string"
+        batches = [
+            [(0, base), (1, "unrelated text about catalyst plans")],
+            [(2, "standalone duckdb oracle windowing notes")],
+            [(3, base.replace("lazy dog", "sleepy dog"))],
+            [(4, base)],  # near-dups 0 (compacted) and 3 (live)
+        ]
+        frames = [spark.createDataFrame(b, sch) for b in batches]
+        state = str(tmp_path / "state")
+        proc = near_dup_batch_processor(state)
+        for i in range(3):
+            proc(frames[i], i)
+        compact_near_dup_state(spark, state, upto_batch_id=1)
+        bands = spark.read.table(_band_table_name(state))
+        assert {r["batch_id"] for r in
+                bands.select("batch_id").distinct().collect()} == {1, 2}
+        proc(frames[3], 3)
+
+        corpus = frames[0]
+        for f in frames[1:]:
+            corpus = corpus.unionByName(f)
+        want = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_candidates(corpus).collect()}
+        got = {(r["id_a"], r["id_b"]) for r in
+               spark.read.parquet(state + "/pairs").collect()}
+        assert got == want and (0, 4) in got  # pre-compaction member
+        assert "bucket" in (
+            spark.read.table(_band_table_name(state))
+            ._jdf.queryExecution().executedPlan().toString().lower())
+        drop_near_dup_state(spark, state)
+
 
 class TestAwaitStream:
     def test_timeout_raises_not_empty_frame(self, spark):

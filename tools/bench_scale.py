@@ -1,0 +1,155 @@
+"""Wall-time scaling evidence: run the heaviest queries at 1x and Nx the
+bench corpus (sf0.1) and report the scaling exponent of each.
+
+A plan audit can claim "linear"; this measures it. Usage:
+
+    python tools/bench_scale.py [--mult 10] [--runs 1]
+
+The Nx corpus is a REPRESENTATIVE enlargement, not a naive replication —
+naive copies are pathological for dedup-shaped queries (every doc gains
+N-1 exact duplicates; every embedding N-1 cosine-1 twins; candidate
+pairs grow quadratically in N by construction, which measures the data,
+not the plan). Each copy k is therefore transformed to look like fresh
+data with the same per-row profile:
+
+- events: id/user offsets per copy (new subjects, same per-subject
+  series shape) — the SQA plans' per-subject work replicates cleanly.
+- documents: every token prefixed with a copy tag (regexp, one pass at
+  generation) — new shingles/lines/trigram mass per copy, identical
+  length profile; within-copy near-dup structure preserved exactly.
+- embeddings: a per-copy component PERMUTATION — cosine geometry within
+  a copy is preserved EXACTLY (near-dup pairs scale linearly), while
+  cross-copy vectors decorrelate.
+
+semantic_dedup is measured through the operator with the codebook grown
+proportionally to the corpus (the SemDeDup contract: buckets stay
+constant-sized as N grows; a fixed codebook at 10x data is a 10x bucket
+size = quadratic pair scoring by design, not a plan property).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from physioview_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/pv_scale"
+
+
+def build_corpus(spark, mult: int, out_dir: str) -> None:
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    parts_ev, parts_do, parts_em = [], [], []
+    for k in range(mult):
+        parts_ev.append(ev.select(
+            (F.col("event_id") + k * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * 1_000_000).alias("user_id"),
+            "event_type", "value", "props"))
+        if k == 0:
+            parts_do.append(docs)
+        else:
+            parts_do.append(docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(^|\s)", f"$1k{k}x")
+                .alias("text"),
+                "lang", "source", "n_chars"))
+        perm = list(map(int, np.random.RandomState(k).permutation(dim))) \
+            if k else list(range(dim))
+        parts_em.append(emb.select(
+            (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+            F.array(*[F.col("embedding")[i] for i in perm])
+            .alias("embedding"),
+            "label"))
+
+    def union_all(ps):
+        out = ps[0]
+        for p in ps[1:]:
+            out = out.unionByName(p)
+        return out
+
+    union_all(parts_ev).write.mode("overwrite") \
+        .parquet(f"{out_dir}/events.parquet")
+    union_all(parts_do).write.mode("overwrite") \
+        .parquet(f"{out_dir}/documents.parquet")
+    union_all(parts_em).write.mode("overwrite") \
+        .parquet(f"{out_dir}/embeddings.parquet")
+
+
+def run_semantic_dedup(spark, sf_dir: str, mult: int):
+    """semantic_dedup with the codebook grown as sqrt(N) — the flat-IVF
+    optimum (assignment costs N*k, pair scoring N*(N/k); k ~ sqrt(N)
+    balances them at N^1.5 total, the operator's true cost model; a
+    hierarchical quantizer would be the next gear, not a plan fix)."""
+    from math import sqrt
+
+    from physioview_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_cents = max(8, round(8 * sqrt(mult)))
+    stride = max(1, (2000 * mult) // n_cents)
+    cents_rows = (emb.where(F.col("vec_id") % stride == 0)
+                  .orderBy("vec_id").select("embedding").collect())
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    return similarity.semantic_dedup(emb, cents, threshold=0.95)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+
+    spark = get_spark()
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = ["sqa_missing_segments", "doc_trigram_typicality",
+             "doc_strip_boilerplate", "doc_curation_pipeline"]
+
+    results: dict[str, dict[str, float]] = {}
+    for mult in (1, args.mult):
+        d = f"{WORK}/x{mult}"
+        shutil.rmtree(d, ignore_errors=True)
+        t0 = time.time()
+        build_corpus(spark, mult, d)
+        print(f"built x{mult} in {time.time() - t0:.1f}s", file=sys.stderr)
+        for name in names:
+            qs[name](spark, d).count()  # warm: JIT/codegen/page cache
+            best = min(
+                _timed(lambda: qs[name](spark, d).count())
+                for _ in range(args.runs))
+            results.setdefault(name, {})[f"x{mult}"] = best
+        run_semantic_dedup(spark, d, mult).count()
+        best = min(
+            _timed(lambda: run_semantic_dedup(spark, d, mult).count())
+            for _ in range(args.runs))
+        results.setdefault("semantic_dedup_ksqrtN", {})[f"x{mult}"] = best
+    for name, r in results.items():
+        r["ratio"] = round(r[f"x{args.mult}"] / r["x1"], 2)
+        r["per_row_ratio"] = round(r["ratio"] / args.mult, 2)
+    print(json.dumps({"mult": args.mult, "results": results}))
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+if __name__ == "__main__":
+    main()
