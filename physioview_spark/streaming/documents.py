@@ -78,8 +78,10 @@ def compact_near_dup_state(
     file per bucket, so old partitions accumulate small files. This
     rewrites all partitions with ``batch_id <= upto_batch_id`` into a
     single consolidated partition (same bucketing spec — the read-side
-    join plan is unchanged), then swaps it in atomically via a staging
-    table + rename. Run it from a separate maintenance job BETWEEN
+    join plan is unchanged) via a staging table (the in-memory
+    catalog's RENAME keeps stale per-partition locations, so the swap
+    is a read-back rewrite; a Hive/Delta metastore would rename
+    atomically). Run it from a separate maintenance job BETWEEN
     micro-batches of batches already final (a compacted batch_id must be
     older than any batch the stream could still redeliver — Structured
     Streaming only retries the latest unresolved batch, so anything
@@ -94,14 +96,18 @@ def compact_near_dup_state(
     old = (src.where(F.col("batch_id") <= upto_batch_id)
            .withColumn("batch_id", F.lit(int(upto_batch_id))))
     keep = src.where(F.col("batch_id") > upto_batch_id)
+
+    def _write(df, name):
+        (df.write.mode("overwrite")
+         .partitionBy("batch_id")
+         .bucketBy(n_buckets, "band", "band_hash")
+         .format("parquet").saveAsTable(name))
+
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    (old.unionByName(keep)
-     .write.mode("overwrite")
-     .partitionBy("batch_id")
-     .bucketBy(n_buckets, "band", "band_hash")
-     .format("parquet").saveAsTable(staging))
+    _write(old.unionByName(keep), staging)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    _write(spark.read.table(staging), table)
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
 
 
 def streaming_near_dup_lsh(
