@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -392,10 +394,48 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array(*dists)
 
 
-def assign_ivf_bucket(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id (argmin over the literal centroid table)."""
-    d = _centroid_dists(vec, centroids)
-    return F.array_position(d, F.array_min(d)).cast("int") - 1
+def assign_ivf_bucket(
+    vec: Column,
+    centroids: list[list[float]],
+    method: str = "auto",
+) -> Column:
+    """Nearest-centroid id, two gears:
+
+    - ``expr``: argmin over literal centroid-distance expressions —
+      pure JVM, zero Python, the right gear for small codebooks (the
+      fixture queries' k=8). Expression size grows as k x dim, and the
+      10x scale measurement (PLANS.md) showed that width dominating
+      wall time by k~25.
+    - ``pandas``: one Arrow-vectorized UDF computing
+      ``argmin(-2 X C^T + |c|^2)`` over each batch — codebook size only
+      affects a NumPy matmul. Ties break to the lowest centroid id in
+      BOTH gears (array_position finds the first minimum; np.argmin
+      returns the first), but FP rounding differs between the two
+      formulas, so near-tie assignments can flip — ``auto`` therefore
+      switches on a fixed k*dim threshold, keeping small-codebook
+      (oracle-pinned) plans on the expr gear deterministically.
+    """
+    if method == "auto":
+        method = "pandas" if len(centroids) * len(centroids[0]) > 1024 \
+            else "expr"
+    if method == "expr":
+        d = _centroid_dists(vec, centroids)
+        return F.array_position(d, F.array_min(d)).cast("int") - 1
+    if method != "pandas":
+        raise ValueError(f"method must be auto|expr|pandas, got {method!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        # |x|^2 is constant per row -> argmin needs only -2xC^T + |c|^2
+        scores = -2.0 * (X @ C.T) + c2
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return _assign(vec)
 
 
 def ivf_topk(

@@ -97,17 +97,24 @@ def compact_near_dup_state(
            .withColumn("batch_id", F.lit(int(upto_batch_id))))
     keep = src.where(F.col("batch_id") > upto_batch_id)
 
-    def _write(df, name):
+    def _write(df, name, path):
         (df.write.mode("overwrite")
          .partitionBy("batch_id")
          .bucketBy(n_buckets, "band", "band_hash")
+         .option("path", path)
          .format("parquet").saveAsTable(name))
 
+    import shutil
+
+    bands_path = os.path.join(state_dir, "bands")
+    staging_path = os.path.join(state_dir, "bands_compact")
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    _write(old.unionByName(keep), staging)
+    shutil.rmtree(staging_path, ignore_errors=True)
+    _write(old.unionByName(keep), staging, staging_path)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    _write(spark.read.table(staging), table)
+    _write(spark.read.table(staging), table, bands_path)
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    shutil.rmtree(staging_path, ignore_errors=True)
 
 
 def streaming_near_dup_lsh(
@@ -233,6 +240,10 @@ def near_dup_batch_processor(
              .write.mode("append")
              .partitionBy("batch_id")
              .bucketBy(n_buckets, "band", "band_hash")
+             # external table rooted in state_dir: the files live with
+             # the stream's state (removed with it), not in the host
+             # session's spark-warehouse CWD, which may not be writable
+             .option("path", os.path.join(state_dir, "bands"))
              .format("parquet").saveAsTable(table))
         finally:
             new.unpersist()

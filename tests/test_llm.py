@@ -340,6 +340,39 @@ def test_semantic_dedup_keep_first(spark, vectors):
         r["vec_id"] for r in vectors.select("vec_id").collect())
 
 
+def test_ivf_assignment_gears_agree(spark):
+    """The Arrow-vectorized centroid-assignment gear (large codebooks)
+    must bucket identically to the JVM expression gear on
+    well-separated vectors, and 'auto' must pick expr for small
+    codebooks (keeping oracle-pinned plans deterministic) and pandas
+    past the k*dim threshold."""
+    rng = np.random.RandomState(3)
+    cents = (rng.randn(24, 64) * 10).astype(np.float64)
+    vecs = [(i, [float(x) for x in cents[i % 24] + rng.randn(64) * 0.1])
+            for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {}
+    for method in ("expr", "pandas"):
+        out = df.select(
+            "vec_id",
+            similarity.assign_ivf_bucket(
+                F.col("embedding"), [list(c) for c in cents],
+                method=method).alias("b")).collect()
+        got[method] = {r["vec_id"]: r["b"] for r in out}
+    assert got["expr"] == got["pandas"]
+    assert all(got["expr"][i] == i % 24 for i in range(120))
+    # auto thresholds: 8x64=512 -> expr (no Python eval in plan);
+    # 24x64=1536 -> pandas (ArrowEvalPython appears)
+    small = df.select(similarity.assign_ivf_bucket(
+        F.col("embedding"), [list(c) for c in cents[:8]]).alias("b"))
+    large = df.select(similarity.assign_ivf_bucket(
+        F.col("embedding"), [list(c) for c in cents]).alias("b"))
+    assert "ArrowEvalPython" not in \
+        small._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in \
+        large._jdf.queryExecution().executedPlan().toString()
+
+
 def test_image_near_dups_exact_hamming_parity(spark):
     """The banded image near-dup path must return EXACTLY the pairs a
     brute-force Hamming scan over the perceptual hashes finds (100%
