@@ -449,6 +449,122 @@ def extract_audio_features(
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("afp", T.LongType(), True),
+    T.StructField("valid", T.BooleanType(), False),
+])
+
+
+def _energy_delta_fingerprint(x: np.ndarray, bits: int = 64) -> int | None:
+    """64-bit audio fingerprint: sign of the energy delta between
+    ``bits + 1`` equal time frames. Invariant to gain (energy scales
+    uniformly, delta signs don't move) and DC offset is removed first;
+    robust to light noise (frame energies integrate it away). None for
+    clips shorter than one sample per frame."""
+    if len(x) < bits + 1:
+        return None
+    x = x - x.mean()
+    e = np.array([float((f * f).sum())
+                  for f in np.array_split(x, bits + 1)])
+    flags = np.diff(e) > 0
+    v = 0
+    for i, b in enumerate(flags):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binary audio -> 64-bit energy-delta fingerprint, row-local
+    ``mapInPandas`` (same no-shuffle contract as the feature path)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                decoded = _decode_audio(payload)
+                fp = None
+                if decoded is not None:
+                    fp = _energy_delta_fingerprint(decoded[0])
+                out.append((int(doc_id), fp, fp is not None))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs (re-encoded / gain-adjusted / lightly
+    noised copies): energy-delta fingerprints through the shared
+    pigeonhole Hamming engine — the audio leg of the multimodal dedup
+    bridge, same 100%-recall/100%-precision contract and quadratic
+    guard as the image and SimHash paths."""
+    from physioview_spark.llm.dedup import hamming_banded_pairs
+
+    sig = audio_fingerprint(df, payload_col, id_col).where("valid")
+    return hamming_banded_pairs(
+        sig, "afp", id_col, 64, max_hamming, max_bucket_size)
+
+
+def perturb_audio(payload: bytes, gain: float = 0.8,
+                  noise: float = 0.002, seed: int = 0) -> bytes:
+    """Near-duplicate audio fixture: decode, apply gain + light seeded
+    noise, re-encode as RIFF/WAVE (codec conversion included — a PVAU
+    source comes back as WAV, like a transcoded upload)."""
+    decoded = _decode_audio(payload)
+    if decoded is None:
+        return payload
+    x, rate = decoded
+    rng = np.random.RandomState(seed)
+    y = np.clip(x * gain + noise * rng.standard_normal(len(x)), -1.0, 1.0)
+    pcm = np.round(y * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def fake_audio_near_dup_table(
+    spark, n_base: int = 32, n_dups: int = 12, corrupt_every: int = 10,
+) -> DataFrame:
+    """WAV/PVAU clip cycle plus ``n_dups`` planted near-duplicates: ids
+    ``n_base + j`` are id ``j``'s clip transcoded with gain 0.8 and
+    light noise (:func:`perturb_audio`)."""
+    rows = []
+    payloads: dict[int, bytes] = {}
+    for i in range(n_base):
+        if i % 2 == 0:
+            payload = encode_wav(i, seconds=0.5 + (i % 4) * 0.25)
+        else:
+            payload = encode_fake_audio(i, seconds=0.5 + (i % 4) * 0.25)
+        if corrupt_every and i % corrupt_every == corrupt_every - 1:
+            payload = payload[: len(payload) // 3]
+        payloads[i] = payload
+        rows.append((i, len(payload), bytearray(payload)))
+    for j in range(n_dups):
+        i = n_base + j
+        # varied gain + audible noise floor: spreads planted pairs over
+        # a few Hamming bits instead of all-exact matches
+        payload = perturb_audio(payloads[j], gain=0.7 + 0.02 * j,
+                                noise=0.01, seed=i)
+        rows.append((i, len(payload), bytearray(payload)))
+    return spark.createDataFrame(
+        rows, "doc_id long, n_bytes long, payload binary")
+
+
 # --------------------------------------------------------------- video
 
 FRAME_SCHEMA = T.StructType([

@@ -1021,6 +1021,21 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(imgs).orderBy("doc_id")
 
 
+@q("multimodal_audio_near_dups")
+def multimodal_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection: 64-bit energy-delta fingerprints
+    over decoded PCM (gain/DC invariant, mapInPandas) through the shared
+    pigeonhole Hamming engine. Fixture plants 12 transcoded +
+    gain-shifted + noised copies that byte-exact dedup cannot match;
+    brute-force Hamming parity is pytest-asserted."""
+    from physioview_spark.llm.multimodal import (
+        audio_near_dups, fake_audio_near_dup_table,
+    )
+
+    clips = fake_audio_near_dup_table(spark, n_base=32, n_dups=12)
+    return audio_near_dups(clips, max_hamming=6).orderBy("id_a", "id_b")
+
+
 @q("multimodal_image_near_dups")
 def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection tying the multimodal decode seam

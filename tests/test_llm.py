@@ -419,6 +419,50 @@ def test_image_phash_validity_and_stability(spark):
     assert d.count("1") <= 6
 
 
+def test_audio_near_dups_exact_hamming_parity(spark):
+    """Audio near-dup pairs (banded energy-delta fingerprints) must
+    equal the brute-force Hamming scan — and catch the planted
+    transcoded/gain-shifted/noised copies, which a byte-level exact
+    dedup can never match (different container, different samples)."""
+    from physioview_spark.llm import multimodal as M
+
+    df = M.fake_audio_near_dup_table(spark, n_base=32, n_dups=12)
+    fps = {r["doc_id"]: r["afp"]
+           for r in M.audio_fingerprint(df).collect() if r["valid"]}
+    mask = (1 << 64) - 1
+    want = {(a, b) for a in fps for b in fps if a < b
+            if bin((fps[a] ^ fps[b]) & mask).count("1") <= 6}
+    got = {(r["id_a"], r["id_b"])
+           for r in M.audio_near_dups(df, max_hamming=6).collect()}
+    assert got == want
+    planted = [(j, 32 + j) for j in range(12)
+               if j in fps and 32 + j in fps]
+    assert len(planted) >= 10
+    assert sum(p in got for p in planted) >= len(planted) - 2
+    # md5-exact dedup finds NONE of them (the payload bytes differ)
+    import hashlib
+    rows = {r["doc_id"]: bytes(r["payload"])
+            for r in df.select("doc_id", "payload").collect()}
+    assert all(hashlib.md5(rows[a]).hexdigest()
+               != hashlib.md5(rows[b]).hexdigest() for a, b in planted)
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    """Pure gain change must not move a single fingerprint bit; too-short
+    clips are invalid."""
+    from physioview_spark.llm import multimodal as M
+
+    base = M.encode_wav(5, seconds=1.0)
+    gained = M.perturb_audio(base, gain=0.3, noise=0.0, seed=1)
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(gained)),
+         (2, bytearray(M.encode_wav(6, seconds=0.005)))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in M.audio_fingerprint(df).collect()}
+    assert out[0]["valid"] and out[0]["afp"] == out[1]["afp"]
+    assert not out[2]["valid"]  # 40 samples < 65 frames
+
+
 def test_embedding_near_dups_multiband_recall(spark):
     """OR-of-bands recall: >=0.95 of the brute-force near-dup pairs must
     survive the banded candidate join (single-band at these plane counts
