@@ -666,6 +666,131 @@ def _parse_video(payload: bytes):
     return np.frombuffer(body, dtype=np.uint8).reshape(nf, h, w), fps
 
 
+VIDEO_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("vfp", T.LongType(), True),
+    T.StructField("valid", T.BooleanType(), False),
+])
+
+
+def _video_signature(frames: np.ndarray, grid: int = 8) -> int | None:
+    """64-bit video signature: average-hash each luma frame, then take
+    the per-bit MAJORITY across frames — per-frame noise, a re-encode,
+    or a few dropped frames flip few majority bits. None when frames
+    are smaller than the hash grid."""
+    votes = np.zeros(grid * grid, dtype=np.int64)
+    n = 0
+    for f in frames:
+        h = _average_hash(f.astype(np.float64), grid)
+        if h is None:
+            return None
+        u = h & ((1 << 64) - 1)
+        votes += np.array([(u >> i) & 1 for i in range(grid * grid)],
+                          dtype=np.int64)
+        n += 1
+    if n == 0:
+        return None
+    v = 0
+    for i in range(grid * grid):
+        if votes[i] * 2 > n:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def video_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binary video -> 64-bit majority-vote perceptual signature,
+    row-local ``mapInPandas`` (no shuffle)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                decoded = _parse_video(payload)
+                fp = None
+                if decoded is not None:
+                    fp = _video_signature(decoded[0])
+                out.append((int(doc_id), fp, fp is not None))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FP_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FP_SCHEMA)
+
+
+def video_near_dups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs (re-encodes, noised copies, few-frame
+    trims) — the video leg of the multimodal dedup bridge, through the
+    same pigeonhole Hamming engine and guards as image/audio/SimHash."""
+    from physioview_spark.llm.dedup import hamming_banded_pairs
+
+    sig = video_phash(df, payload_col, id_col).where("valid")
+    return hamming_banded_pairs(
+        sig, "vfp", id_col, 64, max_hamming, max_bucket_size)
+
+
+def perturb_video(payload: bytes, noise: int = 8, drop_first: bool = False,
+                  seed: int = 0) -> bytes:
+    """Near-duplicate video fixture: decode, add uint8 pixel noise
+    (optionally drop the first frame — a trimmed re-upload), re-encode
+    as Y4M (PVVD sources come back transcoded, like the audio twin)."""
+    decoded = _parse_video(payload)
+    if decoded is None:
+        return payload
+    frames, fps = decoded
+    if drop_first and len(frames) > 1:
+        frames = frames[1:]
+    rng = np.random.RandomState(seed)
+    noised = np.clip(
+        frames.astype(np.int16)
+        + rng.randint(-noise, noise + 1, size=frames.shape), 0, 255
+    ).astype(np.uint8)
+    n, h, w = noised.shape
+    cw, ch_ = (w + 1) // 2, (h + 1) // 2
+    out = [(f"YUV4MPEG2 W{w} H{h} F{max(1, round(fps))}:1 "
+            f"Ip A1:1 C420jpeg\n").encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(noised[i].tobytes())
+        out.append(np.full(cw * ch_, 128, dtype=np.uint8).tobytes())
+        out.append(np.full(cw * ch_, 128, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def fake_video_near_dup_table(
+    spark, n_base: int = 16, n_dups: int = 8, corrupt_every: int = 7,
+) -> DataFrame:
+    """Y4M/PVVD clip cycle plus ``n_dups`` planted near-duplicates:
+    ids ``n_base + j`` are id ``j``'s clip re-encoded with pixel noise,
+    half of them also missing the first frame."""
+    rows = []
+    payloads: dict[int, bytes] = {}
+    for i in range(n_base):
+        if i % 2 == 0:
+            payload = encode_y4m(i, n_frames=24, width=16, height=16)
+        else:
+            payload = encode_fake_video(i, n_frames=24, width=16,
+                                        height=16)
+        if corrupt_every and i % corrupt_every == corrupt_every - 1:
+            payload = payload[: len(payload) // 2]
+        payloads[i] = payload
+        rows.append((i, len(payload), bytearray(payload)))
+    for j in range(n_dups):
+        i = n_base + j
+        payload = perturb_video(payloads[j], noise=8,
+                                drop_first=(j % 2 == 1), seed=i)
+        rows.append((i, len(payload), bytearray(payload)))
+    return spark.createDataFrame(
+        rows, "doc_id long, n_bytes long, payload binary")
+
+
 def sample_video_frames(
     df: DataFrame,
     every_k: int = 4,

@@ -1021,6 +1021,21 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(imgs).orderBy("doc_id")
 
 
+@q("multimodal_video_near_dups")
+def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection: per-frame average-hash majority
+    vote -> one 64-bit signature per clip -> pigeonhole Hamming banding.
+    Fixture plants noised re-encodes and first-frame trims; trims flip
+    knife-edge majority bits, so the distance bound is 12 (cross-clip
+    distances in the fixture stay >= 21 — parity asserted in pytest)."""
+    from physioview_spark.llm.multimodal import (
+        fake_video_near_dup_table, video_near_dups,
+    )
+
+    clips = fake_video_near_dup_table(spark, n_base=16, n_dups=8)
+    return video_near_dups(clips, max_hamming=12).orderBy("id_a", "id_b")
+
+
 @q("multimodal_audio_near_dups")
 def multimodal_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate detection: 64-bit energy-delta fingerprints

@@ -463,6 +463,38 @@ def test_audio_fingerprint_gain_invariant(spark):
     assert not out[2]["valid"]  # 40 samples < 65 frames
 
 
+def test_video_near_dups_exact_hamming_parity(spark):
+    """Video near-dup pairs (majority-vote frame phash signatures) must
+    equal brute-force Hamming at the bound, catching noised re-encodes
+    AND first-frame trims (which flip knife-edge majority bits — hence
+    the wider bound of 12); corrupt clips never pair."""
+    from physioview_spark.llm import multimodal as M
+
+    df = M.fake_video_near_dup_table(spark, n_base=16, n_dups=8)
+    fps = {r["doc_id"]: r["vfp"]
+           for r in M.video_phash(df).collect() if r["valid"]}
+    mask = (1 << 64) - 1
+    want = {(a, b) for a in fps for b in fps if a < b
+            if bin((fps[a] ^ fps[b]) & mask).count("1") <= 12}
+    got = {(r["id_a"], r["id_b"])
+           for r in M.video_near_dups(df, max_hamming=12).collect()}
+    assert got == want
+    planted = [(j, 16 + j) for j in range(8)
+               if j in fps and 16 + j in fps]
+    assert len(planted) >= 6
+    assert sum(p in got for p in planted) >= len(planted) - 1
+    # transcode alone (PVVD -> Y4M, same luma) is Hamming 0
+    clean = M.perturb_video(
+        M.encode_fake_video(3, n_frames=24, width=16, height=16),
+        noise=0, seed=0)
+    df2 = spark.createDataFrame(
+        [(0, bytearray(M.encode_fake_video(3, n_frames=24, width=16,
+                                           height=16))),
+         (1, bytearray(clean))], "doc_id long, payload binary")
+    out = {r["doc_id"]: r["vfp"] for r in M.video_phash(df2).collect()}
+    assert out[0] == out[1]
+
+
 def test_embedding_near_dups_multiband_recall(spark):
     """OR-of-bands recall: >=0.95 of the brute-force near-dup pairs must
     survive the banded candidate join (single-band at these plane counts
