@@ -322,6 +322,33 @@ def char_entropy(
     )
 
 
+def score_linear(
+    df: DataFrame,
+    weights: dict[str, float],
+    intercept: float = 0.0,
+    out_prefix: str = "model_",
+) -> DataFrame:
+    """Linear-model inference as pure column arithmetic — the serving
+    pattern for fastText-style logistic quality classifiers in curation
+    pipelines: ``logit = b + sum(w_i * x_i)`` over feature columns
+    (nulls read as 0), ``prob = sigmoid(logit)``.
+
+    Weights are plan literals: no UDF, no broadcast, one projection that
+    fuses into whole-stage codegen with whatever scan or join computes
+    the features — at 100 TB the classifier adds zero shuffles. The
+    sigmoid is applied to the ROUNDED logit so an engine-dependent
+    last-ulp in exp() cannot flip the rounded probability (keeps the
+    operator oracle-reproducible).
+    """
+    logit = F.lit(float(intercept))
+    for c, w in sorted(weights.items()):
+        logit = logit + F.lit(float(w)) * F.coalesce(
+            F.col(c).cast("double"), F.lit(0.0))
+    df = df.withColumn(out_prefix + "logit", F.round(logit, 6))
+    prob = 1.0 / (1.0 + F.exp(-F.col(out_prefix + "logit")))
+    return df.withColumn(out_prefix + "prob", F.round(prob, 6))
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     min_repeats: int = 3,

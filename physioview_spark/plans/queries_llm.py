@@ -599,6 +599,77 @@ def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.strip_boilerplate_lines(docs, min_repeats=3)
 
 
+@q("doc_model_quality", """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS n_stop
+  FROM documents
+), feats AS (
+  SELECT doc_id, n_tokens,
+         ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS mean_word_len,
+         ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) AS punct_ratio,
+         ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) AS digit_ratio,
+         ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS stopword_ratio
+  FROM t
+), ch AS (
+  SELECT doc_id, substring(text, i.i, 1) AS c
+  FROM documents, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(text), 1))) AS i) i
+  WHERE len(text) > 0
+), cnt AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM ch GROUP BY doc_id, c
+), ent AS (
+  SELECT doc_id,
+         ROUND(log2(CAST(SUM(n) AS DOUBLE)) - SUM(n * log2(n)) / SUM(n), 6)
+           AS entropy_bits
+  FROM cnt GROUP BY doc_id
+), lg AS (
+  SELECT f.doc_id,
+         ROUND(-3.0
+               + 0.02 * COALESCE(f.n_tokens, 0)
+               + 3.0 * COALESCE(f.stopword_ratio, 0)
+               - 4.0 * COALESCE(f.punct_ratio, 0)
+               - 2.0 * COALESCE(f.digit_ratio, 0)
+               - 0.3 * COALESCE(f.mean_word_len, 0)
+               + 0.8 * COALESCE(e.entropy_bits, 0), 6) AS model_logit
+  FROM feats f LEFT JOIN ent e USING (doc_id)
+)
+SELECT doc_id, model_logit,
+       ROUND(1.0 / (1.0 + exp(-model_logit)), 6) AS model_prob,
+       model_logit >= 0.0 AS keep
+FROM lg
+""")
+def doc_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText-classifier stage of
+    an LLM curation pipeline, served as pure column arithmetic
+    (:func:`physioview_spark.llm.text.score_linear`): engineered
+    features (token stats + char entropy) through a fixed logistic
+    model, keep = prob >= 0.5. Zero shuffles beyond the entropy
+    aggregate; the scoring projection fuses into codegen."""
+    docs = read(spark, sf_dir, "documents")
+    feats = text.quality_score(docs).select(
+        "doc_id", "n_tokens", "mean_word_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio")
+    ent = text.char_entropy(docs).select("doc_id", "entropy_bits")
+    joined = feats.join(ent, "doc_id", "left")
+    scored = text.score_linear(
+        joined,
+        weights={"n_tokens": 0.02, "stopword_ratio": 3.0,
+                 "punct_ratio": -4.0, "digit_ratio": -2.0,
+                 "mean_word_len": -0.3, "entropy_bits": 0.8},
+        intercept=-3.0)
+    return scored.select(
+        "doc_id", "model_logit", "model_prob",
+        (F.col("model_logit") >= 0.0).alias("keep"))
+
+
 @q("doc_char_entropy", """
 WITH ch AS (
   SELECT doc_id, substring(text, i.i, 1) AS c

@@ -295,6 +295,27 @@ def test_strip_boilerplate_plan_no_forced_broadcast(spark):
     assert "LeftAnti" in logical and "__lh" in logical
 
 
+def test_score_linear_closed_form(spark):
+    """Linear-model inference: logit/sigmoid against hand-computed
+    values, nulls read as 0, and the scoring projection adds no
+    shuffle (no Exchange beyond the input's)."""
+    import math
+
+    from physioview_spark.llm import text as T
+    df = spark.createDataFrame(
+        [(0, 2.0, 1.0), (1, None, 4.0)], "doc_id long, a double, b double")
+    out = {r["doc_id"]: r for r in T.score_linear(
+        df, weights={"a": 0.5, "b": -0.25}, intercept=1.0).collect()}
+    assert out[0]["model_logit"] == 1.75  # 1 + 0.5*2 - 0.25*1
+    assert abs(out[0]["model_prob"]
+               - round(1 / (1 + math.exp(-1.75)), 6)) < 1e-12
+    assert out[1]["model_logit"] == 0.0   # null a -> 0; 1 - 0.25*4
+    assert out[1]["model_prob"] == 0.5
+    plan = T.score_linear(df, weights={"a": 1.0}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_char_entropy_known_values(spark):
     """Entropy against closed forms: uniform 4-char text = 2 bits,
     single-char flood = 0 bits, empty text = null."""
