@@ -272,6 +272,41 @@ def connected_components(
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))
 
 
+def cluster_decisions(
+    pairs: DataFrame,
+    universe: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Full-universe keep/drop decisions from a near-dup pair list —
+    the composition step that turns ANY pair producer (MinHash-LSH,
+    SimHash, perceptual image hash, audio fingerprint, video signature,
+    semantic embedding pairs) into cluster-exact dedup:
+    ``(id, cluster_id, cluster_size, is_keeper)`` for EVERY id in
+    ``universe``. Connected components over the pairs (min-id label),
+    keeper = the minimum id per component; ids in no pair are singleton
+    keepers via a left join — they never enter the component iteration,
+    so the iterative cost is bounded by the pair graph, not the corpus.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    labeled = cc.join(sizes, "cluster_id").select(
+        F.col("node").alias(id_col), "cluster_id", "cluster_size")
+    return (
+        universe.select(id_col)
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("long"))
+            .alias("cluster_size"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def dup_clusters(
     df: DataFrame,
     text_col: str = "text",

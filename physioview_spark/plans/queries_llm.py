@@ -1092,6 +1092,25 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(imgs).orderBy("doc_id")
 
 
+@q("multimodal_image_dedup_decisions")
+def multimodal_image_dedup_decisions(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Cluster-exact image dedup: perceptual-hash near-dup pairs ->
+    connected components -> keep/drop decision for EVERY image
+    (singletons included) via the generic
+    :func:`physioview_spark.llm.dedup.cluster_decisions` composition —
+    the same decision shape the text curation pipeline emits, over a
+    binary modality."""
+    from physioview_spark.llm.dedup import cluster_decisions
+    from physioview_spark.llm.multimodal import (
+        fake_image_near_dup_table, image_near_dups,
+    )
+
+    imgs = fake_image_near_dup_table(spark, n_base=48, n_dups=16)
+    pairs = image_near_dups(imgs, max_hamming=6)
+    return cluster_decisions(pairs, imgs).orderBy("doc_id")
+
+
 @q("multimodal_video_near_dups")
 def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection: per-frame average-hash majority

@@ -420,6 +420,28 @@ def test_image_near_dups_exact_hamming_parity(spark):
                if a < 48 and b < 48)
 
 
+def test_cluster_decisions_full_universe(spark):
+    """cluster_decisions must cover EVERY id: pair members get their
+    component's min-id keeper; untouched ids are singleton keepers;
+    dropping non-keepers removes exactly the near-dup surplus."""
+    from physioview_spark.llm import dedup
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (7, 8)], "id_a long, id_b long")
+    universe = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long")
+    out = {r["doc_id"]: r for r in
+           dedup.cluster_decisions(pairs, universe).collect()}
+    assert len(out) == 10
+    assert [out[i]["cluster_id"] for i in (1, 2, 5)] == [1, 1, 1]
+    assert [out[i]["cluster_id"] for i in (7, 8)] == [7, 7]
+    assert out[1]["is_keeper"] and not out[2]["is_keeper"]
+    assert out[1]["cluster_size"] == 3 and out[7]["cluster_size"] == 2
+    for i in (0, 3, 4, 6, 9):  # untouched -> singleton keepers
+        assert out[i]["is_keeper"] and out[i]["cluster_size"] == 1
+    kept = [i for i in out if out[i]["is_keeper"]]
+    assert sorted(kept) == [0, 1, 3, 4, 6, 7, 9]
+
+
 def test_image_phash_validity_and_stability(spark):
     """Sub-grid images hash to null/invalid; identical payloads hash
     identically; a perturbed payload stays within a small Hamming

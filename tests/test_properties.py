@@ -315,3 +315,31 @@ class TestCodecFuzz:
             "doc_id long, payload binary")
         # corrupt/unknown video payloads contribute zero rows, no error
         assert sample_video_frames(df).count() >= 0
+
+
+class TestHammingEngineProperties:
+    @given(sigs=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=2, max_size=24, unique=True),
+        max_hamming=st.integers(1, 8))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_banded_pairs_equal_brute_force(self, spark, sigs, max_hamming):
+        """The pigeonhole candidate join + popcount verify must return
+        EXACTLY the brute-force Hamming pair set for arbitrary signed
+        64-bit signatures (the arithmetic-shift chunk values, signed
+        hashes, and uneven final chunk are the tricky parts)."""
+        from physioview_spark.llm.dedup import hamming_banded_pairs
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sigs)], "doc_id long, sig long")
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_banded_pairs(
+                   df, "sig", "doc_id", 64, max_hamming).collect()}
+        mask = (1 << 64) - 1
+        want = {}
+        for a in range(len(sigs)):
+            for b in range(a + 1, len(sigs)):
+                d = bin((sigs[a] ^ sigs[b]) & mask).count("1")
+                if d <= max_hamming:
+                    want[(a, b)] = d
+        assert got == want
