@@ -359,6 +359,10 @@ def test_semantic_dedup_keep_first(spark, vectors):
         vectors, cents, threshold=0.99, max_bucket_size=1).toPandas()
     assert set(full["vec_id"]) == set(
         r["vec_id"] for r in vectors.select("vec_id").collect())
+    # the matmul scoring gear must decide identically to the JVM gear
+    pd_out = similarity.semantic_dedup(
+        vectors, cents, threshold=0.99, scoring="pandas").toPandas()
+    assert set(pd_out["vec_id"]) == kept
 
 
 def test_ivf_assignment_gears_agree(spark):
