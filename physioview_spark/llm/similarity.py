@@ -38,6 +38,39 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`cosine`: one pandas UDF whose
+    batch cost is a NumPy rowwise dot instead of per-row interpreted
+    aggregate expressions — the same measured win as semantic_dedup's
+    matmul gear. Zero-norm pairs come back null (``nanvl``), matching
+    the JVM ``nullif`` exactly, so downstream desc-orderings keep nulls
+    last instead of NaN first. Opt-in (``method='arrow'``) on the exact
+    cosine paths: BLAS summation order can differ from the JVM fold in
+    the last ulp, so oracle-pinned fixture queries stay on the expr
+    form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        X = np.stack(x.to_numpy()).astype(np.float64)
+        Y = np.stack(y.to_numpy()).astype(np.float64)
+        den = np.linalg.norm(X, axis=1) * np.linalg.norm(Y, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = (X * Y).sum(axis=1) / den
+        s[den == 0.0] = np.nan
+        return pd.Series(s)
+
+    return F.nanvl(_cos(a, b), F.lit(None).cast("double"))
+
+
+def _cosine_by(method: str):
+    if method == "expr":
+        return cosine
+    if method == "arrow":
+        return cosine_arrow
+    raise ValueError(f"method must be expr|arrow, got {method!r}")
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -45,9 +78,15 @@ def cosine_topk(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (broadcast the queries —
-    the small side — so the corpus scan stays partition-local)."""
+    the small side — so the corpus scan stays partition-local).
+    ``method='arrow'`` swaps the per-pair cosine expressions for the
+    Arrow-vectorized batch form (:func:`cosine_arrow`) — the corpus-
+    scale gear; the default stays on deterministic JVM expressions for
+    the oracle-pinned fixtures."""
+    cos = _cosine_by(method)
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -55,7 +94,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("match_id"))
-        .withColumn("sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn("sim", F.round(cos(F.col("__qv"), F.col("__cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("match_id")
@@ -247,6 +286,7 @@ def embedding_near_dups(
     dim: int = 64,
     n_bands: int = 4,
     max_bucket_size: int | None = None,
+    method: str = "expr",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), multi-band LSH:
     each vector hashes into ``n_bands`` INDEPENDENT plane-set buckets and
@@ -291,10 +331,11 @@ def embedding_near_dups(
     )
     va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = _cosine_by(method)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("sim", F.round(cos(F.col("__va"), F.col("__vb")), 6))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

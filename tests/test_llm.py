@@ -365,6 +365,29 @@ def test_semantic_dedup_keep_first(spark, vectors):
     assert set(pd_out["vec_id"]) == kept
 
 
+def test_cosine_arrow_gear_parity(spark):
+    """The Arrow cosine gear must produce the same rounded sims, null
+    (not NaN-first) zero-norm semantics, and identical top-k rows as
+    the expression gear."""
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    rows.append((40, [0.0] * 16))  # zero-norm vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.where("vec_id < 3")
+    a = similarity.cosine_topk(qs, df, k=5, method="expr").collect()
+    b = similarity.cosine_topk(qs, df, k=5, method="arrow").collect()
+    key = lambda rs: sorted((r["query_id"], r["rank"], r["match_id"],
+                             r["sim"]) for r in rs)
+    assert key(a) == key(b)
+    # zero-norm vector never ranks (null sim sorts last, rank > k)
+    assert all(r["match_id"] != 40 for r in b)
+    pa = similarity.embedding_near_dups(df, threshold=0.9,
+                                        dim=16, method="expr").collect()
+    pb = similarity.embedding_near_dups(df, threshold=0.9,
+                                        dim=16, method="arrow").collect()
+    assert sorted(map(tuple, pa)) == sorted(map(tuple, pb))
+
+
 def test_ivf_assignment_gears_agree(spark):
     """The Arrow-vectorized centroid-assignment gear (large codebooks)
     must bucket identically to the JVM expression gear on
