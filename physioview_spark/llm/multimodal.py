@@ -195,16 +195,63 @@ def _average_hash(luma: np.ndarray, grid: int = 8) -> int | None:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the scipy-free 8-point building block
+    of JPEG/pHash): D[k, m] = s_k cos(pi (m + 1/2) k / n)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.cos(np.pi * (m + 0.5) * k / n)
+    d[0] *= np.sqrt(1.0 / n)
+    d[1:] *= np.sqrt(2.0 / n)
+    return d
+
+
+def _mosaic(luma: np.ndarray, n: int) -> np.ndarray:
+    return np.array(
+        [[blk.mean() for blk in np.array_split(rows, n, axis=1)]
+         for rows in np.array_split(luma, n, axis=0)])
+
+
+def _dct_hash(luma: np.ndarray, grid: int = 8) -> int | None:
+    """pHash-style DCT hash: block-average to a ``2*grid`` mosaic when
+    the image allows (else ``grid``), 2D DCT-II, keep the top-left
+    ``grid x grid`` low-frequency block minus the DC term, threshold at
+    the MEDIAN of those coefficients (a balanced hash: exactly half the
+    bits set, invariant to global brightness AND contrast, and — unlike
+    the average hash — driven by coarse spatial structure rather than
+    per-cell levels, so localized edits flip fewer bits)."""
+    h, w = luma.shape
+    if h < grid or w < grid:
+        return None
+    n = 2 * grid if min(h, w) >= 2 * grid else grid
+    m = _mosaic(luma, n)
+    d = _dct_matrix(n)
+    coef = (d @ m @ d.T)[:grid, :grid].flatten()[1:]  # drop DC
+    med = np.median(coef)
+    v = 0
+    for i, c in enumerate(coef):
+        if c > med:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def image_phash(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     grid: int = 8,
+    method: str = "avg",
 ) -> DataFrame:
     """Perceptual hash per image: decode -> luma plane -> ``grid^2``-bit
-    average hash, via the same shuffle-free ``mapInPandas`` seam as
-    :func:`extract_image_features`. Corrupt or sub-grid payloads yield
-    ``valid=false`` with a null hash."""
+    hash, via the same shuffle-free ``mapInPandas`` seam as
+    :func:`extract_image_features`. ``method='avg'`` is the average
+    hash (cell mean vs mosaic mean); ``method='dct'`` is the
+    pHash-style DCT hash (:func:`_dct_hash`). Corrupt or sub-grid
+    payloads yield ``valid=false`` with a null hash."""
+    if method not in ("avg", "dct"):
+        raise ValueError(f"method must be avg|dct, got {method!r}")
+    hasher = _average_hash if method == "avg" else _dct_hash
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -213,7 +260,7 @@ def image_phash(
                 ph = None
                 if decoded is not None:
                     img, w, h, c = decoded
-                    ph = _average_hash(_luma(img, w, h, c), grid)
+                    ph = hasher(_luma(img, w, h, c), grid)
                 out.append((int(doc_id), ph, ph is not None))
             yield pd.DataFrame(
                 out, columns=[f.name for f in PHASH_SCHEMA.fields])
@@ -227,6 +274,7 @@ def image_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
+    method: str = "avg",
 ) -> DataFrame:
     """Image near-duplicate pairs: perceptual hash (64-bit average-hash
     over the decoded luma plane) -> Hamming-banded candidate pairs
@@ -241,7 +289,7 @@ def image_near_dups(
     """
     from physioview_spark.llm.dedup import hamming_banded_pairs
 
-    sig = image_phash(df, payload_col, id_col).where("valid")
+    sig = image_phash(df, payload_col, id_col, method=method).where("valid")
     return hamming_banded_pairs(
         sig, "phash", id_col, 64, max_hamming, max_bucket_size)
 

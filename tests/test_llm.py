@@ -447,6 +447,38 @@ def test_image_near_dups_exact_hamming_parity(spark):
                if a < 48 and b < 48)
 
 
+def test_dct_phash_gear(spark):
+    """pHash-style DCT gear: exact parity with brute-force Hamming on
+    the fixture (same engine contract as the avg gear), invariance to
+    global brightness/contrast, balanced bits (~half set by the median
+    threshold), and planted variants still caught."""
+    from physioview_spark.llm import multimodal as M
+
+    # invariance: y = 0.6*x + 30 leaves every DCT bit unchanged
+    base = M.encode_ppm(21, 16, 16, gray=True)
+    dec = M._decode(base)
+    lum = M._luma(dec[0], dec[1], dec[2], dec[3])
+    h0 = M._dct_hash(lum)
+    h1 = M._dct_hash(np.clip(0.6 * lum + 30, 0, 255))
+    assert h0 == h1
+    bits = bin(h0 & ((1 << 64) - 1)).count("1")
+    assert 28 <= bits <= 34  # median threshold -> balanced
+
+    df = M.fake_image_near_dup_table(spark, n_base=48, n_dups=16)
+    phs = {r["doc_id"]: r["phash"]
+           for r in M.image_phash(df, method="dct").collect()
+           if r["valid"]}
+    mask = (1 << 64) - 1
+    want = {(a, b) for a in phs for b in phs if a < b
+            if bin((phs[a] ^ phs[b]) & mask).count("1") <= 10}
+    got = {(r["id_a"], r["id_b"]) for r in
+           M.image_near_dups(df, max_hamming=10, method="dct").collect()}
+    assert got == want
+    planted = [(j, 48 + j) for j in range(16)
+               if j in phs and 48 + j in phs]
+    assert sum(p in got for p in planted) >= len(planted) - 3
+
+
 def test_cluster_decisions_full_universe(spark):
     """cluster_decisions must cover EVERY id: pair members get their
     component's min-id keeper; untouched ids are singleton keepers;
