@@ -39,6 +39,8 @@ _CHANGED_THIS_ROUND = [
     "embedding_semantic_dedup",     # cap no longer drops oversized buckets
     "streaming_near_dup_pairs",     # bucketed batch_id-keyed state
     "doc_token_budget_sample",      # two-level exact prefix scan
+    "embedding_near_dup_pairs",     # cosine gear param threaded through
+    "multimodal_image_features",    # multimodal module reworked (gears)
 ]
 
 
