@@ -88,6 +88,46 @@ def _serve_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``physioview_spark`` importable on executor Python workers
+    regardless of the host process's CWD/PYTHONPATH: zip the package
+    next to this file once per session and ``addPyFile`` it. Local-mode
+    workers inherit the driver's PYTHONPATH env var but NOT driver-side
+    ``sys.path`` mutations, so a harness that imports this module from
+    a foreign working directory would otherwise lose every
+    mapInPandas/pandas-UDF query to ModuleNotFoundError on the
+    executors. Idempotent and ~0.2 MB."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pv_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(here, "physioview_spark")
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"physioview_spark_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, here))
+    sc.addPyFile(zpath)
+    sc._pv_pkg_shipped = True
+
+
+def _with_shipped(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def _registry():
     from physioview_spark.plans import queries_relational
 
@@ -107,7 +147,7 @@ def _registry():
     for m in modules:
         qs.update(m.QUERIES)
         oracles.update(m.ORACLE)
-    qs = {n: qs[n] for n in _serve_order(list(qs))}
+    qs = {n: _with_shipped(qs[n]) for n in _serve_order(list(qs))}
     return qs, oracles
 
 
