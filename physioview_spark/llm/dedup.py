@@ -491,3 +491,95 @@ def decontaminate(
         F.count(F.lit(1)).alias("n_bench_docs"),
         F.max("n_common").alias("max_overlap"),
     )
+
+
+def dedup_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_tokens: int = 16,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Exact duplicate-passage removal with reassembly: cut every
+    document into fixed ``passage_tokens``-token windows, remove every
+    window whose exact text recurs ANYWHERE in the corpus, keep the
+    single first occurrence (ordered by ``(id, position)``), and stitch
+    each document back together from its surviving windows — the
+    substring-level exact dedup of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), approximated at a
+    fixed window stride instead of a suffix array. Unlike
+    :func:`physioview_spark.llm.text.winnow_fingerprints` (which only
+    *detects* shared spans) this operator *rewrites* the corpus.
+
+    Output: ``(id_col, n_passages, n_removed, out_col)`` — one row per
+    input document; a document whose every passage is a repeat keeps an
+    empty string.
+
+    Scale shape: passages explode at ~1/passage_tokens of the token
+    count; the occurrence aggregate groups on ``md5(passage)`` (16-byte
+    key, map-side partial combine) and keeps only ``count`` plus the
+    min ``(id, pos)`` struct — no window over occurrences. The
+    join back is a shuffle join on the same hash key; a corpus-hot
+    passage (a license paragraph repeated millions of times) lands on
+    one reducer only in that join, which AQE skew-split handles, and
+    every copy but one is dropped right there. Reassembly sorts each
+    doc's surviving (pos, passage) pairs inside one aggregate row
+    (array_sort on structs), not with a window.
+    """
+    from physioview_spark.llm.text import tokens
+
+    k = int(passage_tokens)
+    base = df.select(id_col, tokens(text_col).alias("__t"))
+    n_chunks = F.ceil(F.size("__t") / F.lit(float(k))).cast("int")
+    passages = (
+        base.where(F.size("__t") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice("__t", i * k + 1, k), " "),
+                )
+            ).alias("__pos", "__passage"),
+        )
+        .withColumn("__ph", F.md5("__passage"))
+    )
+    occ = passages.groupBy("__ph").agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min(F.struct(F.col(id_col).alias("__id"),
+                       F.col("__pos").alias("__p"))).alias("__first"),
+    )
+    flagged = passages.join(occ, "__ph").withColumn(
+        "__keep",
+        (F.col("__occ") == 1)
+        | ((F.col(id_col) == F.col("__first.__id"))
+           & (F.col("__pos") == F.col("__first.__p"))),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"),
+                               F.struct(F.col("__pos").alias("p"),
+                                        F.col("__passage").alias("s"))))),
+                lambda x: x["s"],
+            ),
+        ).alias(out_col),
+    )
+    return (
+        base.select(id_col).join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_passages", F.lit(0).cast("long"))
+            .alias("n_passages"),
+            F.coalesce("n_removed", F.lit(0).cast("long"))
+            .alias("n_removed"),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+        )
+    )

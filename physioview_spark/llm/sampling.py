@@ -185,6 +185,66 @@ def token_budget_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Water-filling mixture sampling: the largest corpus whose domain
+    composition matches ``target_weights`` exactly, taken with a
+    stateless seeded-hash gate (the DoReMi / Pile-style "reweight the
+    crawl to a target domain mixture" curation primitive).
+
+    With per-domain mass ``m_d`` (row count, or ``sum(weight_col)`` —
+    e.g. tokens) and target share ``w_d`` (must sum to ~1 over the
+    domains the caller wants), the largest total ``T`` satisfying
+    ``T * w_d <= m_d`` for every targeted domain is
+    ``T = min_d(m_d / w_d)``; each domain then keeps rate
+    ``T * w_d / m_d`` (== 1 for the binding domain) of its mass via
+    ``md5(seed|id) < rate``. Domains absent from ``target_weights`` are
+    dropped; targeted domains absent from the corpus are skipped in the
+    min (an infeasible mixture degrades to the feasible sub-mixture
+    rather than emptying the output).
+
+    Scale shape: one tiny per-domain aggregate (map-side partial, rows
+    bounded by distinct domains), a 1-row global min, and a broadcast
+    rate join back onto the corpus — no window, no per-domain scan, no
+    corpus shuffle beyond the aggregate. The hash fraction and the rate
+    arithmetic (``(T * w) / m`` in that association) are bit-identical
+    doubles in Spark and DuckDB, so the gate is engine-portable.
+    """
+    mass = (F.count(F.lit(1)) if weight_col is None
+            else F.sum(F.col(weight_col).cast("long"))).alias("__m")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(target_weights.items()),
+        f"{domain_col} string, __w double")
+    per = (
+        df.groupBy(domain_col).agg(mass)
+        .join(F.broadcast(wdf), domain_col)
+    )
+    t = per.agg(F.min(F.col("__m") / F.col("__w")).alias("__T"))
+    rates = (
+        per.crossJoin(F.broadcast(t))
+        .select(domain_col,
+                ((F.col("__T") * F.col("__w")) / F.col("__m"))
+                .alias("__rate"))
+    )
+    h = sample_order(id_col, seed)
+    frac = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(frac < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 # Rough chars-per-whitespace-token ratio used only to SIZE the packing
 # grid (never to compute offsets): English prose runs ~5-6 chars/token
 # including the separator; erring low just adds shards.

@@ -767,6 +767,85 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, ctx_len=256, n_shards=4, seed=42)
 
 
+@q("doc_mixture_sample", """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), w(lang, w) AS (
+  VALUES ('de', 0.25), ('en', 0.25), ('es', 0.25), ('fr', 0.25)
+), c AS (
+  SELECT t.lang, SUM(n_tokens) AS m, ANY_VALUE(w.w) AS w
+  FROM t JOIN w USING (lang) GROUP BY t.lang
+), tt AS (
+  SELECT MIN(m / w) AS T FROM c
+), r AS (
+  SELECT lang, ((SELECT T FROM tt) * w) / m AS rate FROM c
+)
+SELECT t.lang, t.doc_id, t.n_tokens
+FROM t JOIN r USING (lang)
+WHERE (SELECT SUM((strpos('0123456789abcdef',
+                          substring(t.h, j.j, 1)) - 1)
+                  * (1::BIGINT << ((8 - j.j) * 4)))
+       FROM UNNEST(generate_series(1, 8)) AS j(j)) / 4294967296.0
+      < r.rate
+""")
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling domain-mixture sampling: the largest token-weighted
+    sub-corpus with an exact 25/25/25/25 lang mixture over de/en/es/fr
+    (zh untargeted -> dropped), gated by a stateless seeded hash. One
+    tiny per-domain aggregate + a broadcast rate join; no window, no
+    corpus shuffle beyond the aggregate."""
+    docs = text.token_count(read(spark, sf_dir, "documents"))
+    out = sampling.mixture_sample(
+        docs, "lang",
+        {"de": 0.25, "en": 0.25, "es": 0.25, "fr": 0.25},
+        weight_col="n_tokens", seed=42)
+    return out.select("lang", "doc_id", "n_tokens")
+
+
+@q("doc_passage_dedup", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+), ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(tk[(i * 16 + 1):(i * 16 + 16)], ' ') AS passage
+  FROM t, UNNEST(generate_series(
+        0, CAST(ceil(len(tk) / 16.0) AS INT) - 1)) AS g(i)
+  WHERE len(tk) > 0
+), fl AS (
+  SELECT doc_id, pos, passage,
+         COUNT(*) OVER (PARTITION BY passage) AS occ,
+         ROW_NUMBER() OVER (PARTITION BY passage
+                            ORDER BY doc_id, pos) AS rn
+  FROM ch
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_passages,
+         CAST(SUM(CASE WHEN occ > 1 AND rn > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         COALESCE(string_agg(
+           CASE WHEN occ = 1 OR rn = 1 THEN passage END, ' '
+           ORDER BY pos), '') AS text_dedup
+  FROM fl GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_passages, 0) AS n_passages,
+       COALESCE(agg.n_removed, 0) AS n_removed,
+       COALESCE(agg.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN agg USING (doc_id)
+""")
+def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage removal with reassembly (Lee et al. 2021
+    substring dedup at fixed 16-token windows): every repeated window
+    keeps only its first (doc, pos) occurrence corpus-wide; documents
+    are stitched back from surviving windows. Hash-grouped occurrence
+    agg + one join back on the 16-byte key; no window over occurrences."""
+    docs = read(spark, sf_dir, "documents")
+    return dedup.dedup_passages(docs, passage_tokens=16)
+
+
 @q("doc_repetition_stats", """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

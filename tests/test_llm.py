@@ -1151,3 +1151,101 @@ def test_embedding_near_dup_bucket_guard(spark):
     capped = similarity.embedding_near_dups(
         df, threshold=0.99, max_bucket_size=5)
     assert capped.count() == 0
+
+
+class TestMixtureSample:
+    def test_water_filling_rates_and_composition(self, spark):
+        """T = min(m_d / w_d); the binding domain keeps everything and
+        the realized mixture tracks the target within hash noise."""
+        from physioview_spark.llm import sampling
+        rows = ([(i, "a") for i in range(400)]
+                + [(i + 1000, "b") for i in range(100)]
+                + [(i + 2000, "c") for i in range(300)])
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        out = sampling.mixture_sample(
+            df, "dom", {"a": 0.5, "b": 0.25, "c": 0.25}).toPandas()
+        got = out.groupby("dom").size()
+        # T = min(400/.5, 100/.25, 300/.25) = 400 -> need 200/100/100;
+        # b is binding: rate 1 keeps all 100 exactly
+        assert got["b"] == 100
+        assert 140 <= got["a"] <= 260, got
+        assert 70 <= got["c"] <= 130, got
+        # untargeted domains are dropped entirely
+        df2 = df.union(spark.createDataFrame(
+            [(9000, "zz")], "doc_id long, dom string"))
+        out2 = sampling.mixture_sample(
+            df2, "dom", {"a": 0.5, "b": 0.25, "c": 0.25}).toPandas()
+        assert "zz" not in set(out2["dom"])
+
+    def test_absent_target_domain_skipped_not_emptying(self, spark):
+        """A targeted domain with no corpus rows is skipped in the min
+        instead of forcing T=0 (infeasible -> feasible sub-mixture)."""
+        from physioview_spark.llm import sampling
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(50)], "doc_id long, dom string")
+        out = sampling.mixture_sample(
+            df, "dom", {"a": 0.5, "ghost": 0.5}).toPandas()
+        assert len(out) == 50  # a is binding among present domains
+
+    def test_token_weighted_and_deterministic(self, spark):
+        from physioview_spark.llm import sampling
+        rows = [(i, "a" if i % 2 else "b", "w " * (5 + i % 7))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string, "
+                                         "text string")
+        from physioview_spark.llm import text as t
+        df = t.token_count(df)
+        out = sampling.mixture_sample(
+            df, "dom", {"a": 0.5, "b": 0.5}, weight_col="n_tokens")
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in out.collect())
+        assert a == b and len(a) > 50
+
+
+class TestPassageDedup:
+    def test_first_occurrence_kept_and_reassembly(self, spark):
+        from physioview_spark.llm import dedup
+        shared = " ".join(f"s{i}" for i in range(4))   # one 4-token window
+        uniq_a = " ".join(f"a{i}" for i in range(4))
+        uniq_b = " ".join(f"b{i}" for i in range(4))
+        rows = [
+            (0, shared + " " + uniq_a),   # first occurrence of shared
+            (1, shared + " " + uniq_b),   # repeat -> stripped
+            (2, uniq_b),                  # exact window repeat of doc1's
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup.dedup_passages(df, passage_tokens=4).collect()}
+        assert out[0]["text_dedup"] == shared + " " + uniq_a
+        assert out[0]["n_removed"] == 0
+        assert out[1]["text_dedup"] == uniq_b  # shared window stripped
+        assert out[1]["n_removed"] == 1
+        # doc2's window == doc1's second window; (1,1) < (2,0) so doc1 keeps
+        assert out[2]["text_dedup"] == "" and out[2]["n_removed"] == 1
+        assert all(r["n_passages"] == (1 if r["doc_id"] == 2 else 2)
+                   for r in out.values())
+
+    def test_all_duplicate_doc_empties_and_empty_doc_survives(self, spark):
+        from physioview_spark.llm import dedup
+        txt = " ".join(f"w{i}" for i in range(8))
+        df = spark.createDataFrame(
+            [(0, txt), (1, txt), (2, "")], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup.dedup_passages(df, passage_tokens=8).collect()}
+        assert out[0]["text_dedup"] == txt
+        assert out[1]["text_dedup"] == "" and out[1]["n_removed"] == 1
+        assert out[2]["n_passages"] == 0 and out[2]["text_dedup"] == ""
+
+    def test_partial_tail_window_and_order(self, spark):
+        """Tail windows shorter than the stride hash on their own text;
+        surviving windows reassemble in original position order."""
+        from physioview_spark.llm import dedup
+        df = spark.createDataFrame(
+            [(0, "p q r s t"), (1, "x y p q r s t")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["text_dedup"] for r in
+               dedup.dedup_passages(df, passage_tokens=2).collect()}
+        # doc0 windows: 'p q','r s','t'; doc1: 'x y','p q','r s','t' —
+        # doc0 wins the shared windows ((0,pos) < (1,pos'))
+        assert out[0] == "p q r s t"
+        assert out[1] == "x y"
