@@ -341,6 +341,58 @@ def embedding_near_dups(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    method: str = "expr",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the corpus itself —
+    every vector's top-``k`` neighbors among its multi-band LSH
+    candidates (the all-pairs sibling of :func:`lsh_topk`, which serves
+    an external query set). The kNN graph is the substrate for
+    diversity filtering, graph-based dedup, and coreset selection over
+    embedding farms.
+
+    Cost shape: candidates come from the same OR-of-ANDs banded
+    equi-join as :func:`embedding_near_dups` and each UNORDERED pair is
+    scored exactly once (the ``<`` join), then mirrored into both
+    orientations for ranking — half the cosine evaluations of a naive
+    directed join. The per-node top-k is a ``row_number <= k`` filter,
+    which Spark executes as WindowGroupLimit: a partial per-mapper
+    limit runs BEFORE the shuffle, so the exchange carries
+    O(partitions * nodes * k), not the candidate set.
+    ``max_bucket_size`` is the usual quadratic guard. Ties (cosine
+    rounds to 6 decimals) break on neighbor id, so the graph is
+    deterministic and engine-reproducible.
+
+    Output: ``(id_col, neighbor_id, sim, rank)``, rank 1-based; nodes
+    whose every band-bucket was singleton (or capped) emit no rows.
+    """
+    scored = embedding_near_dups(
+        df, threshold=float("-inf"), id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, dim=dim, n_bands=n_bands,
+        max_bucket_size=max_bucket_size, method=method)
+    sym = scored.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
+        "sim",
+    ).unionByName(scored.select(
+        F.col("id_b").alias(id_col), F.col("id_a").alias("neighbor_id"),
+        "sim",
+    ))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],

@@ -1285,6 +1285,62 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@q("embedding_knn_graph", """
+WITH planes AS (
+  SELECT pp.p AS p, ii.i AS i,
+    (SELECT SUM((strpos('0123456789abcdef',
+                        substring(md5('h' || CAST(pp.p AS VARCHAR) || '|'
+                                  || CAST(ii.i AS VARCHAR)), j.j, 1)) - 1)
+                * (1::BIGINT << ((8 - j.j) * 4)))
+     FROM UNNEST(generate_series(1, 8)) AS j(j)) / 4294967296.0 - 0.5 AS comp
+  FROM UNNEST(generate_series(0, 11)) AS pp(p),
+       UNNEST(generate_series(0, 63)) AS ii(i)
+), pvec AS (
+  SELECT p, list(comp ORDER BY i) AS h FROM planes GROUP BY p
+), signs AS (
+  SELECT e.vec_id, p.p AS p,
+         CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
+              THEN 1 ELSE 0 END AS s
+  FROM embeddings e, pvec p
+), banded AS (
+  SELECT vec_id, CAST(p // 3 AS INT) AS band,
+         CAST(SUM(s * (1 << (2 - (p % 3)))) AS INT) AS bucket
+  FROM signs GROUP BY vec_id, band
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_a, id_b,
+         ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+), sym AS (
+  SELECT id_a AS vec_id, id_b AS neighbor_id, sim FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS neighbor_id, sim FROM scored
+)
+SELECT vec_id, neighbor_id, sim, rank FROM (
+  SELECT vec_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, neighbor_id)
+              AS INT) AS rank
+  FROM sym
+) WHERE rank <= 3
+""")
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph (k=3) over the embeddings table: multi-band
+    LSH candidates (4 bands x 3 md5 hyperplanes, same machinery as
+    embedding_near_dup_pairs), each unordered pair cosine-scored once,
+    mirrored, then per-node top-k via WindowGroupLimit. Deterministic:
+    rounded-cosine ties break on neighbor id."""
+    emb = read(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(
+        emb, k=3, n_planes=3, dim=64, n_bands=4)
+
+
 @q("doc_bpe_token_stats", """
 WITH p AS (
   SELECT doc_id, lang,

@@ -1249,3 +1249,37 @@ class TestPassageDedup:
         # doc0 wins the shared windows ((0,pos) < (1,pos'))
         assert out[0] == "p q r s t"
         assert out[1] == "x y"
+
+
+class TestKnnGraph:
+    def test_knn_graph_recall_and_shape(self, spark, vectors):
+        """kNN graph vs brute force: strong recall at 6 bands on the
+        16-dim fixture; ranks 1..k, neighbors unique per node, no
+        self-edges; the engineered near-dup pair is each other's top-1."""
+        out = similarity.knn_graph(
+            vectors, k=3, n_planes=2, dim=16, n_bands=6).toPandas()
+        assert out["rank"].between(1, 3).all()
+        assert (out["vec_id"] != out["neighbor_id"]).all()
+        per = out.groupby("vec_id")
+        assert (per["neighbor_id"].nunique() == per.size()).all()
+        top1 = out[out["rank"] == 1].set_index("vec_id")["neighbor_id"]
+        assert top1[3] == 7 and top1[7] == 3
+        exact = similarity.cosine_topk(vectors, vectors, k=4).toPandas()
+        exact = exact[exact["query_id"] != exact["match_id"]]
+        exact["r"] = exact.groupby("query_id").cumcount()
+        e = {(r.query_id, r.match_id)
+             for r in exact[exact["r"] < 3].itertuples()}
+        a = {(r.vec_id, r.neighbor_id) for r in out.itertuples()}
+        assert len(e & a) / len(e) >= 0.8, len(e & a) / len(e)
+
+    def test_knn_graph_deterministic_and_partial_limit(self, spark,
+                                                       vectors):
+        a = sorted(map(tuple, similarity.knn_graph(
+            vectors, k=2, n_planes=2, dim=16, n_bands=4).collect()))
+        b = sorted(map(tuple, similarity.knn_graph(
+            vectors, k=2, n_planes=2, dim=16, n_bands=4).collect()))
+        assert a == b and len(a) > 0
+        plan = similarity.knn_graph(
+            vectors, k=2, n_planes=2, dim=16, n_bands=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan  # partial top-k before shuffle
