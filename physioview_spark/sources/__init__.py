@@ -16,6 +16,9 @@ from physioview_spark.sources.beat_editor import (
     EDIT_SCHEMA, process_beat_edits, read_beat_edits,
     write_beat_editor_json,
 )
+from physioview_spark.sources.jsonl import (
+    DOCUMENTS_SCHEMA, load_jsonl, write_jsonl,
+)
 
 __all__ = [
     "infer_unix_unit", "load_signal_csv", "write_stage",
@@ -24,4 +27,5 @@ __all__ = [
     "align_hrv", "load_empatica", "probe_empatica_fs", "write_e4_zip",
     "EDIT_SCHEMA", "process_beat_edits", "read_beat_edits",
     "write_beat_editor_json",
+    "DOCUMENTS_SCHEMA", "load_jsonl", "write_jsonl",
 ]

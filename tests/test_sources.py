@@ -532,3 +532,49 @@ class TestEventsTsRepresentations:
               b.orderBy("event_id").collect()]
         assert ra == rb
         assert "2024-01-01" in ra[0][1]
+
+
+class TestJsonlSource:
+    def test_roundtrip_and_quarantine(self, spark, tmp_path):
+        import json
+        p = tmp_path / "shard.jsonl"
+        lines = [
+            json.dumps({"doc_id": 1, "text": "hello world", "lang": "en",
+                        "source": "s0", "n_chars": 11}),
+            '{"doc_id": 2, "text": "truncated',          # malformed
+            json.dumps({"doc_id": 3, "text": "ok", "lang": "de",
+                        "source": "s1", "n_chars": 2}),
+            "not json at all",
+        ]
+        p.write_text("\n".join(lines) + "\n")
+        from physioview_spark import sources
+        good, bad = sources.load_jsonl(spark, str(p))
+        g = {r["doc_id"]: r for r in good.collect()}
+        assert set(g) == {1, 3}
+        assert g[1]["text"] == "hello world"
+        assert good.columns == ["doc_id", "text", "lang", "source",
+                                "n_chars"]
+        quarantined = [r["_corrupt_record"] for r in bad.collect()]
+        assert len(quarantined) == 2
+        assert "not json at all" in quarantined
+
+    def test_type_mismatch_quarantined_not_silently_nulled(self, spark,
+                                                           tmp_path):
+        p = tmp_path / "s.jsonl"
+        p.write_text('{"doc_id": "abc", "text": "x", "lang": "en", '
+                     '"source": "s", "n_chars": 1}\n')
+        from physioview_spark import sources
+        good, bad = sources.load_jsonl(spark, str(p))
+        assert good.count() == 0 and bad.count() == 1
+
+    def test_write_jsonl_roundtrip(self, spark, tmp_path):
+        from physioview_spark import sources
+        df = spark.createDataFrame(
+            [(1, "a b", "en", "s0", 3), (2, "c", "de", "s1", 1)],
+            sources.DOCUMENTS_SCHEMA)
+        out = str(tmp_path / "out")
+        sources.write_jsonl(df, out, n_files=1)
+        back, bad = sources.load_jsonl(spark, out)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, df.collect()))
+        assert bad.count() == 0
