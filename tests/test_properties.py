@@ -343,3 +343,59 @@ class TestHammingEngineProperties:
                 if d <= max_hamming:
                     want[(a, b)] = d
         assert got == want
+
+
+# ------------------------------------------------- passage dedup invariants
+
+class TestPassageDedupProperties:
+    """Invariants of dedup_passages on random corpora with engineered
+    repetition: the pandas reference is keep-first over (doc, pos)."""
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_keep_first_and_conservation(self, spark, data):
+        from physioview_spark.llm.dedup import dedup_passages
+        k = data.draw(st.integers(2, 5), label="passage_tokens")
+        n_docs = data.draw(st.integers(2, 6), label="n_docs")
+        vocab = [f"t{i}" for i in range(data.draw(
+            st.integers(3, 12), label="vocab"))]
+        rows = []
+        for d in range(n_docs):
+            n_tok = data.draw(st.integers(0, 4 * k), label=f"len{d}")
+            toks = [vocab[data.draw(st.integers(0, len(vocab) - 1))]
+                    for _ in range(n_tok)]
+            rows.append((d, " ".join(toks)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r
+               for r in dedup_passages(df, passage_tokens=k).collect()}
+        # pandas reference: chunk, keep first occurrence of each chunk
+        import collections
+        chunks = {}
+        for d, txt in rows:
+            t = txt.split()
+            chunks[d] = [" ".join(t[i:i + k])
+                         for i in range(0, len(t), k)]
+        first = {}
+        for d, txt in sorted(rows):
+            for pos, c in enumerate(chunks[d]):
+                first.setdefault(c, (d, pos))
+        for d, txt in rows:
+            kept = [c for pos, c in enumerate(chunks[d])
+                    if first[c] == (d, pos)]
+            expect = " ".join(kept)
+            assert out[d]["text_dedup"] == expect, (d, k, rows)
+            assert out[d]["n_passages"] == len(chunks[d])
+            assert out[d]["n_removed"] == len(chunks[d]) - len(kept)
+        # global conservation: every distinct chunk text survives
+        # exactly once across the corpus
+        survived = collections.Counter()
+        for d in out:
+            t = out[d]["text_dedup"]
+            # reconstruct kept chunks from the reference (text equality
+            # already asserted); count distinct chunk survival
+            for pos, c in enumerate(chunks[d]):
+                if first[c] == (d, pos):
+                    survived[c] += 1
+        assert all(v == 1 for v in survived.values())
+        assert set(survived) == set(first)
