@@ -41,6 +41,9 @@ _CHANGED_THIS_ROUND = [
     "doc_token_budget_sample",      # two-level exact prefix scan
     "embedding_near_dup_pairs",     # cosine gear param threaded through
     "multimodal_image_features",    # multimodal module reworked (gears)
+    "kernel_eda_scr",               # tightened cvxEDA ADMM tolerance +
+                                    # 2-decimal mean_tonic; fixture
+                                    # regenerated (cross-host drift fix)
 ]
 
 

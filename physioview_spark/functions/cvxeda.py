@@ -180,14 +180,25 @@ def cvxeda_decompose(
     delta_knot: float = 10.0,
     alpha: float = 8e-4,
     gamma: float = 1e-2,
-    max_iter: int = 120,
-    eps_abs: float = 1e-6,
-    eps_rel: float = 1e-3,
+    max_iter: int = 400,
+    eps_abs: float = 1e-8,
+    eps_rel: float = 1e-6,
 ) -> dict:
     """Solve the cvxEDA QP; returns the same septet as the reference
     (phasic r, driver p, tonic t, spline coefs l, drift d, residual e,
-    objective) keyed by name. Defaults mirror reference
-    pipeline/EDA.py:520-533."""
+    objective) keyed by name. Model parameters mirror reference
+    pipeline/EDA.py:520-533.
+
+    Convergence is deliberately TIGHTER than a typical ADMM default
+    (eps_rel 1e-6, not 1e-3): with a loose tolerance the stopping test
+    flips at different iterations on different hosts (SIMD dispatch
+    perturbs the residual norms in the last ulp), scattering the
+    returned optimum by O(eps_rel * scale) ~ 1e-3 — enough to move a
+    4-decimal-rounded downstream aggregate and break the pinned-fixture
+    oracle across machines (observed: mean tonic 3.7555 vs 3.7557 for
+    identical code on two hosts). At 1e-6 the cross-host scatter sits
+    ~2 orders below the rounding grid. Cost: ~2x iterations on signals
+    minutes long — noise next to the Arrow transfer around it."""
     y = np.asarray(signal, dtype=float)
     n = len(y)
     if n < 8:
@@ -221,8 +232,8 @@ def cvxeda_decompose(
     for it in range(max_iter):
         rhs = bty.copy()
         rhs[:n] += rho * m.At(z - u)
-        cg_tol = 1e-10 if it < 2 else 1e-7
-        x = _cg(matvec, rhs, x, m_inv, cg_tol, 400 if it < 2 else 80)
+        cg_tol = 1e-10 if it < 2 else 1e-9
+        x = _cg(matvec, rhs, x, m_inv, cg_tol, 400 if it < 2 else 160)
         q, l, d = split(x)
         aq = m.A(q)
         z_old = z

@@ -103,7 +103,13 @@ def kernel_eda_scr(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.groupBy("subject_id", "segment")
         .agg(
             F.sum(F.when(F.col("scr") == 1, 1).otherwise(0)).alias("n_scrs"),
-            F.round(F.avg("tonic"), 4).alias("mean_tonic"),
+            # 2 decimals, deliberately: the QP optimum is iterative and
+            # host-SIMD-sensitive at ~1e-7 even with the tightened ADMM
+            # tolerance (cvxeda.py) — a 4-decimal pin sat within 2e-6 of
+            # a rounding boundary and flipped between machines (r07).
+            # 1e-2 granularity keeps ~1e-3 margin while still catching
+            # any real kernel regression.
+            F.round(F.avg("tonic"), 2).alias("mean_tonic"),
         )
         .orderBy("subject_id", "segment")
     )

@@ -108,6 +108,24 @@ def run_semantic_dedup(spark, sf_dir: str, mult: int):
     return similarity.semantic_dedup(emb, cents, threshold=0.95)
 
 
+def run_knn_graph(spark, sf_dir: str, mult: int):
+    """knn_graph with hyperplanes grown ~log2(N): a band of p planes
+    yields 2^p buckets, so holding per-bucket size (and with it the
+    candidate-pair count per node) constant as N grows requires
+    p ~ log2(N / target_bucket) — the multi-band analogue of semantic
+    dedup's sqrt(N) codebook contract. A fixed p at 10x data is a 10x
+    bucket size = quadratic pair growth by design, not a plan property."""
+    from math import ceil, log2
+
+    from physioview_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()  # parquet-metadata count, cheap
+    planes = max(4, ceil(log2(max(n, 80) / 40)))
+    return similarity.knn_graph(
+        emb, k=3, n_planes=planes, dim=64, n_bands=4)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -119,7 +137,8 @@ def main() -> None:
 
     qs = entry.queries()
     names = ["sqa_missing_segments", "doc_trigram_typicality",
-             "doc_strip_boilerplate", "doc_curation_pipeline"]
+             "doc_strip_boilerplate", "doc_curation_pipeline",
+             "doc_passage_dedup", "doc_mixture_sample"]
 
     results: dict[str, dict[str, float]] = {}
     for mult in (1, args.mult):
@@ -134,11 +153,15 @@ def main() -> None:
                 _timed(lambda: qs[name](spark, d).count())
                 for _ in range(args.runs))
             results.setdefault(name, {})[f"x{mult}"] = best
-        run_semantic_dedup(spark, d, mult).count()
-        best = min(
-            _timed(lambda: run_semantic_dedup(spark, d, mult).count())
-            for _ in range(args.runs))
-        results.setdefault("semantic_dedup_ksqrtN", {})[f"x{mult}"] = best
+        for label, fn in (
+            ("semantic_dedup_ksqrtN", run_semantic_dedup),
+            ("knn_graph_plogN", run_knn_graph),
+        ):
+            fn(spark, d, mult).count()
+            best = min(
+                _timed(lambda: fn(spark, d, mult).count())
+                for _ in range(args.runs))
+            results.setdefault(label, {})[f"x{mult}"] = best
     for name, r in results.items():
         r["ratio"] = round(r[f"x{args.mult}"] / r["x1"], 2)
         r["per_row_ratio"] = round(r["ratio"] / args.mult, 2)
