@@ -378,13 +378,17 @@ def knn_graph(
         df, threshold=float("-inf"), id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, dim=dim, n_bands=n_bands,
         max_bucket_size=max_bucket_size, method=method)
+    # mirror via explode, NOT a self-union: a union would reference
+    # `scored` twice and re-execute the whole candidate-generation +
+    # scoring lineage per branch (measured 2x wall on the 10x corpus)
     sym = scored.select(
-        F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
-        "sim",
-    ).unionByName(scored.select(
-        F.col("id_b").alias(id_col), F.col("id_a").alias("neighbor_id"),
-        "sim",
-    ))
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias(id_col),
+                     F.col("id_b").alias("neighbor_id"), F.col("sim")),
+            F.struct(F.col("id_b").alias(id_col),
+                     F.col("id_a").alias("neighbor_id"), F.col("sim")),
+        )).alias("__e")
+    ).select("__e.*")
     w = Window.partitionBy(id_col).orderBy(
         F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -399,3 +399,46 @@ class TestPassageDedupProperties:
                     survived[c] += 1
         assert all(v == 1 for v in survived.values())
         assert set(survived) == set(first)
+
+
+# ---------------------------------------------- mixture water-filling
+
+class TestMixtureSampleProperties:
+    """Water-filling invariants on random domain masses and weights."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_binding_domain_kept_whole_and_rates_feasible(self, spark,
+                                                          data):
+        from physioview_spark.llm.sampling import mixture_sample
+        n_dom = data.draw(st.integers(2, 4), label="n_domains")
+        counts = [data.draw(st.integers(20, 120), label=f"m{d}")
+                  for d in range(n_dom)]
+        raw_w = [data.draw(st.integers(1, 8), label=f"w{d}")
+                 for d in range(n_dom)]
+        tot_w = sum(raw_w)
+        weights = {f"d{d}": raw_w[d] / tot_w for d in range(n_dom)}
+        rows, nid = [], 0
+        for d, m in enumerate(counts):
+            for _ in range(m):
+                rows.append((nid, f"d{d}"))
+                nid += 1
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        out = (mixture_sample(df, "dom", weights)
+               .toPandas().groupby("dom").size())
+        # feasible total and the binding domain
+        t = min(counts[d] / weights[f"d{d}"] for d in range(n_dom))
+        binding = min(range(n_dom),
+                      key=lambda d: counts[d] / weights[f"d{d}"])
+        need = {d: t * weights[f"d{d}"] for d in range(n_dom)}
+        # the binding domain's rate is exactly 1 -> every row kept
+        assert out.get(f"d{binding}", 0) == counts[binding]
+        for d in range(n_dom):
+            got = out.get(f"d{d}", 0)
+            # never exceeds its own mass; tracks need within hash noise
+            # (binomial: 4 sigma + slack on small strata)
+            assert got <= counts[d]
+            sigma = (need[d] * max(0.0, 1 - need[d] / counts[d])) ** 0.5
+            assert abs(got - need[d]) <= 4 * sigma + 3, (
+                d, got, need[d], counts, raw_w)
