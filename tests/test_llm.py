@@ -1283,3 +1283,24 @@ class TestKnnGraph:
             vectors, k=2, n_planes=2, dim=16, n_bands=4
         )._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan  # partial top-k before shuffle
+
+
+def test_near_dups_matmul_gear_parity(spark, vectors):
+    """The per-(band,bucket) Gram gear must reproduce the expr gear's
+    pair decisions and rounded sims exactly on the fixture."""
+    kw = dict(threshold=0.2, n_planes=2, dim=16, n_bands=4)
+    e = {(r["id_a"], r["id_b"]): r["sim"]
+         for r in similarity.embedding_near_dups(
+             vectors, method="expr", **kw).collect()}
+    m = {(r["id_a"], r["id_b"]): r["sim"]
+         for r in similarity.embedding_near_dups(
+             vectors, method="matmul", **kw).collect()}
+    assert set(e) == set(m)
+    assert all(abs(e[k] - m[k]) < 2e-6 for k in e)
+    # knn_graph through the matmul gear: same graph as expr
+    ge = sorted(map(tuple, similarity.knn_graph(
+        vectors, k=3, n_planes=2, dim=16, n_bands=4).collect()))
+    gm = sorted(map(tuple, similarity.knn_graph(
+        vectors, k=3, n_planes=2, dim=16, n_bands=4,
+        method="matmul").collect()))
+    assert [t[:2] for t in ge] == [t[:2] for t in gm]

@@ -123,7 +123,7 @@ def run_knn_graph(spark, sf_dir: str, mult: int):
     n = emb.count()  # parquet-metadata count, cheap
     planes = max(4, ceil(log2(max(n, 80) / 40)))
     return similarity.knn_graph(
-        emb, k=3, n_planes=planes, dim=64, n_bands=4)
+        emb, k=3, n_planes=planes, dim=64, n_bands=4, method="matmul")
 
 
 def main() -> None:
