@@ -1520,6 +1520,200 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("doc_curation_pipeline_v3", """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+), seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS u, reach.r FROM edges e JOIN reach ON reach.u = e.u
+), cc AS (
+  SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+), hits AS (
+  SELECT tr.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_common
+  FROM sh tr JOIN sh b ON tr.shingle = b.shingle
+  WHERE b.doc_id % 25 = 0 AND tr.doc_id % 25 <> 0
+  GROUP BY tr.doc_id, b.doc_id
+  HAVING COUNT(*) >= 3
+), contam AS (
+  SELECT DISTINCT doc_id FROM hits
+), qt AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS ns
+  FROM documents
+), q AS (
+  SELECT doc_id, ROUND(
+    LEAST(nt / 50.0, 1.0) * 0.4
+    + LEAST(ROUND(CAST(ns AS DOUBLE) / NULLIF(nt, 0), 4) * 5.0, 1.0) * 0.3
+    + (1.0 - LEAST(ROUND(CAST(np AS DOUBLE) / NULLIF(nc, 0), 4) * 10.0, 1.0)) * 0.15
+    + (1.0 - LEAST(ROUND(CAST(nd AS DOUBLE) / NULLIF(nc, 0), 4) * 5.0, 1.0)) * 0.15,
+  4) AS quality_score FROM qt
+), ex AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+  FROM documents
+), pch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[(i * 16 + 1):(i * 16 + 16)], ' ') AS passage
+  FROM toks, UNNEST(generate_series(
+        0, CAST(ceil(len(t) / 16.0) AS INT) - 1)) AS g(i)
+  WHERE len(t) > 0
+), pfl AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY passage) AS occ,
+         ROW_NUMBER() OVER (PARTITION BY passage
+                            ORDER BY doc_id, pos) AS rn
+  FROM pch
+), pstat AS (
+  SELECT doc_id, COUNT(*) AS np,
+         SUM(CASE WHEN occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS nrem
+  FROM pfl GROUP BY doc_id
+), pre AS (
+  SELECT d.doc_id, d.lang, qt.nt,
+    CASE WHEN ex.exact_keeper <> d.doc_id THEN 'drop_duplicate'
+         WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> d.doc_id
+           THEN 'drop_near_dup'
+         WHEN contam.doc_id IS NOT NULL THEN 'drop_contaminated'
+         WHEN COALESCE(pstat.nrem, 0) * 10 > COALESCE(pstat.np, 0) * 3
+           THEN 'drop_passage_dup'
+         WHEN q.quality_score < 0.5 THEN 'drop_low_quality'
+         ELSE NULL END AS drop_reason
+  FROM documents d
+  JOIN ex ON ex.doc_id = d.doc_id
+  LEFT JOIN cc ON cc.doc_id = d.doc_id
+  LEFT JOIN contam ON contam.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN qt ON qt.doc_id = d.doc_id
+  LEFT JOIN pstat ON pstat.doc_id = d.doc_id
+), surv AS (
+  SELECT doc_id, lang, nt,
+         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM pre WHERE drop_reason IS NULL
+), w(lang, w) AS (
+  VALUES ('de', 0.15), ('en', 0.4), ('es', 0.15), ('fr', 0.15),
+         ('zh', 0.15)
+), c AS (
+  SELECT s.lang, SUM(nt) AS m, ANY_VALUE(w.w) AS w
+  FROM surv s JOIN w USING (lang) GROUP BY s.lang
+), tt AS (
+  SELECT MIN(m / w) AS T FROM c
+), r AS (
+  SELECT lang, ((SELECT T FROM tt) * w) / m AS rate FROM c
+), mixkeep AS (
+  SELECT s.doc_id
+  FROM surv s JOIN r USING (lang)
+  WHERE (SELECT SUM((strpos('0123456789abcdef',
+                            substring(s.h, j.j, 1)) - 1)
+                    * (1::BIGINT << ((8 - j.j) * 4)))
+         FROM UNNEST(generate_series(1, 8)) AS j(j)) / 4294967296.0
+        < r.rate
+)
+SELECT p.doc_id,
+       COALESCE(p.drop_reason,
+                CASE WHEN mk.doc_id IS NOT NULL THEN 'keep'
+                     ELSE 'drop_mixture' END) AS decision
+FROM pre p LEFT JOIN mixkeep mk ON mk.doc_id = p.doc_id
+""")
+def doc_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v3: the round-7 gates composed into ONE relational plan
+    with v2's four — priority order: exact-dup keeper, near-dup cluster
+    keeper (MinHash-LSH -> connected components), decontamination,
+    duplicate-passage fraction (> 30% of 16-token windows repeated
+    corpus-wide -> drop), quality threshold, and a final water-filling
+    MIXTURE gate (token-mass target 40/15/15/15/15 over
+    en/de/es/fr/zh computed over the SURVIVORS, hash-gated). The oracle
+    recomputes every stage in SQL including the recursive-CTE
+    components and the passage keep-first windows."""
+    from pyspark.sql import Window
+
+    docs = read(spark, sf_dir, "documents")
+    exact_keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    base = docs.select("doc_id", "lang", exact_keeper.alias("__exk"))
+    clusters = dedup.dup_clusters(docs).select("doc_id", "cluster_id")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    contam = (
+        dedup.decontaminate(train, bench, k=3, min_hits=3)
+        .select("doc_id", F.lit(True).alias("__contam"))
+    )
+    quality = text.quality_score(docs).select("doc_id", "quality_score")
+    pstats = dedup.dedup_passages(docs, passage_tokens=16).select(
+        "doc_id", "n_passages", "n_removed")
+    ntok = text.token_count(docs).select("doc_id", "n_tokens")
+    pre = (
+        base.join(clusters, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(quality, "doc_id")
+        .join(pstats, "doc_id")
+        .join(ntok, "doc_id")
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("__exk") != F.col("doc_id"), "drop_duplicate")
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("doc_id")),
+                "drop_near_dup",
+            )
+            .when(F.col("__contam"), "drop_contaminated")
+            .when(
+                F.col("n_removed") * 10 > F.col("n_passages") * 3,
+                "drop_passage_dup",
+            )
+            .when(F.col("quality_score") < 0.5, "drop_low_quality"),
+        )
+    )
+    surv = (
+        pre.where(F.col("drop_reason").isNull())
+        .select("doc_id", "lang", "n_tokens")
+    )
+    kept = sampling.mixture_sample(
+        surv, "lang",
+        {"de": 0.15, "en": 0.4, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        weight_col="n_tokens", seed=42,
+    ).select("doc_id", F.lit(True).alias("__mix"))
+    return (
+        pre.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "drop_reason",
+                F.when(F.col("__mix"), F.lit("keep"))
+                .otherwise(F.lit("drop_mixture")),
+            ).alias("decision"),
+        )
+    )
+
+
 @q("doc_curation_decisions", """
 WITH q AS (
   SELECT doc_id, lang, text,
