@@ -508,3 +508,58 @@ def trigram_typicality(
             "avg_neg_log2p",
         )
     )
+
+
+def vocabulary_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace tokens
+    with rank and cumulative corpus-coverage fraction — the
+    tokenizer-training precursor (vocab sizing: "how many types cover
+    95% of tokens?") and the quickest corpus-drift fingerprint.
+
+    Output: ``(word, freq, rank, cum_frac)``; rank 1-based by
+    ``(freq DESC, word)`` so ties are deterministic; ``cum_frac`` is the
+    running token-coverage of ranks ``1..rank`` over the WHOLE corpus
+    (not just the head), rounded to 6.
+
+    Scale shape: one explode + one map-side-combinable count per type
+    (stopword skew collapses in the partial aggregate), then a global
+    top-k via ``row_number <= k`` — Spark rewrites it to
+    WindowGroupLimit, so each mapper forwards at most ``k`` candidate
+    types and the single-partition rank window sees
+    O(partitions * k) rows, never the vocabulary. The running coverage
+    sum windows over the ``k``-row head only; the corpus total arrives
+    as a broadcast 1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.explode(tokens(text_col)).alias("word"))
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").alias("__total"))
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    head = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    # order the coverage window by the COMPUTED rank, not by the
+    # (freq, word) spec again: with an identical spec the optimizer
+    # collapses both into one Window node, placing the rank filter
+    # above the combined window and defeating the WindowGroupLimit
+    # rewrite (the whole vocabulary would cross the shuffle)
+    wc = (
+        Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        head.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_frac",
+            F.round(F.sum("freq").over(wc)
+                    / F.col("__total").cast("double"), 6))
+        .select("word", "freq", "rank", "cum_frac")
+    )

@@ -767,6 +767,35 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, ctx_len=256, n_shards=4, seed=42)
 
 
+@q("doc_vocabulary_topk", """
+WITH w AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT word, COUNT(*) AS freq FROM w GROUP BY word
+), tot AS (
+  SELECT SUM(freq) AS total FROM c
+), ranked AS (
+  SELECT word, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS INT)
+           AS rank,
+         SUM(freq) OVER (ORDER BY freq DESC, word
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT word, freq, rank,
+       ROUND(cum / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+         AS cum_frac
+FROM ranked WHERE rank <= 50
+""")
+def doc_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (top-50 tokens) with deterministic rank
+    and cumulative corpus coverage — explode + map-side-combined type
+    counts, WindowGroupLimit top-k, broadcast 1-row total."""
+    docs = read(spark, sf_dir, "documents")
+    return text.vocabulary_topk(docs, k=50)
+
+
 @q("doc_mixture_sample", """
 WITH t AS (
   SELECT doc_id, lang,

@@ -1304,3 +1304,22 @@ def test_near_dups_matmul_gear_parity(spark, vectors):
         vectors, k=3, n_planes=2, dim=16, n_bands=4,
         method="matmul").collect()))
     assert [t[:2] for t in ge] == [t[:2] for t in gm]
+
+
+def test_vocabulary_topk_semantics_and_partial_limit(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d")], "doc_id long, text string")
+    out = text.vocabulary_topk(df, k=3).collect()
+    assert [(r["word"], r["freq"], r["rank"]) for r in out] == [
+        ("a", 4, 1), ("b", 3, 2), ("c", 1, 3)]  # tie c/d breaks on word
+    assert out[0]["cum_frac"] == round(4 / 9, 6)
+    assert out[-1]["cum_frac"] == round(8 / 9, 6)
+    plan = text.vocabulary_topk(df, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the rank<=k filter must become a partial-limit shape so the
+    # vocabulary never crosses the shuffle: Spark rewrites the
+    # empty-partition row_number filter either to WindowGroupLimit or
+    # (here) to TakeOrderedAndProject / Local+GlobalLimit over the sort
+    assert ("WindowGroupLimit" in plan
+            or "TakeOrderedAndProject" in plan
+            or "LocalLimit" in plan), plan
