@@ -215,6 +215,11 @@ def mixture_sample(
     corpus shuffle beyond the aggregate. The hash fraction and the rate
     arithmetic (``(T * w) / m`` in that association) are bit-identical
     doubles in Spark and DuckDB, so the gate is engine-portable.
+
+    Contract: ``target_weights`` keys are STRING domain values (the
+    broadcast target table is built as ``string``) and should sum to
+    ~1; ``weight_col`` masses are cast to long (use integral masses —
+    token or byte counts, not fractions).
     """
     mass = (F.count(F.lit(1)) if weight_col is None
             else F.sum(F.col(weight_col).cast("long"))).alias("__m")
