@@ -526,23 +526,18 @@ def dedup_passages(
     doc's surviving (pos, passage) pairs inside one aggregate row
     (array_sort on structs), not with a window.
     """
-    from physioview_spark.llm.text import tokens
+    from physioview_spark.llm.text import token_chunks
 
     k = int(passage_tokens)
-    base = df.select(id_col, tokens(text_col).alias("__t"))
-    n_chunks = F.ceil(F.size("__t") / F.lit(float(k))).cast("int")
+    # stride == chunk_size -> the exact non-overlapping windowing this
+    # operator needs; reuse token_chunks so the chunk-boundary
+    # arithmetic lives in ONE place (an empty doc yields its one
+    # zero-token chunk there — filtered here, reattached via the spine)
     passages = (
-        base.where(F.size("__t") > 0)
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
-                    lambda i: F.array_join(
-                        F.slice("__t", i * k + 1, k), " "),
-                )
-            ).alias("__pos", "__passage"),
-        )
+        token_chunks(df, text_col, id_col, chunk_size=k, stride=k)
+        .where(F.col("chunk_tokens") > 0)
+        .select(id_col, F.col("chunk_id").alias("__pos"),
+                F.col("chunk_text").alias("__passage"))
         .withColumn("__ph", F.md5("__passage"))
     )
     occ = passages.groupBy("__ph").agg(
@@ -573,7 +568,7 @@ def dedup_passages(
         ).alias(out_col),
     )
     return (
-        base.select(id_col).join(rebuilt, id_col, "left")
+        df.select(id_col).join(rebuilt, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_passages", F.lit(0).cast("long"))

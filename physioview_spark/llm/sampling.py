@@ -229,6 +229,11 @@ def mixture_sample(
         f"{domain_col} string, __w double")
     per = (
         df.groupBy(domain_col).agg(mass)
+        # zero-mass domains (present but contributing nothing, e.g. all
+        # empty docs under a token mass) must be skipped like absent
+        # ones: a 0 in the min would force T=0 and empty the WHOLE
+        # output; with no rate row their rows drop in the gate join
+        .where(F.col("__m") > 0)
         .join(F.broadcast(wdf), domain_col)
     )
     t = per.agg(F.min(F.col("__m") / F.col("__w")).alias("__T"))

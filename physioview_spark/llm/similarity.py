@@ -354,9 +354,11 @@ def embedding_near_dups(
             return pd.DataFrame({"id_a": ids[iu[hit]],
                                  "id_b": ids[ju[hit]], "sim": s[hit]})
 
+        id_t = df.schema[id_col].dataType.simpleString()
         return (
             joined.groupBy("band", "bucket").applyInPandas(
-                _bucket_pairs, schema="id_a long, id_b long, sim double")
+                _bucket_pairs,
+                schema=f"id_a {id_t}, id_b {id_t}, sim double")
             # dedupe multi-band hits on the KEY, not the float: the same
             # pair scored inside two different-shaped Gram matrices is
             # not guaranteed bit-identical pre-rounding
@@ -535,7 +537,9 @@ def semantic_dedup(
             return pd.DataFrame({id_col: np.unique(ids[ju[hit]])})
 
         dropped = scored.groupBy("bucket").applyInPandas(
-            _bucket_dropped, schema=f"{id_col} long").distinct()
+            _bucket_dropped,
+            schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+        ).distinct()
     else:
         raise ValueError(
             f"scoring must be auto|expr|pandas, got {scoring!r}")

@@ -799,7 +799,9 @@ def doc_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_mixture_sample", """
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                   AS BIGINT) END AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), w(lang, w) AS (
@@ -807,6 +809,7 @@ WITH t AS (
 ), c AS (
   SELECT t.lang, SUM(n_tokens) AS m, ANY_VALUE(w.w) AS w
   FROM t JOIN w USING (lang) GROUP BY t.lang
+  HAVING SUM(n_tokens) > 0
 ), tt AS (
   SELECT MIN(m / w) AS T FROM c
 ), r AS (
@@ -836,7 +839,10 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_passage_dedup", """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
 ), ch AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
          array_to_string(tk[(i * 16 + 1):(i * 16 + 16)], ' ') AS passage
@@ -1616,7 +1622,9 @@ WITH RECURSIVE toks AS (
          array_to_string(t[(i * 16 + 1):(i * 16 + 16)], ' ') AS passage
   FROM toks, UNNEST(generate_series(
         0, CAST(ceil(len(t) / 16.0) AS INT) - 1)) AS g(i)
-  WHERE len(t) > 0
+  -- split-of-trimmed-empty is [''], not []: exclude empty docs the way
+  -- Spark tokens() does (they contribute no passages)
+  WHERE len(t) > 0 AND array_to_string(t, '') <> ''
 ), pfl AS (
   SELECT doc_id, pos,
          COUNT(*) OVER (PARTITION BY passage) AS occ,
@@ -1628,7 +1636,8 @@ WITH RECURSIVE toks AS (
          SUM(CASE WHEN occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS nrem
   FROM pfl GROUP BY doc_id
 ), pre AS (
-  SELECT d.doc_id, d.lang, qt.nt,
+  SELECT d.doc_id, d.lang,
+    CASE WHEN trim(d.text) = '' THEN 0 ELSE qt.nt END AS nt,
     CASE WHEN ex.exact_keeper <> d.doc_id THEN 'drop_duplicate'
          WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> d.doc_id
            THEN 'drop_near_dup'
@@ -1654,6 +1663,7 @@ WITH RECURSIVE toks AS (
 ), c AS (
   SELECT s.lang, SUM(nt) AS m, ANY_VALUE(w.w) AS w
   FROM surv s JOIN w USING (lang) GROUP BY s.lang
+  HAVING SUM(nt) > 0
 ), tt AS (
   SELECT MIN(m / w) AS T FROM c
 ), r AS (

@@ -59,7 +59,10 @@ def load_jsonl(
     """
     full = T.StructType(
         schema.fields + [T.StructField(corrupt_col, T.StringType())])
-    raw = spark.read.text(path)
+    # blank lines (shard separators, trailing newlines) are skipped, as
+    # JSONL tooling conventionally does — quarantining them would bury
+    # the genuinely truncated records an ingest audit looks for
+    raw = spark.read.text(path).where(F.trim(F.col("value")) != "")
     parsed = raw.select(
         F.col("value"),
         F.from_json(

@@ -1323,3 +1323,18 @@ def test_vocabulary_topk_semantics_and_partial_limit(spark):
     assert ("WindowGroupLimit" in plan
             or "TakeOrderedAndProject" in plan
             or "LocalLimit" in plan), plan
+
+
+def test_mixture_zero_mass_domain_skipped_not_emptying(spark):
+    """A targeted domain PRESENT but with zero mass (all-empty docs
+    under a token weighting) must be skipped in the water-filling min
+    like an absent one — not force T=0 and empty the whole output."""
+    from physioview_spark.llm import sampling, text as t
+    rows = [(i, "a", "w x y z") for i in range(40)]
+    rows += [(100 + i, "b", "   ") for i in range(5)]  # zero tokens
+    df = t.token_count(spark.createDataFrame(
+        rows, "doc_id long, dom string, text string"))
+    out = sampling.mixture_sample(
+        df, "dom", {"a": 0.5, "b": 0.5}, weight_col="n_tokens").toPandas()
+    assert len(out) == 40  # a binding among positive-mass domains
+    assert set(out["dom"]) == {"a"}
