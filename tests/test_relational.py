@@ -282,3 +282,30 @@ class TestInputFixtures:
             on_disk = pd.read_parquet(input_fixture(name))
             fresh = gen()
             pd.testing.assert_frame_equal(on_disk, fresh)
+
+
+class TestSessionTimezoneIndependence:
+    """The driver runs a VANILLA session, so the host's local timezone
+    sets spark.sql.session.timeZone — every timestamp-bearing query
+    must produce identical results under any session tz (all parquet
+    timestamps are NTZ; this probe caught real bugs per the project
+    verify recipe)."""
+
+    NAMES = ("carry_forward_daily", "orders_events_within_week",
+             "seconds_hr_context", "rolling_event_counts")
+
+    def test_results_identical_under_non_utc_tz(self, spark, sf_dir):
+        from physioview_spark.plans import queries_relational as qr
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for name in self.NAMES:
+                outs = []
+                for tz in ("UTC", "America/New_York"):
+                    spark.conf.set("spark.sql.session.timeZone", tz)
+                    outs.append(sorted(
+                        map(tuple, qr.QUERIES[name](spark, sf_dir)
+                            .collect())))
+                assert outs[0] == outs[1], name
+                assert len(outs[0]) > 0, name
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
