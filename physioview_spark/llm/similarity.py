@@ -676,3 +676,56 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "sim", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` — the 4x storage/IO shrink applied to
+    embedding farms before ANN serving (a PQ-lite; recall cost is the
+    rounding error, bounded by scale/2 per component).
+
+    Pure column arithmetic (transform + aggregate fold), no UDF, fuses
+    into the scan projection: at 100 TB this is a free rider on
+    whatever pass writes the vectors. All-zero vectors keep scale 0 and
+    an all-zero code (guarded division). round() half-up on the scaled
+    doubles is deterministic and SQL-reproducible, so quantized tables
+    hash-match across engines.
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    scale = (amax / F.lit(127.0)).alias("__s")
+    return (
+        df.withColumn("__s", scale)
+        .withColumn(
+            out_col,
+            F.when(F.col("__s") == 0.0,
+                   F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+            .otherwise(F.transform(
+                v,
+                lambda x: F.round(x.cast("double") / F.col("__s"), 0)
+                .cast("tinyint"))))
+        .withColumn(scale_col, F.round(F.col("__s"), 9))
+        .drop("__s")
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: ``x_i ~ q_i * scale``."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col),
+            lambda q: q.cast("double") * F.col(scale_col)),
+    )

@@ -1376,6 +1376,33 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=3, n_planes=3, dim=64, n_bands=4)
 
 
+@q("embedding_quantize_int8", """
+WITH t AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+  FROM t
+)
+SELECT vec_id,
+       ROUND(sc, 9) AS q_scale,
+       CASE WHEN sc = 0
+            THEN list_transform(e, x -> CAST(0 AS TINYINT))
+            ELSE list_transform(e, x -> CAST(round(x / sc, 0) AS TINYINT))
+       END AS q_embedding
+FROM s
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (4x storage shrink for ANN serving): scale = max|x|/127, code =
+    round(x/scale). Pure column arithmetic fused into the scan — zero
+    shuffles; the oracle recomputes codes in SQL and the full code
+    arrays hash-match."""
+    emb = read(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb).select(
+        "vec_id", "q_scale", "q_embedding")
+
+
 @q("doc_bpe_token_stats", """
 WITH p AS (
   SELECT doc_id, lang,

@@ -1338,3 +1338,26 @@ def test_mixture_zero_mass_domain_skipped_not_emptying(spark):
         df, "dom", {"a": 0.5, "b": 0.5}, weight_col="n_tokens").toPandas()
     assert len(out) == 40  # a binding among positive-mass domains
     assert set(out["dom"]) == {"a"}
+
+
+def test_quantize_int8_roundtrip_bounds_and_zero_vector(spark):
+    rows = [(i, [float(np.sin(i * 17 + j) * (1 + i)) for j in range(16)])
+            for i in range(20)]
+    rows.append((99, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.quantize_int8(df)
+    deq = similarity.dequantize_int8(q, out_col="recon")
+    for r in deq.collect():
+        codes, scale = r["q_embedding"], r["q_scale"]
+        assert all(-127 <= c <= 127 for c in codes)
+        if r["vec_id"] == 99:
+            assert scale == 0.0 and all(c == 0 for c in codes)
+            continue
+        assert scale > 0
+        # symmetric rounding: per-component error <= scale/2 (+ the
+        # 1e-9 scale rounding slack)
+        orig = [float(x) for x in r["embedding"]]
+        err = max(abs(a - b) for a, b in zip(orig, r["recon"]))
+        assert err <= scale / 2 + 1e-6, (r["vec_id"], err, scale)
+        # the max-|x| component hits exactly +/-127
+        assert max(abs(c) for c in codes) == 127
