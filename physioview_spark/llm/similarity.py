@@ -729,3 +729,41 @@ def dequantize_int8(
             F.col(q_col),
             lambda q: q.cast("double") * F.col(scale_col)),
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean vector per label — the distributed class-prototype /
+    codebook-training primitive (the full-data counterpart of
+    :func:`train_ivf_centroids`' sampled k-means, and the "mean of my
+    cluster" half of a SemDeDup pipeline).
+
+    Output: ``(label_col, n_vecs, centroid)`` with components rounded
+    to ``decimals`` (sum order across partitions is not associative in
+    floats; rounding well above ulp scale makes the result
+    partitioning- and engine-independent).
+
+    Scale shape: posexplode to (label, idx, x) — dim rows per vector —
+    then a map-side-combinable avg per (label, idx); the exchange
+    carries labels x dim rows, never the corpus. Reassembly sorts each
+    label's (idx, mean) pairs inside one aggregate row. No driver
+    collect: the centroid table stays a DataFrame however many labels
+    exist (collect it yourself if it feeds ``assign_ivf_bucket``
+    literals).
+    """
+    ex = df.select(
+        label_col, F.posexplode(vec_col).alias("__i", "__x"))
+    m = ex.groupBy(label_col, "__i").agg(
+        F.avg(F.col("__x").cast("double")).alias("__mx"),
+        F.count(F.lit(1)).alias("__n"))
+    return m.groupBy(label_col).agg(
+        F.max("__n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__mx"))),
+            lambda s: F.round(s["__mx"], decimals),
+        ).alias("centroid"),
+    )

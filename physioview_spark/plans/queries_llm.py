@@ -1376,6 +1376,31 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=3, n_planes=3, dim=64, n_bands=4)
 
 
+@q("embedding_label_centroids", """
+WITH ex AS (
+  SELECT label, j.j AS idx, (embedding::DOUBLE[])[j.j] AS x
+  FROM embeddings, UNNEST(generate_series(1, 64)) AS j(j)
+), m AS (
+  SELECT label, idx, AVG(x) AS mx FROM ex GROUP BY label, idx
+), c AS (
+  SELECT label, list(ROUND(mx, 6) ORDER BY idx) AS centroid
+  FROM m GROUP BY label
+), n AS (
+  SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT n.label, n.n_vecs, c.centroid
+FROM n JOIN c USING (label)
+""")
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vectors (class prototypes / codebook training
+    without a driver collect): posexplode to (label, idx, x), map-side
+    combinable avg per (label, idx) - the exchange carries labels x dim
+    rows - then per-label array_sort reassembly. Components rounded to
+    6 so the float sum order across partitions cannot leak."""
+    emb = read(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb)
+
+
 @q("embedding_quantize_int8", """
 WITH t AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

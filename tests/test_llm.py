@@ -1361,3 +1361,17 @@ def test_quantize_int8_roundtrip_bounds_and_zero_vector(spark):
         assert err <= scale / 2 + 1e-6, (r["vec_id"], err, scale)
         # the max-|x| component hits exactly +/-127
         assert max(abs(c) for c in codes) == 127
+
+
+def test_label_centroids_match_numpy(spark, vectors):
+    df = vectors.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    out = {r["label"]: r for r in
+           similarity.label_centroids(df).collect()}
+    rows = df.collect()
+    for lab in (0, 1, 2):
+        X = np.stack([np.array(r["embedding"], dtype=np.float64)
+                      for r in rows if r["label"] == lab])
+        assert out[lab]["n_vecs"] == len(X)
+        got = np.array(out[lab]["centroid"])
+        assert np.allclose(got, np.round(X.mean(axis=0), 6), atol=2e-6)
+        assert len(got) == X.shape[1]  # ordered, full-dim reassembly
