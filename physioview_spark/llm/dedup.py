@@ -578,3 +578,111 @@ def dedup_passages(
             F.coalesce(out_col, F.lit("")).alias(out_col),
         )
     )
+
+
+def dedup_delta(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: score a NEW batch against an EXISTING corpus
+    without re-pairing the corpus with itself — the production shape
+    (daily crawl increments into a reference corpus; the batch twin of
+    ``streaming/documents.streaming_near_dup_lsh``).
+
+    One decision row per new document:
+    ``(id_col, decision, match_id, jaccard)`` with ``decision`` in
+    ``drop_exact`` (byte-identical text exists in the corpus;
+    ``match_id`` = smallest such corpus id, jaccard 1.0),
+    ``drop_near_dup`` (an LSH candidate verified at shingle-Jaccard >=
+    ``threshold``; ``match_id`` = the best match, ties on id), or
+    ``keep``.
+
+    Scale shape — everything is one-sided: the corpus contributes one
+    16-byte-hash aggregate (exact), its band table, and shingles for
+    CANDIDATE docs only; no corpus self-join anywhere, so a tiny delta
+    against a 100 TB corpus costs O(delta) plus one corpus pass (at
+    which point the corpus band/hash tables are exactly what you
+    would persist between increments — see the streaming twin's
+    bucketed state for that layout). ``max_bucket_size`` caps corpus
+    LSH buckets before the candidate join (a viral boilerplate bucket
+    would otherwise fan every matching new doc into it); the exact
+    path is unaffected by the cap.
+    """
+    n_ids = new.select(id_col)
+    # --- exact: one corpus-side hash aggregate, joined on 16 bytes
+    c_hash = (
+        corpus.select(F.md5(F.col(text_col)).alias("__h"), id_col)
+        .groupBy("__h").agg(F.min(id_col).alias("__exact_id"))
+    )
+    exact = (
+        new.select(id_col, F.md5(F.col(text_col)).alias("__h"))
+        .join(c_hash, "__h")
+        .select(id_col, "__exact_id")
+    )
+    # --- near: one-sided band join, then exact Jaccard on candidates
+    bn = _lsh_bands(new, text_col, id_col, k, num_hashes, band_size) \
+        .withColumnRenamed(id_col, "__nid")
+    bc = _lsh_bands(corpus, text_col, id_col, k, num_hashes, band_size) \
+        .withColumnRenamed(id_col, "__cid")
+    if max_bucket_size is not None:
+        ok_buckets = (
+            bc.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        bc = bc.join(ok_buckets, ["band", "band_hash"])
+    cand = (
+        bn.join(bc, ["band", "band_hash"])
+        .select("__nid", "__cid").distinct()
+    )
+    shn = shingle_frame(new, text_col, id_col, k) \
+        .withColumnRenamed(id_col, "__nid") \
+        .withColumnRenamed("shingle", "__s")
+    shc = shingle_frame(corpus, text_col, id_col, k) \
+        .withColumnRenamed(id_col, "__cid") \
+        .withColumnRenamed("shingle", "__s")
+    sz_n = shn.groupBy("__nid").agg(F.count(F.lit(1)).alias("__na"))
+    sz_c = shc.groupBy("__cid").agg(F.count(F.lit(1)).alias("__nb"))
+    inter = (
+        cand.join(shn, "__nid")
+        .join(shc, ["__cid", "__s"])
+        .groupBy("__nid", "__cid")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    jac = (
+        inter.join(sz_n, "__nid").join(sz_c, "__cid")
+        .withColumn(
+            "__j",
+            F.round(
+                F.col("__common")
+                / F.nullif(F.col("__na") + F.col("__nb") - F.col("__common"),
+                           F.lit(0)), 6))
+        .where(F.col("__j") >= threshold)
+    )
+    w = Window.partitionBy("__nid").orderBy(F.desc("__j"), F.asc("__cid"))
+    best = (
+        jac.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__nid", "__cid", "__j")
+    )
+    return (
+        n_ids.join(exact, id_col, "left")
+        .join(best, n_ids[id_col] == F.col("__nid"), "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact_id").isNotNull(), "drop_exact")
+            .when(F.col("__cid").isNotNull(), "drop_near_dup")
+            .otherwise("keep").alias("decision"),
+            F.coalesce("__exact_id", "__cid").alias("match_id"),
+            F.when(F.col("__exact_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("__j")).alias("jaccard"),
+        )
+    )

@@ -767,6 +767,84 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, ctx_len=256, n_shards=4, seed=42)
 
 
+@q("doc_dedup_delta", """
+WITH newd AS (
+  SELECT * FROM documents WHERE doc_id % 5 = 0
+), corp AS (
+  SELECT * FROM documents WHERE doc_id % 5 <> 0
+), exact AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS exact_id
+  FROM newd n JOIN corp c ON md5(n.text) = md5(c.text)
+  GROUP BY n.doc_id
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+), seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT bn.doc_id AS nid, bc.doc_id AS cid
+  FROM bands bn JOIN bands bc
+    ON bn.band = bc.band AND bn.band_hash = bc.band_hash
+  WHERE bn.doc_id % 5 = 0 AND bc.doc_id % 5 <> 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT cand.nid, cand.cid, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.nid
+  JOIN sh b ON b.doc_id = cand.cid AND b.shingle = a.shingle
+  GROUP BY cand.nid, cand.cid
+), jac AS (
+  SELECT i.nid, i.cid,
+         ROUND(i.n_common /
+               CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 6) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.nid
+  JOIN sizes sb ON sb.doc_id = i.cid
+), best AS (
+  SELECT nid, cid, j FROM (
+    SELECT nid, cid, j,
+           ROW_NUMBER() OVER (PARTITION BY nid
+                              ORDER BY j DESC, cid) AS rn
+    FROM jac WHERE j >= 0.5
+  ) WHERE rn = 1
+)
+SELECT n.doc_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'drop_exact'
+            WHEN b.cid IS NOT NULL THEN 'drop_near_dup'
+            ELSE 'keep' END AS decision,
+       COALESCE(e.exact_id, b.cid) AS match_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 1.0 ELSE b.j END AS jaccard
+FROM newd n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN best b ON b.nid = n.doc_id
+""")
+def doc_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch (doc_id % 5 = 0) against the
+    reference corpus (the rest): one-sided exact hash join + one-sided
+    MinHash-LSH band join with exact-Jaccard verification on the
+    candidates only — no corpus self-join. decision/match_id/jaccard
+    per new doc."""
+    docs = read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup.dedup_delta(new, corpus, threshold=0.5)
+
+
 @q("doc_vocabulary_topk", """
 WITH w AS (
   SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word

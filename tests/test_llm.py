@@ -1375,3 +1375,35 @@ def test_label_centroids_match_numpy(spark, vectors):
         got = np.array(out[lab]["centroid"])
         assert np.allclose(got, np.round(X.mean(axis=0), 6), atol=2e-6)
         assert len(got) == X.shape[1]  # ordered, full-dim reassembly
+
+
+class TestDedupDelta:
+    def test_decisions_and_one_sidedness(self, spark, docs):
+        """new batch vs corpus: exact clone -> drop_exact with the
+        corpus keeper; near-dup -> drop_near_dup with best match;
+        novel -> keep. Corpus-internal duplicates must NOT produce
+        rows (decisions are per NEW doc only)."""
+        new = docs.where(F.col("doc_id").isin(3, 1, 4))
+        corpus = docs.where(~F.col("doc_id").isin(3, 1, 4))
+        out = {r["doc_id"]: r for r in dedup.dedup_delta(
+            new, corpus, threshold=0.5).collect()}
+        assert set(out) == {1, 3, 4}
+        # doc 3 == doc 0 byte-identical -> exact
+        assert out[3]["decision"] == "drop_exact"
+        assert out[3]["match_id"] == 0 and out[3]["jaccard"] == 1.0
+        # doc 1 is a one-word near-dup of doc 0
+        assert out[1]["decision"] == "drop_near_dup"
+        assert out[1]["match_id"] == 0 and 0.5 <= out[1]["jaccard"] < 1.0
+        # doc 4 is unrelated to the corpus
+        assert out[4]["decision"] == "keep"
+        assert out[4]["match_id"] is None and out[4]["jaccard"] is None
+
+    def test_bucket_cap_guards_near_path_only(self, spark, docs):
+        new = docs.where(F.col("doc_id").isin(3, 1))
+        corpus = docs.where(~F.col("doc_id").isin(3, 1))
+        out = {r["doc_id"]: r for r in dedup.dedup_delta(
+            new, corpus, threshold=0.5, max_bucket_size=0).collect()}
+        # cap kills every LSH bucket -> near-dup path silent, exact
+        # path unaffected
+        assert out[3]["decision"] == "drop_exact"
+        assert out[1]["decision"] == "keep"
