@@ -563,3 +563,51 @@ def vocabulary_topk(
                     / F.col("__total").cast("double"), 6))
         .select("word", "freq", "rank", "cum_frac")
     )
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Unicode-script composition: fractions of characters
+    that are Latin letters, CJK ideographs, Cyrillic, or digits, plus
+    the dominant script — the mixed-script spam/encoding-mojibake
+    signal (a "German" doc that is 40% CJK is mislabeled or garbage)
+    and the cheap prior for routing to script-specific tokenizers.
+
+    Counts are ``length(regexp_replace(text, '[^range]', ''))`` — pure
+    JVM regex in whole-stage codegen, one projection, no shuffle, no
+    UDF. Fractions are over total characters (rounded to 6); an empty
+    text profiles as all-zero with dominant 'none'. Dominant breaks
+    ties in fixed order latin > cjk > cyrillic (deterministic and
+    SQL-reproducible).
+    """
+    n = F.length(F.col(text_col))
+
+    def count_of(rng: str) -> F.Column:
+        return F.length(F.regexp_replace(F.col(text_col),
+                                         f"[^{rng}]", ""))
+
+    lat = count_of("A-Za-z")
+    cjk = count_of("一-鿿")
+    cyr = count_of("Ѐ-ӿ")
+    dig = count_of("0-9")
+
+    def frac(c: F.Column) -> F.Column:
+        return F.round(c / F.nullif(n, F.lit(0)).cast("double"), 6)
+
+    dominant = (
+        F.when(n == 0, "none")
+        .when((lat >= cjk) & (lat >= cyr), "latin")
+        .when(cjk >= cyr, "cjk")
+        .otherwise("cyrillic")
+    )
+    return df.select(
+        id_col,
+        F.coalesce(frac(lat), F.lit(0.0)).alias("frac_latin"),
+        F.coalesce(frac(cjk), F.lit(0.0)).alias("frac_cjk"),
+        F.coalesce(frac(cyr), F.lit(0.0)).alias("frac_cyrillic"),
+        F.coalesce(frac(dig), F.lit(0.0)).alias("frac_digit"),
+        dominant.alias("dominant_script"),
+    )

@@ -767,6 +767,41 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, ctx_len=256, n_shards=4, seed=42)
 
 
+@q("doc_script_profile", """
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat,
+         length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))
+           AS cjk,
+         length(regexp_replace(text, '[^\\x{0400}-\\x{04FF}]', '', 'g'))
+           AS cyr,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(ROUND(lat / CAST(NULLIF(n, 0) AS DOUBLE), 6), 0.0)
+         AS frac_latin,
+       COALESCE(ROUND(cjk / CAST(NULLIF(n, 0) AS DOUBLE), 6), 0.0)
+         AS frac_cjk,
+       COALESCE(ROUND(cyr / CAST(NULLIF(n, 0) AS DOUBLE), 6), 0.0)
+         AS frac_cyrillic,
+       COALESCE(ROUND(dig / CAST(NULLIF(n, 0) AS DOUBLE), 6), 0.0)
+         AS frac_digit,
+       CASE WHEN n = 0 THEN 'none'
+            WHEN lat >= cjk AND lat >= cyr THEN 'latin'
+            WHEN cjk >= cyr THEN 'cjk'
+            ELSE 'cyrillic' END AS dominant_script
+FROM c
+""")
+def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document (Latin/CJK/Cyrillic/digit
+    fractions + dominant script) — the mixed-script spam signal. One
+    codegen'd projection of JVM regex counts; no shuffle."""
+    docs = read(spark, sf_dir, "documents")
+    return text.script_profile(docs)
+
+
 @q("doc_dedup_delta", """
 WITH newd AS (
   SELECT * FROM documents WHERE doc_id % 5 = 0

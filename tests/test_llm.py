@@ -1407,3 +1407,28 @@ class TestDedupDelta:
         # path unaffected
         assert out[3]["decision"] == "drop_exact"
         assert out[1]["decision"] == "keep"
+
+
+def test_script_profile_scripts_and_dominance(spark):
+    rows = [
+        (0, "hello world"),                    # pure latin
+        (1, "你好世界"),       # pure CJK
+        (2, "привет"),  # pure cyrillic
+        (3, "abc 中文 中文字"),   # CJK-dominant mix
+        (4, ""),                               # empty
+        (5, "12345"),                          # digits only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.script_profile(df).collect()}
+    assert out[0]["dominant_script"] == "latin"
+    assert out[0]["frac_latin"] == round(10 / 11, 6)
+    assert out[1]["dominant_script"] == "cjk"
+    assert out[1]["frac_cjk"] == 1.0
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["frac_cyrillic"] == 1.0
+    assert out[3]["dominant_script"] == "cjk"
+    assert out[4]["dominant_script"] == "none"
+    assert out[4]["frac_latin"] == 0.0
+    assert out[5]["frac_digit"] == 1.0
+    # digits don't claim dominance; latin wins ties at zero
+    assert out[5]["dominant_script"] == "latin"
