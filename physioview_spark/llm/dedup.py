@@ -643,12 +643,21 @@ def dedup_delta(
         bn.join(bc, ["band", "band_hash"])
         .select("__nid", "__cid").distinct()
     )
+    from pyspark import StorageLevel
+
+    # each shingle frame feeds TWO consumers (its size aggregate and
+    # the intersection join); without a spill-safe persist the lineage
+    # re-explodes the corpus per consumer CONCURRENTLY with the minhash
+    # explode — measured executor OOM at the 10x corpus on a default
+    # heap (the get_missing pattern, operators/metrics.py)
     shn = shingle_frame(new, text_col, id_col, k) \
         .withColumnRenamed(id_col, "__nid") \
-        .withColumnRenamed("shingle", "__s")
+        .withColumnRenamed("shingle", "__s") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     shc = shingle_frame(corpus, text_col, id_col, k) \
         .withColumnRenamed(id_col, "__cid") \
-        .withColumnRenamed("shingle", "__s")
+        .withColumnRenamed("shingle", "__s") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sz_n = shn.groupBy("__nid").agg(F.count(F.lit(1)).alias("__na"))
     sz_c = shc.groupBy("__cid").agg(F.count(F.lit(1)).alias("__nb"))
     inter = (

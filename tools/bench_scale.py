@@ -138,7 +138,8 @@ def main() -> None:
     qs = entry.queries()
     names = ["sqa_missing_segments", "doc_trigram_typicality",
              "doc_strip_boilerplate", "doc_curation_pipeline",
-             "doc_passage_dedup", "doc_mixture_sample"]
+             "doc_passage_dedup", "doc_mixture_sample",
+             "doc_dedup_delta"]
 
     results: dict[str, dict[str, float]] = {}
     for mult in (1, args.mult):
