@@ -165,6 +165,21 @@ PHASH_SCHEMA = T.StructType([
 ])
 
 
+def _fingerprint_frame(out, schema) -> pd.DataFrame:
+    """(id, hash_or_None, valid) rows -> pandas frame whose hash column
+    is an EXPLICIT nullable Int64 array. A plain ``pd.DataFrame(out)``
+    leaves the mixed int/None column as object, and some session
+    configurations coerce it through float64 on the Arrow boundary —
+    which silently rounds 64-bit fingerprints above 2^53 (measured: a
+    vanilla Spark 4 session flipped low phash bits for the SAME payload
+    vs the tuned session, shifting Hamming distances and near-dup
+    pairs). The typed array pins the exact-integer path everywhere."""
+    cols = [f.name for f in schema.fields]
+    pdf = pd.DataFrame(out, columns=cols)
+    pdf[cols[1]] = pd.array([t[1] for t in out], dtype="Int64")
+    return pdf
+
+
 def _luma(img: np.ndarray, w: int, h: int, c: int) -> np.ndarray:
     """(h, w*c) uint8 -> (h, w) float64 luma plane (BT.601 weights for
     RGB; identity for grayscale)."""
@@ -262,8 +277,7 @@ def image_phash(
                     img, w, h, c = decoded
                     ph = hasher(_luma(img, w, h, c), grid)
                 out.append((int(doc_id), ph, ph is not None))
-            yield pd.DataFrame(
-                out, columns=[f.name for f in PHASH_SCHEMA.fields])
+            yield _fingerprint_frame(out, PHASH_SCHEMA)
 
     return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)
 
@@ -539,8 +553,7 @@ def audio_fingerprint(
                 if decoded is not None:
                     fp = _energy_delta_fingerprint(decoded[0])
                 out.append((int(doc_id), fp, fp is not None))
-            yield pd.DataFrame(
-                out, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+            yield _fingerprint_frame(out, AUDIO_FP_SCHEMA)
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FP_SCHEMA)
 
@@ -761,8 +774,7 @@ def video_phash(
                 if decoded is not None:
                     fp = _video_signature(decoded[0])
                 out.append((int(doc_id), fp, fp is not None))
-            yield pd.DataFrame(
-                out, columns=[f.name for f in VIDEO_FP_SCHEMA.fields])
+            yield _fingerprint_frame(out, VIDEO_FP_SCHEMA)
 
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FP_SCHEMA)
 

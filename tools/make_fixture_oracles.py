@@ -37,6 +37,13 @@ FIXTURE_QUERIES = [
     "multimodal_audio_features",
     "multimodal_video_frames",
     "multimodal_image_features",
+    # near-dup pair outputs are integers (ids + Hamming distances) over
+    # seeded fake tables: comparison margins sit orders above cross-host
+    # float scatter, so they pin safely (cf. FIXTURES.md stability rule)
+    "multimodal_image_near_dups",
+    "multimodal_audio_near_dups",
+    "multimodal_video_near_dups",
+    "multimodal_image_dedup_decisions",
 ]
 
 
