@@ -442,3 +442,50 @@ class TestMixtureSampleProperties:
             sigma = (need[d] * max(0.0, 1 - need[d] / counts[d])) ** 0.5
             assert abs(got - need[d]) <= 4 * sigma + 3, (
                 d, got, need[d], counts, raw_w)
+
+
+# --------------------------------------------------- delta dedup invariants
+
+class TestDedupDeltaProperties:
+    """dedup_delta vs a pandas reference on random corpora with planted
+    clones: decisions are per-new-doc, exact beats near, matches come
+    from the corpus only."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_exact_decisions_and_match_provenance(self, spark, data):
+        from physioview_spark.llm.dedup import dedup_delta
+        vocab = [f"w{i}" for i in range(10)]
+        n_corpus = data.draw(st.integers(3, 8), label="n_corpus")
+        texts = []
+        for d in range(n_corpus):
+            n_tok = data.draw(st.integers(4, 12), label=f"len{d}")
+            texts.append(" ".join(
+                vocab[data.draw(st.integers(0, 9))] for _ in range(n_tok)))
+        corpus_rows = [(d, texts[d]) for d in range(n_corpus)]
+        # new batch: one exact clone of a corpus doc, one novel doc
+        clone_of = data.draw(st.integers(0, n_corpus - 1), label="clone")
+        new_rows = [
+            (100, texts[clone_of]),
+            (101, "zz yy xx qq pp oo nn mm"),
+        ]
+        corpus = spark.createDataFrame(corpus_rows,
+                                       "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup_delta(new, corpus, threshold=0.5).collect()}
+        assert set(out) == {100, 101}
+        # the clone is an exact drop against the SMALLEST matching
+        # corpus id (texts may repeat inside the corpus)
+        expect_match = min(d for d in range(n_corpus)
+                           if texts[d] == texts[clone_of])
+        assert out[100]["decision"] == "drop_exact"
+        assert out[100]["match_id"] == expect_match
+        assert out[100]["jaccard"] == 1.0
+        # the novel doc shares no 3-shingle with the w-vocab corpus
+        assert out[101]["decision"] == "keep"
+        assert out[101]["match_id"] is None
+        # match provenance: never a new-batch id
+        for r in out.values():
+            assert r["match_id"] is None or r["match_id"] < 100
