@@ -1432,3 +1432,32 @@ def test_script_profile_scripts_and_dominance(spark):
     assert out[5]["frac_digit"] == 1.0
     # digits don't claim dominance; latin wins ties at zero
     assert out[5]["dominant_script"] == "latin"
+
+
+class TestCuratedCorpusIO:
+    def test_write_apply_and_manifest(self, spark, tmp_path):
+        from physioview_spark.llm import corpus_io
+        docs = spark.createDataFrame(
+            [(0, "a b c", "en"), (1, "d e", "de"), (2, "f", "en"),
+             (3, "g h i j", "fr")],
+            "doc_id long, text string, lang string")
+        dec = spark.createDataFrame(
+            [(0, "keep"), (1, "drop_low_quality"), (2, "keep")],
+            "doc_id long, decision string")  # doc 3: no decision row
+        out = str(tmp_path / "curated")
+        manifest = corpus_io.write_curated_corpus(docs, dec, out)
+        assert manifest["decisions"] == {"keep": 2,
+                                         "drop_low_quality": 1}
+        assert manifest["n_total"] == 3
+        assert manifest["tokens"] == {"keep": 4, "drop_low_quality": 2}
+        back = spark.read.parquet(f"{out}/corpus")
+        assert sorted(r["doc_id"] for r in back.collect()) == [0, 2]
+        # un-reviewed doc 3 never ships
+        assert back.where("doc_id = 3").count() == 0
+        # partition pruning layout: lang directories exist
+        import os
+        assert os.path.isdir(f"{out}/corpus/lang=en")
+        import json as j
+        raw = [r["value"] for r in
+               spark.read.text(f"{out}/manifest").collect()]
+        assert j.loads(raw[0])["n_total"] == 3
