@@ -611,3 +611,86 @@ def script_profile(
         F.coalesce(frac(dig), F.lit(0.0)).alias("frac_digit"),
         dominant.alias("dominant_script"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    top_vocab: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword /
+    topic-drift signal for corpus curation (and the cheap feature
+    source for clustering and near-dup triage when no embedding model
+    is in the loop).
+
+    ``tf`` is the raw in-document term count; ``idf = ln(N / df)`` with
+    ``N`` = documents containing at least one token and ``df`` = docs
+    containing the term; ``score = round(tf * idf, 6)``. Per-doc
+    ranking by ``(score DESC, word ASC)`` so ties are deterministic.
+
+    Scale shape — no corpus-sized shuffle on the Zipf-skewed word key
+    (same bounding as :func:`trigram_typicality`):
+
+    1. Per-(doc, word) counts shuffle once on the COMPOSITE key, which
+       is not skewed (the hottest word splits across every doc); the
+       scoring input is bounded by docs x distinct-words-per-doc.
+    2. The document-frequency table reduces from those counts
+       (map-side combined) and is then BOUNDED: the ``top_vocab``
+       highest-df words keep exact df (deterministic tie-break on the
+       word, via TakeOrderedAndProject — no single-partition window);
+       every tail word scores through the MEAN tail df. Under a Zipfian
+       vocabulary the head covers ~all occurrences; when distinct words
+       <= top_vocab the semantics are exact (no tail rows exist).
+    3. The scoring join broadcasts the bounded (<= top_vocab rows) head
+       and the 1-row totals frame — the per-(doc, word) frame never
+       re-shuffles.
+    4. The per-doc top-k is a rank-filter window partitioned by doc —
+       Spark rewrites it to WindowGroupLimit, so each mapper forwards
+       at most ``k`` rows per doc into the final shuffle.
+
+    Output: ``(id_col, word, tf, score, rank)``.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    words = df.select(id_col, F.explode(tokens(text_col)).alias("word"))
+    tf = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    # two downstream lineages (df-counts and the scoring join) re-expand
+    # the corpus explode without this persist
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double")
+                                 .alias("__df"))
+    head = dfc.orderBy(F.col("__df").desc(), F.col("word").asc()) \
+        .limit(int(top_vocab))
+    glob = dfc.agg(
+        F.sum("__df").alias("__dfall"),
+        F.count(F.lit(1)).cast("double").alias("__ntypes"),
+    ).crossJoin(head.agg(
+        F.sum("__df").alias("__dfhead"),
+        F.count(F.lit(1)).cast("double").alias("__nhead"),
+    )).crossJoin(
+        tf.select(id_col).distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("__ndocs"))
+    )
+    rare_df = (F.col("__dfall") - F.col("__dfhead")) / F.greatest(
+        F.col("__ntypes") - F.col("__nhead"), F.lit(1.0))
+    df_eff = F.coalesce(F.col("__df"), rare_df)
+    scored = (
+        tf.join(F.broadcast(head), "word", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            id_col, "word", "tf",
+            F.round(F.col("tf") * F.log(F.col("__ndocs") / df_eff), 6)
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "word", "tf", "score", "rank")
+    )

@@ -1957,3 +1957,42 @@ def doc_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(toks < 5, F.lit("drop_short"))
         .otherwise(F.lit("keep")).alias("decision"),
     )
+
+
+@q("doc_tfidf_topk", """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+), dfc AS (
+  SELECT word, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY word
+), head AS (
+  SELECT word, df FROM dfc ORDER BY df DESC, word LIMIT 64
+), stats AS (
+  SELECT (SELECT SUM(df) FROM dfc) AS dfall,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM dfc) AS ntypes,
+         (SELECT SUM(df) FROM head) AS dfhead,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM head) AS nhead,
+         (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM tf) AS ndocs
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         ROUND(tf.tf * ln(s.ndocs / COALESCE(h.df,
+           (s.dfall - s.dfhead)
+             / GREATEST(s.ntypes - s.nhead, 1.0))), 6) AS score
+  FROM tf CROSS JOIN stats s LEFT JOIN head h ON tf.word = h.word
+)
+SELECT doc_id, word, tf, score, rank FROM (
+  SELECT doc_id, word, tf, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, word) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+""")
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords with the document-frequency
+    table bounded to a 64-word exact head + mean-tail residual — at
+    this vocabulary cap the residual path (the 100 TB skew guard) is
+    exercised, not just the exact branch."""
+    docs = read(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, k=3, top_vocab=64)

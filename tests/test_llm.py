@@ -1461,3 +1461,47 @@ class TestCuratedCorpusIO:
         raw = [r["value"] for r in
                spark.read.text(f"{out}/manifest").collect()]
         assert j.loads(raw[0])["n_total"] == 3
+
+
+def test_tfidf_topk_closed_form_and_residual(spark):
+    """Closed-form tf*ln(N/df) on a 3-doc corpus with an unbounded
+    vocabulary; then a capped vocabulary routes tail words through the
+    mean-tail-df residual while head words keep exact idf. The scoring
+    join must broadcast the bounded head (never shuffle on the skewed
+    word key) and the per-doc top-k must WindowGroupLimit."""
+    import math
+
+    from physioview_spark.llm import text as T
+    rows = [
+        (1, "apple apple banana"),
+        (2, "apple cherry"),
+        (3, "banana cherry cherry dates"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = T.tfidf_topk(df, k=10, top_vocab=10**6)
+    got = {(r["doc_id"], r["word"]): r for r in wide.collect()}
+    # N=3; df: apple 2, banana 2, cherry 2, dates 1
+    assert got[(1, "apple")]["tf"] == 2
+    assert got[(1, "apple")]["score"] == round(2 * math.log(3 / 2), 6)
+    assert got[(3, "dates")]["score"] == round(1 * math.log(3 / 1), 6)
+    # deterministic rank: doc 3 scores dates(1.098) > cherry(0.81) >
+    # banana(0.405)
+    d3 = sorted((r for r in got.values() if r["doc_id"] == 3),
+                key=lambda r: r["rank"])
+    assert [r["word"] for r in d3] == ["dates", "cherry", "banana"]
+    # capped vocabulary: head = 3 highest-df words (apple, banana,
+    # cherry by df desc, word asc); 'dates' is tail -> residual df =
+    # mean tail df = 1.0 (only tail word), so its score is unchanged
+    # here; shrink head to 2 so the residual mixes cherry(2) + dates(1)
+    capped = T.tfidf_topk(df, k=10, top_vocab=2)
+    cg = {(r["doc_id"], r["word"]): r for r in capped.collect()}
+    # head words exact
+    assert cg[(1, "apple")]["score"] == got[(1, "apple")]["score"]
+    assert cg[(3, "banana")]["score"] == got[(3, "banana")]["score"]
+    # tail words share df_eff = (2+1)/2 = 1.5
+    want = round(2 * math.log(3 / 1.5), 6)
+    assert cg[(3, "cherry")]["score"] == want
+    assert cg[(3, "dates")]["score"] == round(1 * math.log(3 / 1.5), 6)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
