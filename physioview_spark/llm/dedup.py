@@ -590,6 +590,7 @@ def dedup_delta(
     band_size: int = 2,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Incremental dedup: score a NEW batch against an EXISTING corpus
     without re-pairing the corpus with itself — the production shape
@@ -614,13 +615,39 @@ def dedup_delta(
     LSH buckets before the candidate join (a viral boilerplate bucket
     would otherwise fan every matching new doc into it); the exact
     path is unaffected by the cap.
+
+    ``prefilter`` (default on) broadcast-semi-joins DELTA-derived key
+    sets against every corpus-side table before it shuffles — the
+    runtime-filter pattern, exact instead of Bloom, so results are
+    bit-identical:
+
+    * exact path: corpus md5 rows are probed against the new batch's
+      distinct md5 set before the keeper aggregate, so the corpus
+      text-hash shuffle shrinks from O(corpus) to O(hits);
+    * band table: corpus band rows are probed against the new batch's
+      (band, band_hash) set BEFORE the bucket-size guard — a touched
+      bucket keeps its full membership, so guard counts and candidates
+      are unchanged, but untouched buckets (almost all of them) never
+      shuffle;
+    * shingle verify: the corpus shingle explode runs only over
+      candidate docs (semi-join on the candidate id set) instead of
+      the whole corpus — per-doc shingle counts are identical.
+
+    Every broadcast is bounded by the DELTA batch (the operator's
+    premise); pass ``prefilter=False`` when the "delta" is comparable
+    to the corpus, which restores the plain shuffle plans.
     """
+    from pyspark import StorageLevel
+
     n_ids = new.select(id_col)
     # --- exact: one corpus-side hash aggregate, joined on 16 bytes
-    c_hash = (
-        corpus.select(F.md5(F.col(text_col)).alias("__h"), id_col)
-        .groupBy("__h").agg(F.min(id_col).alias("__exact_id"))
-    )
+    c_rows = corpus.select(F.md5(F.col(text_col)).alias("__h"), id_col)
+    if prefilter:
+        c_rows = c_rows.join(
+            F.broadcast(new.select(F.md5(F.col(text_col)).alias("__h"))
+                        .distinct()),
+            "__h", "semi")
+    c_hash = c_rows.groupBy("__h").agg(F.min(id_col).alias("__exact_id"))
     exact = (
         new.select(id_col, F.md5(F.col(text_col)).alias("__h"))
         .join(c_hash, "__h")
@@ -631,6 +658,10 @@ def dedup_delta(
         .withColumnRenamed(id_col, "__nid")
     bc = _lsh_bands(corpus, text_col, id_col, k, num_hashes, band_size) \
         .withColumnRenamed(id_col, "__cid")
+    if prefilter:
+        bc = bc.join(
+            F.broadcast(bn.select("band", "band_hash").distinct()),
+            ["band", "band_hash"], "semi")
     if max_bucket_size is not None:
         ok_buckets = (
             bc.groupBy("band", "band_hash")
@@ -643,7 +674,16 @@ def dedup_delta(
         bn.join(bc, ["band", "band_hash"])
         .select("__nid", "__cid").distinct()
     )
-    from pyspark import StorageLevel
+    corpus_verify = corpus
+    if prefilter:
+        # cand feeds two consumers below (the corpus-doc prune and the
+        # intersection join); persisting the tiny candidate set stops
+        # the second consumer re-running the corpus minhash explode
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        corpus_verify = corpus.join(
+            F.broadcast(cand.select(F.col("__cid").alias(id_col))
+                        .distinct()),
+            id_col, "semi")
 
     # each shingle frame feeds TWO consumers (its size aggregate and
     # the intersection join); without a spill-safe persist the lineage
@@ -654,7 +694,7 @@ def dedup_delta(
         .withColumnRenamed(id_col, "__nid") \
         .withColumnRenamed("shingle", "__s") \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    shc = shingle_frame(corpus, text_col, id_col, k) \
+    shc = shingle_frame(corpus_verify, text_col, id_col, k) \
         .withColumnRenamed(id_col, "__cid") \
         .withColumnRenamed("shingle", "__s") \
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -1505,3 +1505,26 @@ def test_tfidf_topk_closed_form_and_residual(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+class TestDedupDeltaPrefilter:
+    def test_prefilter_parity_and_plan(self, spark, docs):
+        """prefilter=True (broadcast semi-join runtime filters on every
+        corpus-side table) must be bit-identical to the plain shuffle
+        plan, including under the bucket-size guard — touched buckets
+        keep full membership so guard counts are unchanged."""
+        new = docs.where(F.col("doc_id").isin(3, 1, 4))
+        corpus = docs.where(~F.col("doc_id").isin(3, 1, 4))
+        for cap in (None, 0, 100):
+            plain = sorted(map(tuple, dedup.dedup_delta(
+                new, corpus, threshold=0.5, max_bucket_size=cap,
+                prefilter=False).collect()))
+            fast = sorted(map(tuple, dedup.dedup_delta(
+                new, corpus, threshold=0.5, max_bucket_size=cap,
+                prefilter=True).collect()))
+            assert plain == fast, cap
+        plan = dedup.dedup_delta(new, corpus, threshold=0.5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # delta-derived key sets reach the corpus side as broadcast
+        # LeftSemi probes (exact runtime filters, not shuffles)
+        assert "LeftSemi, BuildRight" in plan
