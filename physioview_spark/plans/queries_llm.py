@@ -1996,3 +1996,33 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised, not just the exact branch."""
     docs = read(spark, sf_dir, "documents")
     return text.tfidf_topk(docs, k=3, top_vocab=64)
+
+
+@q("doc_bpe_encode")
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer end-to-end: distributed word-frequency aggregate →
+    bounded driver-side merge training (llm/bpe.py, the IVF-codebook
+    collect pattern) → distributed Arrow-batched encoding. Seeded
+    sf-independent corpus (same contract as the multimodal fixture
+    queries): morphology-sharing words so merges learn real stems.
+    Output is integers + strings only — pins safely (FIXTURES.md)."""
+    from physioview_spark.llm import bpe
+
+    stems = ["low", "slow", "grow", "show", "snow",
+             "light", "bright", "night", "right", "sight"]
+    sufs = ["", "er", "est", "ing", "ly"]
+    rows = []
+    for d in range(40):
+        ws = [stems[(d + 3 * j) % len(stems)]
+              + sufs[(d + j) % len(sufs)]
+              for j in range(12 + d % 7)]
+        rows.append((d, " ".join(ws)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(docs, num_merges=60)
+    enc = bpe.apply_bpe(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8))
+        .alias("bpe_preview"),
+    ).orderBy("doc_id")

@@ -1528,3 +1528,52 @@ class TestDedupDeltaPrefilter:
         # delta-derived key sets reach the corpus side as broadcast
         # LeftSemi probes (exact runtime filters, not shuffles)
         assert "LeftSemi, BuildRight" in plan
+
+
+class TestBpe:
+    def test_train_matches_hand_computed_merges(self, spark):
+        """Sennrich's classic corpus: low x5, lower x2, newest x6,
+        widest x3. Pair freqs give (e,s)=9 first, then the cascade
+        (es,t), (est,</w>); the (l,o)/(o,w) tie at 7 resolves
+        lexicographically to (l,o)."""
+        from physioview_spark.llm import bpe
+
+        words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 \
+            + ["widest"] * 3
+        df = spark.createDataFrame([(0, " ".join(words))],
+                                   "doc_id long, text string")
+        merges = bpe.train_bpe(df, num_merges=5)
+        assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                          ("l", "o"), ("lo", "w")]
+        # determinism: retrain -> identical
+        assert bpe.train_bpe(df, num_merges=5) == merges
+
+    def test_encode_word_applies_ranks_in_order(self):
+        from physioview_spark.llm import bpe
+
+        ranks = {p: i for i, p in enumerate(
+            [("e", "s"), ("es", "t"), ("est", "</w>"),
+             ("l", "o"), ("lo", "w"), ("low", "est</w>")])}
+        assert bpe.encode_word("lowest", ranks) == ["lowest</w>"]
+        assert bpe.encode_word("low", ranks) == ["low", "</w>"]
+        assert bpe.encode_word("xyz", ranks) == ["x", "y", "z", "</w>"]
+
+    def test_apply_bpe_distributed_matches_local_and_roundtrips(
+            self, spark, docs):
+        from physioview_spark.llm import bpe
+
+        merges = bpe.train_bpe(docs, num_merges=40)
+        ranks = {p: i for i, p in enumerate(merges)}
+        out = bpe.apply_bpe(docs, merges).select(
+            "doc_id", "text", "bpe_tokens").collect()
+        assert len(out) == docs.count()
+        for r in out:
+            toks = r["bpe_tokens"]
+            # distributed encoding == driver-side reference, word by word
+            want = []
+            for w in (r["text"] or "").lower().split():
+                want.extend(bpe.encode_word(w, ranks))
+            assert toks == want
+            # lossless roundtrip: strip </w> markers -> original words
+            rebuilt = "".join(toks).replace("</w>", " ").split()
+            assert rebuilt == (r["text"] or "").lower().split()

@@ -44,6 +44,9 @@ FIXTURE_QUERIES = [
     "multimodal_audio_near_dups",
     "multimodal_video_near_dups",
     "multimodal_image_dedup_decisions",
+    # BPE train+encode over a seeded sf-independent corpus: integers +
+    # subword strings only, no floats — pins safely
+    "doc_bpe_encode",
 ]
 
 
