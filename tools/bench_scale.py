@@ -126,13 +126,34 @@ def run_knn_graph(spark, sf_dir: str, mult: int):
         emb, k=3, n_planes=planes, dim=64, n_bands=4, method="matmul")
 
 
+def run_delta_fixed(prefilter: bool):
+    """dedup_delta in its production regime: a FIXED 100-doc delta
+    against the GROWING corpus (doc_dedup_delta's %5 split grows the
+    delta with the corpus, which measures the verify leg, not the
+    increment premise). Contrast prefilter gears: False pays three
+    corpus-wide exchanges, True absorbs the delta probes map-side."""
+    def run(spark, sf_dir: str, mult: int):
+        from physioview_spark.llm import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        new = docs.where(F.col("doc_id") % (5 * mult) == 0)
+        corpus = docs.where(F.col("doc_id") % (5 * mult) != 0)
+        return dedup.dedup_delta(new, corpus, threshold=0.5,
+                                 prefilter=prefilter)
+    return run
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--runs", type=int, default=1)
     args = ap.parse_args()
 
-    spark = get_spark()
+    # the x10 corpus emulates ten executors' data on ONE local JVM —
+    # give that JVM the heap those executors would collectively have
+    # (the engine itself keeps stock memory settings; PySpark's default
+    # 1g driver heap is what bench.py and the driver gate run on)
+    spark = get_spark(extra_conf={"spark.driver.memory": "16g"})
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -154,15 +175,27 @@ def main() -> None:
                 _timed(lambda: qs[name](spark, d).count())
                 for _ in range(args.runs))
             results.setdefault(name, {})[f"x{mult}"] = best
+            # operators persist internal frames (shingles, beat frames)
+            # and a measurement session runs dozens of invocations —
+            # without dropping the accumulated storage blocks between
+            # targets, execution memory starves and the heaviest
+            # targets OOM the heap (observed at x10 with the four
+            # dedup_delta gear runs). Within one target the warm run's
+            # cache still serves the timed run (CacheManager matches
+            # by plan, not by DataFrame object).
+            spark.catalog.clearCache()
         for label, fn in (
             ("semantic_dedup_ksqrtN", run_semantic_dedup),
             ("knn_graph_plogN", run_knn_graph),
+            ("delta_fixed_prefilter", run_delta_fixed(True)),
+            ("delta_fixed_shuffle", run_delta_fixed(False)),
         ):
             fn(spark, d, mult).count()
             best = min(
                 _timed(lambda: fn(spark, d, mult).count())
                 for _ in range(args.runs))
             results.setdefault(label, {})[f"x{mult}"] = best
+            spark.catalog.clearCache()
     for name, r in results.items():
         r["ratio"] = round(r[f"x{args.mult}"] / r["x1"], 2)
         r["per_row_ratio"] = round(r["ratio"] / args.mult, 2)
