@@ -1,0 +1,97 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+parquet scan pruning.
+
+Partition pruning handles ONE leading dimension; real curation and
+signal workloads filter on several (subject AND time window; domain AND
+quality band). Sorting by column A localizes A in file-level min/max
+stats but smears B across every file, so predicate pushdown on B prunes
+nothing. Interleaving the bits of both columns into one Morton value
+and range-partitioning + sorting on it localizes EVERY interleaved
+dimension at once — each output file covers a small hyper-rectangle, so
+the engine's ordinary parquet min/max pruning skips most files for a
+filter on any clustered column (the Delta/Iceberg OPTIMIZE ZORDER
+pattern, done with stock Spark writes).
+
+Scale shape: one 1-row min/max aggregate (broadcast), one projection
+computing the Morton value (pure bit arithmetic in whole-stage
+codegen), one range exchange. The range boundaries come from Spark's
+built-in sampling; no driver collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+) -> tuple[DataFrame, Column]:
+    """Attach normalized ``bits``-wide integer ranks for each column and
+    return (df_with_helpers, morton) where ``morton`` interleaves the
+    columns' bits (column 0 owns the least-significant position of each
+    group, matching its name leading the pruning story).
+
+    Normalization is min/max linear scaling from a single 1-row
+    aggregate cross-joined back (broadcast nested loop of one row — no
+    shuffle of the data itself). Linear scaling keeps the math
+    SQL-reproducible; heavily skewed columns trade some balance for it
+    (range partitioning on the final value still balances output files
+    via sampling). Nulls rank 0, sorting together at the origin.
+    """
+    if not (1 <= len(cols) <= 4):
+        raise ValueError("zorder_value interleaves 1-4 columns")
+    mins = [F.min(F.col(c).cast("double")).alias(f"__mn_{c}")
+            for c in cols]
+    maxs = [F.max(F.col(c).cast("double")).alias(f"__mx_{c}")
+            for c in cols]
+    stats = df.agg(*mins, *maxs)
+    out = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.nullif(mx - mn, F.lit(0.0))
+        frac = (F.col(c).cast("double") - mn) / span
+        rank = F.coalesce(
+            F.least(F.floor(frac * (top + 1)).cast("long"), F.lit(top)),
+            F.lit(0))
+        ranks.append(rank)
+    morton = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, rank in enumerate(ranks):
+            bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
+            morton = morton.bitwiseOR(
+                F.shiftleft(bit, i * n + j))
+    return out, morton
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``:
+    range-partition on the Morton value (sampled boundaries → balanced
+    files), sort within each partition so row-group stats are tight,
+    drop the helper columns, write.
+
+    Readers need nothing special: `spark.read.parquet(path).where(...)`
+    on any clustered column prunes files through ordinary min/max
+    stats. Cite: reference has no layout optimizer (single-node CSV
+    pipelines); this is engine-side scale machinery per SURVEY §7.4.
+    """
+    out, morton = zorder_value(df, cols, bits)
+    out = out.withColumn("__z", morton)
+    helper_cols = [c for c in out.columns
+                   if c.startswith("__mn_") or c.startswith("__mx_")]
+    (
+        out.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *helper_cols)
+        .write.mode("overwrite").parquet(path)
+    )

@@ -578,3 +578,71 @@ class TestJsonlSource:
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, df.collect()))
         assert bad.count() == 0
+
+
+class TestZorderLayout:
+    def test_files_localize_every_clustered_dim(self, spark, tmp_path):
+        """Z-ordered files each cover a small rectangle of (x, y), so
+        min/max pruning works for filters on EITHER column — unlike a
+        plain sort on x, which smears y across every file."""
+        import pyarrow.parquet as pq
+
+        from physioview_spark.sources.layout import write_zordered
+
+        n, files = 4096, 16
+        df = spark.range(n).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        zdir = tmp_path / "zorder"
+        write_zordered(df, str(zdir), ["x", "y"], n_files=files)
+
+        def spans(d):
+            out = []
+            for p in sorted(d.glob("part-*.parquet")):
+                md = pq.ParquetFile(str(p)).metadata
+                lo = {"x": None, "y": None}
+                hi = {"x": None, "y": None}
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        col = row.column(ci)
+                        name = col.path_in_schema
+                        if name in lo:
+                            st = col.statistics
+                            lo[name] = st.min if lo[name] is None \
+                                else min(lo[name], st.min)
+                            hi[name] = st.max if hi[name] is None \
+                                else max(hi[name], st.max)
+                out.append((lo, hi))
+            return out
+
+        sp = spans(zdir)
+        assert len(sp) == files
+        # every file covers a bounded rectangle: on average well under
+        # half of each 64-wide dimension (a plain x-sort gives y spans
+        # of ~the full range in every file)
+        for dim in ("x", "y"):
+            avg = sum(hi[dim] - lo[dim] for lo, hi in sp) / len(sp)
+            assert avg < 32, (dim, avg)
+        # pruning simulation: a quadrant filter on y alone skips most
+        # files (file skipped iff its [min,max] misses the predicate)
+        hit_y = sum(1 for lo, hi in sp if not (hi["y"] < 0 or lo["y"] > 15))
+        assert hit_y <= files / 2
+        # data survives intact
+        back = spark.read.parquet(str(zdir))
+        assert back.count() == n
+        assert back.agg(F.sum("payload")).first()[0] == n * (n - 1) // 2
+
+    def test_single_column_and_null_handling(self, spark, tmp_path):
+        from physioview_spark.sources.layout import write_zordered
+
+        df = spark.range(100).select(
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id")).alias("x"))
+        out = tmp_path / "z1"
+        write_zordered(df, str(out), ["x"], n_files=4)
+        back = spark.read.parquet(str(out))
+        assert back.count() == 100
+        assert back.where(F.col("x").isNull()).count() == 10
