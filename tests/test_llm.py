@@ -1577,3 +1577,53 @@ class TestBpe:
             # lossless roundtrip: strip </w> markers -> original words
             rebuilt = "".join(toks).replace("</w>", " ").split()
             assert rebuilt == (r["text"] or "").lower().split()
+
+
+def test_preprocessing_chain_curate_tokenize_pack(spark, docs):
+    """End-to-end pretraining preprocessing over one relational flow:
+    curation decisions -> apply (keep-only) -> BPE encode -> pack into
+    a (shard, ctx window) grid. Conservation invariants at each seam:
+    kept docs survive intact, BPE roundtrips the text, and packing's
+    running offsets account for every BPE token exactly once."""
+    from physioview_spark.llm import bpe, sampling
+    from physioview_spark.llm.corpus_io import apply_decisions
+    from pyspark.sql import Window as W
+
+    # gate: exact-dup keeper + a minimum length
+    keeper = F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    toks = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    decisions = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") != keeper, F.lit("drop_duplicate"))
+        .when(toks < 3, F.lit("drop_short"))
+        .otherwise(F.lit("keep")).alias("decision"),
+    )
+    kept = apply_decisions(docs, decisions)
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()  # both gates fired
+
+    merges = bpe.train_bpe(kept, num_merges=30)
+    enc = bpe.apply_bpe(kept, merges).withColumn(
+        "bpe_text", F.concat_ws(" ", "bpe_tokens"))
+    # pack on the BPE token stream (whitespace tokens of bpe_text ==
+    # the BPE tokens, so pack's token accounting is the real one)
+    packed = sampling.pack_sequences(
+        enc, text_col="bpe_text", ctx_len=16, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == n_kept
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    total = 0
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["start_offset"])
+        off = 0
+        for r in rs:
+            assert r["start_offset"] == off  # head-to-tail, no gaps
+            assert r["seq_id"] == off // 16
+            off += r["n_tokens"]
+        total += off
+    # every BPE token accounted exactly once
+    want = enc.select(F.sum(F.size("bpe_tokens"))).first()[0]
+    assert total == want
