@@ -147,6 +147,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--targets", nargs="*", default=None,
+                    help="subset of query/label names to measure "
+                         "(default: all)")
     args = ap.parse_args()
 
     # the x10 corpus emulates ten executors' data on ONE local JVM —
@@ -170,6 +173,8 @@ def main() -> None:
         build_corpus(spark, mult, d)
         print(f"built x{mult} in {time.time() - t0:.1f}s", file=sys.stderr)
         for name in names:
+            if args.targets and name not in args.targets:
+                continue
             qs[name](spark, d).count()  # warm: JIT/codegen/page cache
             best = min(
                 _timed(lambda: qs[name](spark, d).count())
@@ -190,6 +195,8 @@ def main() -> None:
             ("delta_fixed_prefilter", run_delta_fixed(True)),
             ("delta_fixed_shuffle", run_delta_fixed(False)),
         ):
+            if args.targets and label not in args.targets:
+                continue
             fn(spark, d, mult).count()
             best = min(
                 _timed(lambda: fn(spark, d, mult).count())
