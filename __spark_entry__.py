@@ -25,26 +25,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The rotation is DERIVED from the CORRECTNESS_r*.json files committed in
 # the tree (last round each query passed its driver check), so it cannot
 # go stale when a round forgets to re-edit a hand-written list. The only
-# hand-maintained part is _CHANGED_THIS_ROUND: queries whose code was
-# touched AFTER their last green row — their prior green no longer attests
-# the current bytes, so they jump the queue. Append to it as you edit.
-_CHANGED_THIS_ROUND = [
+# hand-maintained part is _CHANGED_IN_ROUND: query -> round whose session
+# touched its code — a prior green no longer attests the current bytes,
+# so the query jumps the queue until the driver records a pass at or
+# after that round (then the entry is inert; pruning it is optional).
+# Add `name: round` as you edit green queries.
+_CHANGED_IN_ROUND = {
     # r06 restructured these after their r05 green (real codec row mixes;
     # multi-probe LSH plumbing) — the driver has never hashed these bytes
-    "multimodal_audio_features", "multimodal_video_frames",
-    "embedding_ann_lsh",
+    "multimodal_audio_features": 6, "multimodal_video_frames": 6,
+    "embedding_ann_lsh": 6,
     # r07 edits
-    "doc_strip_boilerplate",        # xxhash64 anti-join, de-broadcast
-    "doc_trigram_typicality",       # bounded top-K + residual counts
-    "embedding_semantic_dedup",     # cap no longer drops oversized buckets
-    "streaming_near_dup_pairs",     # bucketed batch_id-keyed state
-    "doc_token_budget_sample",      # two-level exact prefix scan
-    "embedding_near_dup_pairs",     # cosine gear param threaded through
-    "multimodal_image_features",    # multimodal module reworked (gears)
-    "kernel_eda_scr",               # tightened cvxEDA ADMM tolerance +
+    "doc_strip_boilerplate": 7,     # xxhash64 anti-join, de-broadcast
+    "doc_trigram_typicality": 7,    # bounded top-K + residual counts
+    "embedding_semantic_dedup": 7,  # cap no longer drops oversized buckets
+    "streaming_near_dup_pairs": 7,  # bucketed batch_id-keyed state
+    "doc_token_budget_sample": 7,   # two-level exact prefix scan
+    "embedding_near_dup_pairs": 7,  # cosine gear param threaded through
+    "multimodal_image_features": 7, # multimodal module reworked (gears)
+    "kernel_eda_scr": 7,            # tightened cvxEDA ADMM tolerance +
                                     # 2-decimal mean_tonic; fixture
                                     # regenerated (cross-host drift fix)
-]
+    "doc_dedup_delta": 7,           # runtime prefilter default
+}
 
 
 def _last_verified() -> dict[str, int]:
@@ -83,9 +86,17 @@ def _last_verified() -> dict[str, int]:
 def _serve_order(names: list[str]) -> list[str]:
     """Changed-since-green queries first, then never-verified, then by
     ascending last-verified round; name-sorted within a tier so the
-    order is deterministic across sessions."""
-    changed = [n for n in _CHANGED_THIS_ROUND if n in names]
+    order is deterministic across sessions.
+
+    The changed map self-cleans: an entry jumps the queue only while
+    its last green row predates the round that edited it
+    (``_CHANGED_IN_ROUND``); once the driver records a pass AT or
+    AFTER the edit round, the post-change bytes are attested and the
+    query rejoins the normal least-recently-verified rotation. Stale
+    entries therefore never pin the window across rounds."""
     last = _last_verified()
+    changed = [n for n, edited in _CHANGED_IN_ROUND.items()
+               if n in names and last.get(n, 0) < edited]
     rest = sorted((n for n in names if n not in changed),
                   key=lambda n: (last.get(n, 0), n))
     return changed + rest
