@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # touched its code — a prior green no longer attests the current bytes,
 # so the query jumps the queue until the driver records a pass at or
 # after that round (then the entry is inert; pruning it is optional).
-# Add `name: round` as you edit green queries.
+# Add `name: round` as you edit green queries — and if the CURRENT
+# round's CORRECTNESS file already exists when you edit (the gate ran
+# before your change), record round+1 so the pre-edit green cannot
+# satisfy the entry.
 _CHANGED_IN_ROUND = {
     # r06 restructured these after their r05 green (real codec row mixes;
     # multi-probe LSH plumbing) — the driver has never hashed these bytes

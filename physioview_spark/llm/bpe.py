@@ -20,12 +20,26 @@ precursor (text.vocabulary_topk) into an actual tokenizer.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from physioview_spark.llm.text import tokens
 
 END = "</w>"
+
+# Python-side twin of text.tokens(): Java's \s (no UNICODE_CHARACTER
+# CLASS) matches ASCII whitespace ONLY, while Python's str.split()/\s
+# are Unicode-aware — a U+00A0 non-breaking space (ubiquitous in
+# HTML-derived crawl text) would make the encoder split words the
+# frequency aggregate counted as one type. Training and encoding must
+# segment identically, so the encoder splits on exactly Java's class.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _split_like_tokens(text: str) -> list[str]:
+    return [w for w in _ASCII_WS.split(text) if w]
 
 
 def word_frequencies(
@@ -130,7 +144,6 @@ def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
-    id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
     lowercase: bool = True,
 ) -> DataFrame:
@@ -155,7 +168,7 @@ def apply_bpe(
             if lowercase:
                 t = t.lower()
             res = []
-            for w in t.split():
+            for w in _split_like_tokens(t):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)

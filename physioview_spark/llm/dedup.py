@@ -659,6 +659,10 @@ def dedup_delta(
     bc = _lsh_bands(corpus, text_col, id_col, k, num_hashes, band_size) \
         .withColumnRenamed(id_col, "__cid")
     if prefilter:
+        # bn feeds two consumers here (the broadcast probe and the
+        # candidate join) — persist so the delta's minhash explode
+        # runs once, not per lineage
+        bn = bn.persist(StorageLevel.MEMORY_AND_DISK)
         bc = bc.join(
             F.broadcast(bn.select("band", "band_hash").distinct()),
             ["band", "band_hash"], "semi")

@@ -38,10 +38,19 @@ def zorder_value(
     shuffle of the data itself). Linear scaling keeps the math
     SQL-reproducible; heavily skewed columns trade some balance for it
     (range partitioning on the final value still balances output files
-    via sampling). Nulls rank 0, sorting together at the origin.
+    via sampling). Nulls (and constant columns, whose span is null)
+    rank 0, sorting together at the origin.
+
+    ``bits`` is clamped so the interleaved value fits the POSITIVE
+    range of a 64-bit long: ``bits * len(cols) <= 63``. Without the
+    clamp a 4-column default-bits call would shift into the sign bit
+    and negative Morton values would sort the far corner of the
+    hyper-rectangle BEFORE the origin, silently breaking the
+    contiguous-range property pruning depends on.
     """
     if not (1 <= len(cols) <= 4):
         raise ValueError("zorder_value interleaves 1-4 columns")
+    bits = min(int(bits), 63 // len(cols))
     mins = [F.min(F.col(c).cast("double")).alias(f"__mn_{c}")
             for c in cols]
     maxs = [F.max(F.col(c).cast("double")).alias(f"__mx_{c}")
@@ -54,9 +63,12 @@ def zorder_value(
         mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
         span = F.nullif(mx - mn, F.lit(0.0))
         frac = (F.col(c).cast("double") - mn) / span
-        rank = F.coalesce(
-            F.least(F.floor(frac * (top + 1)).cast("long"), F.lit(top)),
-            F.lit(0))
+        scaled = F.least(F.floor(frac * (top + 1)).cast("long"),
+                         F.lit(top))
+        # explicit null test, NOT coalesce-around-least: least() skips
+        # null operands, so a null value (or null span) would otherwise
+        # rank at `top` — the max corner — instead of the origin
+        rank = F.when(scaled.isNull(), F.lit(0)).otherwise(scaled)
         ranks.append(rank)
     morton = F.lit(0).cast("long")
     n = len(cols)
@@ -85,6 +97,13 @@ def write_zordered(
     stats. Cite: reference has no layout optimizer (single-node CSV
     pipelines); this is engine-side scale machinery per SURVEY §7.4.
     """
+    clash = [c for c in df.columns
+             if c == "__z" or c.startswith(("__mn_", "__mx_"))]
+    if clash:
+        raise ValueError(
+            f"write_zordered reserves __z/__mn_*/__mx_* helper names; "
+            f"rename input columns {clash} (they would be silently "
+            f"dropped from the written output)")
     out, morton = zorder_value(df, cols, bits)
     out = out.withColumn("__z", morton)
     helper_cols = [c for c in out.columns

@@ -1548,6 +1548,26 @@ class TestBpe:
         # determinism: retrain -> identical
         assert bpe.train_bpe(df, num_merges=5) == merges
 
+    def test_tokenization_parity_on_unicode_whitespace(self, spark):
+        """Training (JVM \\s+, ASCII-only without UNICODE_CHARACTER
+        CLASS) and encoding (Python) must segment identically: a
+        U+00A0 non-breaking space is NOT a separator on either side,
+        so 'foo\\u00A0bar' is one word type in both paths."""
+        from physioview_spark.llm import bpe
+
+        nb = "foo\u00a0bar"  # explicit escape: invisible in source
+        txt = f"{nb} {nb} baz baz baz"
+        df = spark.createDataFrame([(0, txt)], "doc_id long, text string")
+        freqs = dict(bpe.word_frequencies(df))
+        assert freqs == {nb: 2, "baz": 3}
+        merges = bpe.train_bpe(df, num_merges=50, min_pair_freq=1)
+        ranks = {p: i for i, p in enumerate(merges)}
+        toks = bpe.apply_bpe(df, merges).first()["bpe_tokens"]
+        want = []
+        for w in [nb, nb, "baz", "baz", "baz"]:
+            want.extend(bpe.encode_word(w, ranks))
+        assert toks == want
+
     def test_encode_word_applies_ranks_in_order(self):
         from physioview_spark.llm import bpe
 

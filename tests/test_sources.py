@@ -646,3 +646,21 @@ class TestZorderLayout:
         back = spark.read.parquet(str(out))
         assert back.count() == 100
         assert back.where(F.col("x").isNull()).count() == 10
+
+
+def test_zorder_four_columns_stay_positive(spark):
+    """bits*n_cols must clamp to the positive range of a signed long —
+    without the clamp the 4-column default-bits interleave shifts into
+    the sign bit and the far corner sorts before the origin."""
+    from physioview_spark.sources.layout import zorder_value
+
+    df = spark.range(256).select(
+        (F.col("id") % 4).alias("a"), (F.col("id") / 4 % 4).cast("long").alias("b"),
+        (F.col("id") / 16 % 4).cast("long").alias("c"),
+        (F.col("id") / 64).cast("long").alias("d"))
+    out, morton = zorder_value(df, ["a", "b", "c", "d"])  # default bits
+    vals = [r["z"] for r in out.select(morton.alias("z")).collect()]
+    assert min(vals) >= 0
+    # max corner is the largest value (15 bits per dim, 4 dims)
+    mx = out.select(F.max(morton).alias("m")).first()["m"]
+    assert mx == max(vals)

@@ -152,6 +152,25 @@ def main() -> None:
                          "(default: all)")
     args = ap.parse_args()
 
+    names = ["sqa_missing_segments", "doc_trigram_typicality",
+             "doc_strip_boilerplate", "doc_curation_pipeline",
+             "doc_passage_dedup", "doc_mixture_sample",
+             "doc_dedup_delta"]
+    labeled = (
+        ("semantic_dedup_ksqrtN", run_semantic_dedup),
+        ("knn_graph_plogN", run_knn_graph),
+        ("delta_fixed_prefilter", run_delta_fixed(True)),
+        ("delta_fixed_shuffle", run_delta_fixed(False)),
+    )
+    if args.targets is not None:
+        bad = set(args.targets) - set(names) - {l for l, _ in labeled}
+        if bad or not args.targets:
+            # a typo'd (or empty) --targets must fail BEFORE minutes of
+            # corpus building, not silently measure nothing/everything
+            raise SystemExit(
+                f"unknown --targets {sorted(bad)}; choose from "
+                f"{sorted(set(names) | {l for l, _ in labeled})}")
+
     # the x10 corpus emulates ten executors' data on ONE local JVM —
     # give that JVM the heap those executors would collectively have
     # (the engine itself keeps stock memory settings; PySpark's default
@@ -160,10 +179,6 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    names = ["sqa_missing_segments", "doc_trigram_typicality",
-             "doc_strip_boilerplate", "doc_curation_pipeline",
-             "doc_passage_dedup", "doc_mixture_sample",
-             "doc_dedup_delta"]
 
     results: dict[str, dict[str, float]] = {}
     for mult in (1, args.mult):
@@ -189,12 +204,7 @@ def main() -> None:
             # cache still serves the timed run (CacheManager matches
             # by plan, not by DataFrame object).
             spark.catalog.clearCache()
-        for label, fn in (
-            ("semantic_dedup_ksqrtN", run_semantic_dedup),
-            ("knn_graph_plogN", run_knn_graph),
-            ("delta_fixed_prefilter", run_delta_fixed(True)),
-            ("delta_fixed_shuffle", run_delta_fixed(False)),
-        ):
+        for label, fn in labeled:
             if args.targets and label not in args.targets:
                 continue
             fn(spark, d, mult).count()
