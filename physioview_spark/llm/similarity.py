@@ -767,3 +767,112 @@ def label_centroids(
             lambda s: F.round(s["__mx"], decimals),
         ).alias("centroid"),
     )
+
+
+def semantic_dedup_delta(
+    new: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Incremental SemDeDup: score a NEW embedding batch against an
+    EXISTING corpus without re-pairing the corpus with itself — the
+    embedding twin of :func:`physioview_spark.llm.dedup.dedup_delta`
+    (daily increments into a deduplicated reference corpus, same
+    centroids across increments so bucket geometry is stable).
+
+    One decision row per new vector: ``(id_col, decision, match_id,
+    sim)`` with ``decision`` in ``drop_corpus_dup`` (a corpus vector in
+    the same bucket has rounded cosine >= threshold; match = best sim,
+    ties on lowest id), ``drop_batch_dup`` (a LOWER-id new vector in
+    the bucket matches — keep-first within the batch), or ``keep``.
+    Corpus matches take precedence in the reported match. When corpus
+    ids precede batch ids, the kept set equals
+    :func:`semantic_dedup` over the union restricted to the batch
+    (asserted by the parity test) — the corpus side contributes no new
+    drops by construction, because it was deduplicated when ingested.
+
+    Scale shape — one-sided like dedup_delta: the corpus pays one scan
+    (bucket argmin is a JVM projection, no shuffle), and with
+    ``prefilter`` its vectors are broadcast-semi-joined against the
+    batch's bucket set BEFORE moving — only touched buckets' members
+    reach the pair join, so a tiny delta against a 100 TB corpus
+    shuffles O(touched buckets), not O(corpus). ``max_bucket_size``
+    suppresses pair SEARCH in oversized corpus buckets (work bound,
+    never a data drop — unmatched new vectors stay ``keep``). Scoring
+    is the deterministic JVM cosine gear; per-batch-vector best-match
+    windows partition on the delta id, so window input is delta-sized.
+    """
+    from pyspark import StorageLevel
+
+    vn = (
+        new.select(id_col, vec_col)
+        .withColumn("bucket", assign_ivf_bucket(F.col(vec_col), centroids))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 4 lineages below
+    )
+    vc = corpus.select(id_col, vec_col).withColumn(
+        "bucket", assign_ivf_bucket(F.col(vec_col), centroids))
+    if prefilter:
+        vc = vc.join(F.broadcast(vn.select("bucket").distinct()),
+                     "bucket", "semi")
+    if max_bucket_size is not None:
+        # full membership of touched buckets survives the semi-join, so
+        # these counts equal the unfiltered corpus bucket sizes
+        w = Window.partitionBy("bucket")
+        vc = (
+            vc.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    bn = vn.select(F.col(id_col).alias("__nid"),
+                   F.col(vec_col).alias("__nv"), "bucket")
+    bc = vc.select(F.col(id_col).alias("__cid"),
+                   F.col(vec_col).alias("__cv"), "bucket")
+    wn = Window.partitionBy("__nid").orderBy(
+        F.desc("__sim"), F.asc("__mid"))
+    corp_best = (
+        bn.join(bc, "bucket")
+        .withColumn("__sim", F.round(cosine(F.col("__nv"),
+                                            F.col("__cv")), 6))
+        .where(F.col("__sim") >= threshold)
+        .select("__nid", F.col("__cid").alias("__mid"), "__sim")
+        .withColumn("__rn", F.row_number().over(wn))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    lo = vn.select(F.col(id_col).alias("__lo"),
+                   F.col(vec_col).alias("__lv"), "bucket")
+    hi = vn.select(F.col(id_col).alias("__nid"),
+                   F.col(vec_col).alias("__hv"), "bucket")
+    batch_best = (
+        lo.join(hi, "bucket")
+        .where(F.col("__lo") < F.col("__nid"))
+        .withColumn("__sim", F.round(cosine(F.col("__lv"),
+                                            F.col("__hv")), 6))
+        .where(F.col("__sim") >= threshold)
+        .select("__nid", F.col("__lo").alias("__mid"), "__sim")
+        .withColumn("__rn", F.row_number().over(wn))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    c = corp_best.select("__nid", F.col("__mid").alias("__c_mid"),
+                         F.col("__sim").alias("__c_sim"))
+    b = batch_best.select("__nid", F.col("__mid").alias("__b_mid"),
+                          F.col("__sim").alias("__b_sim"))
+    return (
+        vn.select(F.col(id_col).alias("__nid"))
+        .join(c, "__nid", "left")
+        .join(b, "__nid", "left")
+        .select(
+            F.col("__nid").alias(id_col),
+            F.when(F.col("__c_mid").isNotNull(), "drop_corpus_dup")
+            .when(F.col("__b_mid").isNotNull(), "drop_batch_dup")
+            .otherwise("keep").alias("decision"),
+            F.coalesce("__c_mid", "__b_mid").alias("match_id"),
+            F.coalesce("__c_sim", "__b_sim").alias("sim"),
+        )
+    )

@@ -1647,3 +1647,87 @@ def test_preprocessing_chain_curate_tokenize_pack(spark, docs):
     # every BPE token accounted exactly once
     want = enc.select(F.sum(F.size("bpe_tokens"))).first()[0]
     assert total == want
+
+
+class TestSemanticDedupDelta:
+    def _frames(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(30, 16)
+        rows = []
+        # corpus: ids 0..29, spread vectors
+        for i in range(30):
+            rows.append((i, [float(x) for x in base[i]]))
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        # new batch: ids 100+: 3 near-copies of corpus vecs, one
+        # internal near-pair, two novel
+        def jitter(v, eps=0.01):
+            w = np.array(v) + eps * rng.randn(16)
+            return [float(x) for x in w]
+        nrows = [
+            (100, jitter(base[0])), (101, jitter(base[5])),
+            (102, jitter(base[9])),
+            (103, [float(x) for x in rng.randn(16)]),
+            (104, None), (105, [float(x) for x in rng.randn(16)]),
+        ]
+        nrows[4] = (104, jitter(np.array(nrows[3][1])))  # 104 dups 103
+        new = spark.createDataFrame(
+            nrows, "vec_id long, embedding array<float>")
+        cents = [[float(x) for x in base[i]] for i in range(0, 30, 8)]
+        return new, corpus, cents
+
+    def test_parity_with_batch_union_and_decisions(self, spark):
+        from physioview_spark.llm import similarity
+
+        new, corpus, cents = self._frames(spark)
+        out = {r["vec_id"]: r for r in similarity.semantic_dedup_delta(
+            new, corpus, cents, threshold=0.95).collect()}
+        assert len(out) == 6
+        # kept set == batch semantic_dedup over the union, restricted
+        # to the batch (corpus ids precede batch ids)
+        union = corpus.unionByName(new)
+        batch_keep = {r["vec_id"] for r in similarity.semantic_dedup(
+            union, cents, threshold=0.95).collect()} & set(out)
+        delta_keep = {i for i, r in out.items() if r["decision"] == "keep"}
+        assert delta_keep == batch_keep
+        # corpus near-copies identified with their corpus match
+        for nid, cid in ((100, 0), (101, 5), (102, 9)):
+            # only assert when bucket geometry put them together (the
+            # quantizer contract); with centroids AT the corpus vecs it
+            # must hold
+            assert out[nid]["decision"] == "drop_corpus_dup", nid
+            assert out[nid]["match_id"] == cid
+            assert out[nid]["sim"] >= 0.95
+        # batch-internal pair: keep-first
+        assert out[103]["decision"] == "keep" or \
+            out[103]["decision"] == "drop_corpus_dup"
+        if out[103]["decision"] == "keep":
+            assert out[104]["decision"] == "drop_batch_dup"
+            assert out[104]["match_id"] == 103
+
+    def test_prefilter_parity_and_guard(self, spark):
+        from physioview_spark.llm import similarity
+
+        new, corpus, cents = self._frames(spark)
+        for cap in (None, 0, 50):
+            a = sorted(map(tuple, similarity.semantic_dedup_delta(
+                new, corpus, cents, threshold=0.95, max_bucket_size=cap,
+                prefilter=True).collect()))
+            b = sorted(map(tuple, similarity.semantic_dedup_delta(
+                new, corpus, cents, threshold=0.95, max_bucket_size=cap,
+                prefilter=False).collect()))
+            assert a == b, cap
+        # cap=0 kills corpus pair search entirely -> no corpus dups,
+        # batch-internal decisions unaffected, nothing lost
+        capped = {r["vec_id"]: r for r in similarity.semantic_dedup_delta(
+            new, corpus, cents, threshold=0.95,
+            max_bucket_size=0).collect()}
+        assert len(capped) == 6
+        assert all(r["decision"] != "drop_corpus_dup"
+                   for r in capped.values())
+        plan = similarity.semantic_dedup_delta(
+            new, corpus, cents, threshold=0.95)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "LeftSemi, BuildRight" in plan
