@@ -489,3 +489,74 @@ class TestDedupDeltaProperties:
         # match provenance: never a new-batch id
         for r in out.values():
             assert r["match_id"] is None or r["match_id"] < 100
+
+
+class TestBpeProperties:
+    """Pure-Python invariants of the BPE core (no Spark in the loop):
+    the merge loop and encoder are deterministic, lossless, and
+    rank-consistent for ANY frequency table, not just the fixtures."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        min_size=1, max_size=30))
+    def test_encode_roundtrip_and_end_marker(self, words):
+        from physioview_spark.llm.bpe import END, encode_word, train_bpe
+
+        # build ranks from a local merge loop equivalent: rank by
+        # first-seen adjacent pairs of the words themselves (any rank
+        # table is legal input to encode_word)
+        ranks = {}
+        for w in words:
+            syms = list(w) + [END]
+            for p in zip(syms, syms[1:]):
+                ranks.setdefault(p, len(ranks))
+        for w in words:
+            toks = encode_word(w, ranks)
+            # lossless: concatenation restores word + end marker
+            assert "".join(toks) == w + END
+            # deterministic
+            assert encode_word(w, ranks) == toks
+            # exactly one END marker, at the tail
+            assert toks[-1].endswith(END)
+            assert sum(t.count(END) for t in toks) == 1
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(1, 50), min_size=1, max_size=12))
+    def test_training_consistent_with_encoding(self, freqs):
+        """Encoding every training word with the learned ranks yields
+        symbols whose pair set contains NO mergeable pair — the loop
+        ran to convergence (num_merges large, min_pair_freq=1)."""
+        from physioview_spark.llm import bpe
+
+        vocab = {tuple(w) + (bpe.END,): f for w, f in freqs.items()}
+        merges = []
+        v = dict(vocab)
+        for _ in range(200):
+            pairs = {}
+            for syms, f in v.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + f
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            a, b = best[0]
+            merges.append((a, b))
+            merged = a + b
+            nxt = {}
+            for syms, f in v.items():
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(merged); i += 2
+                    else:
+                        res.append(syms[i]); i += 1
+                nxt[tuple(res)] = nxt.get(tuple(res), 0) + f
+            v = nxt
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in freqs:
+            toks = bpe.encode_word(w, ranks)
+            for p in zip(toks[:-1], toks[1:]):
+                assert p not in ranks, (w, toks, p)
