@@ -1,0 +1,123 @@
+"""Streaming semantic (embedding) dedup: the SemDeDup gate applied
+incrementally as vectors arrive, completing the streaming column of the
+dedup matrix (exact: ``dropDuplicatesWithinWatermark``; MinHash-LSH:
+``streaming_near_dup_lsh``; semantic: this module).
+
+Each micro-batch runs
+:func:`physioview_spark.llm.similarity.semantic_dedup_delta` against
+the vector state accumulated from all prior batches — same centroids
+every batch (the SemDeDup contract: the coarse quantizer is trained
+once per corpus era, so bucket geometry is stable across increments and
+a vector's bucket never changes). Decisions therefore match the batch
+operator over any stream prefix: a vector is dropped iff a
+previously-seen vector (prior batch, or lower id within its own batch)
+in the same bucket has rounded cosine >= threshold — exactly
+``semantic_dedup`` over the prefix union when ids increase with arrival
+order (parity-tested in tests/test_streaming.py).
+
+State layout mirrors the near-dup band table: an external BUCKETED
+table on the join key ``bucket``, partitioned by ``batch_id`` — the
+per-batch pair join reads the accumulated side without an Exchange, so
+per-batch shuffle cost covers the BATCH only. ALL seen vectors enter
+state (kept and dropped): pairwise SemDeDup drops against any
+lower-id neighbor regardless of that neighbor's own fate, and parity
+with the batch operator requires the same.
+
+Exactly-once on retry follows the near-dup recipe: decisions write
+first with dynamic partition overwrite on ``batch_id``; the state
+append is guarded by partition presence and runs LAST, so a redelivered
+batch_id is a no-op iff every write of the prior attempt committed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from physioview_spark.llm.similarity import (
+    assign_ivf_bucket, semantic_dedup_delta,
+)
+
+
+def _vector_table_name(state_dir: str) -> str:
+    h = hashlib.md5(state_dir.encode()).hexdigest()[:12]
+    return f"pv_sem_state_{h}"
+
+
+def drop_semantic_state(spark, state_dir: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {_vector_table_name(state_dir)}")
+
+
+def streaming_semantic_dedup(
+    vecs: DataFrame,
+    state_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 8,
+    max_bucket_size: int | None = None,
+):
+    """Returns a ``DataStreamWriter`` running
+    :func:`semantic_dedup_batch_processor` under ``foreachBatch`` —
+    caller picks trigger/checkpoint and calls ``start()``. Decisions
+    land in ``state_dir/decisions`` partitioned by batch_id."""
+    return vecs.writeStream.foreachBatch(semantic_dedup_batch_processor(
+        state_dir, centroids, threshold, id_col, vec_col, n_buckets,
+        max_bucket_size))
+
+
+def semantic_dedup_batch_processor(
+    state_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 8,
+    max_bucket_size: int | None = None,
+):
+    """The ``foreachBatch`` body, exposed so tests can drive
+    micro-batches (and redeliver one — the retry path) without a
+    running stream."""
+    decisions_path = os.path.join(state_dir, "decisions")
+    table = _vector_table_name(state_dir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        have_state = spark.catalog.tableExists(table)
+        if have_state and (
+            spark.read.table(table)
+            .where(F.col("batch_id") == batch_id).limit(1).count() > 0
+        ):
+            return  # retried batch whose state writes all committed
+        prior = (
+            spark.read.table(table)
+            .where(F.col("batch_id") < batch_id)
+            .select(id_col, vec_col)
+            if have_state
+            else spark.createDataFrame([], batch.select(
+                id_col, vec_col).schema)
+        )
+        decisions = semantic_dedup_delta(
+            batch, prior, centroids, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+            max_bucket_size=max_bucket_size)
+        (decisions.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(decisions_path))
+        (batch.select(
+            id_col, vec_col,
+            assign_ivf_bucket(F.col(vec_col), centroids).alias("bucket"))
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("append")
+         .partitionBy("batch_id")
+         .bucketBy(n_buckets, "bucket")
+         # external table rooted in state_dir (same rationale as the
+         # near-dup band table: files live and die with the stream)
+         .option("path", os.path.join(state_dir, "vectors"))
+         .format("parquet").saveAsTable(table))
+
+    return _process

@@ -49,24 +49,26 @@ def test_entry_returns_flagship(spark):
 
 def test_rotation_consistent():
     """The mechanically-derived serve order must (a) resolve every
-    _CHANGED_THIS_ROUND name (catches typos when the list is edited),
-    (b) lead with the changed-since-green queries inside the driver's
-    50-query window, and (c) place least-recently-verified queries
-    before more-recently-verified ones."""
+    _CHANGED_IN_ROUND name (catches typos when the map is edited),
+    (b) lead with the still-unattested changed queries inside the
+    driver's 50-query window (an entry whose last green row is at or
+    after its edit round is inert — the self-cleaning contract), and
+    (c) place least-recently-verified queries before more-recently-
+    verified ones."""
     import __spark_entry__ as e
 
     qs, oracles = e._registry()
     names = list(qs)
     assert len(names) == len(set(names))
-    missing = [n for n in e._CHANGED_THIS_ROUND if n not in qs]
-    assert not missing, f"_CHANGED_THIS_ROUND names not in registry: {missing}"
-    assert len(set(e._CHANGED_THIS_ROUND)) == len(e._CHANGED_THIS_ROUND)
-    assert len(e._CHANGED_THIS_ROUND) <= 50
-    assert names[:len(e._CHANGED_THIS_ROUND)] == [
-        n for n in e._CHANGED_THIS_ROUND if n in qs]
-    # after the changed block, last-verified round is non-decreasing
+    missing = [n for n in e._CHANGED_IN_ROUND if n not in qs]
+    assert not missing, f"_CHANGED_IN_ROUND names not in registry: {missing}"
     last = e._last_verified()
-    tail = names[len(e._CHANGED_THIS_ROUND):]
+    active = [n for n, edited in e._CHANGED_IN_ROUND.items()
+              if n in qs and last.get(n, 0) < edited]
+    assert len(active) <= 50
+    assert names[:len(active)] == active
+    # after the changed block, last-verified round is non-decreasing
+    tail = names[len(active):]
     rounds = [last.get(n, 0) for n in tail]
     assert rounds == sorted(rounds)
     # the CORRECTNESS files in the tree actually parsed (the rotation is

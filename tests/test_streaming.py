@@ -442,3 +442,74 @@ class TestAwaitStream:
         finally:
             if q.isActive:
                 q.stop()
+
+
+class TestStreamingSemanticDedup:
+    def test_three_batches_retry_and_batch_parity(self, spark, tmp_path):
+        """Streaming semantic dedup over three micro-batches (batch 1
+        redelivered once) must equal the batch operator: per-batch
+        decisions match sequential semantic_dedup_delta against the
+        growing prefix, and the union of per-batch keeps equals
+        semantic_dedup over the full prefix union (ids increase with
+        arrival order)."""
+        import numpy as np
+
+        from physioview_spark.llm import similarity
+        from physioview_spark.streaming.embeddings import (
+            _vector_table_name, drop_semantic_state,
+            semantic_dedup_batch_processor,
+        )
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(9, 8)
+
+        def jit(i, eps=0.01):
+            return [float(x) for x in base[i] + eps * rng.randn(8)]
+
+        def vec(i):
+            return [float(x) for x in base[i]]
+
+        sch = "vec_id long, embedding array<float>"
+        batches = [
+            [(0, vec(0)), (1, vec(1)), (2, vec(2))],
+            [(10, jit(0)), (11, vec(3)), (12, jit(3))],  # 10 dups 0;
+            [(20, jit(1)), (21, vec(4)), (22, jit(4))],  # 12 dups 11...
+        ]
+        frames = [spark.createDataFrame(b, sch) for b in batches]
+        cents = [vec(i) for i in range(0, 9, 3)]
+        state = str(tmp_path / "semstate")
+        proc = semantic_dedup_batch_processor(state, cents,
+                                              threshold=0.95)
+        proc(frames[0], 0)
+        proc(frames[1], 1)
+        proc(frames[1], 1)  # simulated retry: must be a no-op
+        proc(frames[2], 2)
+
+        got = spark.read.parquet(state + "/decisions")
+        assert got.count() == 9  # one decision per vector, no dups
+        by_id = {r["vec_id"]: r for r in got.collect()}
+        # sequential reference: delta against the growing prefix
+        prefix = None
+        for f in frames:
+            ref = similarity.semantic_dedup_delta(
+                f, prefix if prefix is not None
+                else spark.createDataFrame([], sch),
+                cents, threshold=0.95).collect()
+            for r in ref:
+                g = by_id[r["vec_id"]]
+                assert (g["decision"], g["match_id"], g["sim"]) == \
+                    (r["decision"], r["match_id"], r["sim"])
+            prefix = f if prefix is None else prefix.unionByName(f)
+        # union parity with the batch operator over the full prefix
+        batch_keep = {r["vec_id"] for r in similarity.semantic_dedup(
+            prefix, cents, threshold=0.95).collect()}
+        stream_keep = {i for i, r in by_id.items()
+                       if r["decision"] == "keep"}
+        assert stream_keep == batch_keep
+        # one state copy per batch; accumulated side is a bucketed scan
+        vecs = spark.read.table(_vector_table_name(state))
+        per_batch = {r["batch_id"] for r in
+                     vecs.select("batch_id").distinct().collect()}
+        assert per_batch == {0, 1, 2}
+        assert vecs.count() == 9
+        drop_semantic_state(spark, state)
