@@ -121,3 +121,44 @@ def semantic_dedup_batch_processor(
          .format("parquet").saveAsTable(table))
 
     return _process
+
+
+def compact_semantic_state(
+    spark, state_dir: str, upto_batch_id: int, n_buckets: int = 8,
+) -> None:
+    """Periodic maintenance for a long-running
+    :func:`streaming_semantic_dedup` stream — the vector-state analogue
+    of ``compact_near_dup_state``: every micro-batch appends one file
+    per bucket, so partitions with ``batch_id <= upto_batch_id`` are
+    rewritten into one consolidated partition with the same bucketing
+    spec (read-side join plan unchanged) via a staging table + read-back
+    rewrite (the in-memory catalog's RENAME keeps stale per-partition
+    locations). Run it between micro-batches, only for batch_ids below
+    the stream's last committed checkpoint; consolidated rows keep
+    ``batch_id = upto_batch_id`` so the processor's ``batch_id <
+    current`` prior-read and retry guard are preserved."""
+    import shutil
+
+    table = _vector_table_name(state_dir)
+    staging = table + "_compact"
+    src = spark.read.table(table)
+    old = (src.where(F.col("batch_id") <= upto_batch_id)
+           .withColumn("batch_id", F.lit(int(upto_batch_id))))
+    keep = src.where(F.col("batch_id") > upto_batch_id)
+
+    def _write(df, name, path):
+        (df.write.mode("overwrite")
+         .partitionBy("batch_id")
+         .bucketBy(n_buckets, "bucket")
+         .option("path", path)
+         .format("parquet").saveAsTable(name))
+
+    vec_path = os.path.join(state_dir, "vectors")
+    staging_path = os.path.join(state_dir, "vectors_compact")
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    shutil.rmtree(staging_path, ignore_errors=True)
+    _write(old.unionByName(keep), staging, staging_path)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _write(spark.read.table(staging), table, vec_path)
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    shutil.rmtree(staging_path, ignore_errors=True)

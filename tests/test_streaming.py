@@ -513,3 +513,60 @@ class TestStreamingSemanticDedup:
         assert per_batch == {0, 1, 2}
         assert vecs.count() == 9
         drop_semantic_state(spark, state)
+
+
+def test_semantic_state_compaction_preserves_decisions(spark, tmp_path):
+    """Compacting vector-state partitions 0..1 into one consolidated
+    partition must not change any later batch's decisions: replay a
+    4th batch after compaction and compare against an uncompacted
+    twin stream."""
+    import numpy as np
+
+    from physioview_spark.llm import similarity  # noqa: F401
+    from physioview_spark.streaming.embeddings import (
+        _vector_table_name, compact_semantic_state, drop_semantic_state,
+        semantic_dedup_batch_processor,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(8, 8)
+    sch = "vec_id long, embedding array<float>"
+
+    def vec(i):
+        return [float(x) for x in base[i]]
+
+    def jit(i):
+        return [float(x) for x in base[i] + 0.01 * rng.randn(8)]
+
+    batches = [
+        [(0, vec(0)), (1, vec(1))],
+        [(10, vec(2)), (11, vec(3))],
+        [(20, jit(0)), (21, vec(4))],
+    ]
+    b4 = [(30, jit(2)), (31, jit(4)), (32, vec(5))]
+    cents = [vec(i) for i in range(0, 8, 2)]
+    frames = [spark.createDataFrame(b, sch) for b in batches]
+    f4 = spark.createDataFrame(b4, sch)
+
+    outs = {}
+    for mode in ("plain", "compacted"):
+        state = str(tmp_path / mode)
+        proc = semantic_dedup_batch_processor(state, cents,
+                                              threshold=0.95)
+        for i, f in enumerate(frames):
+            proc(f, i)
+        if mode == "compacted":
+            compact_semantic_state(spark, state, upto_batch_id=1)
+            vecs = spark.read.table(_vector_table_name(state))
+            ids = {r["batch_id"] for r in
+                   vecs.select("batch_id").distinct().collect()}
+            assert ids == {1, 2}  # 0 folded into 1, live batch intact
+            assert vecs.count() == 6
+        proc(f4, 3)
+        outs[mode] = sorted(map(tuple,
+                            spark.read.parquet(state + "/decisions")
+                            .where(F.col("batch_id") == 3)
+                            .drop("batch_id").collect()))
+        drop_semantic_state(spark, state)
+    assert outs["plain"] == outs["compacted"]
+    assert len(outs["plain"]) == 3
