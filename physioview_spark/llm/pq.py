@@ -148,3 +148,73 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    bucket_col: str = "bucket",
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN layout (FAISS IndexIVFPQ shape) —
+    a coarse quantizer routes each query to its ``n_probe`` nearest
+    buckets and ADC scoring runs only over those buckets' codes, so
+    the per-query cost drops from O(N) lookups to
+    O(N * n_probe / n_cells) while storage stays ``m`` bytes/vector.
+
+    ``codes_df`` must carry ``bucket_col`` (from
+    :func:`physioview_spark.llm.similarity.assign_ivf_bucket` with the
+    SAME centroids) alongside ``codes_col`` — assign once at encode
+    time and both columns persist together. The probe join is an
+    equi-join on bucket id with the broadcast query side (same shape
+    as ivf_topk); scoring is the same JVM LUT aggregate as
+    :func:`pq_topk`. Output: ``(query_id, match_id, score, rank)``.
+    """
+    from physioview_spark.llm.similarity import _centroid_dists
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    q_rows = queries.select(q_id, q_vec).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[q_vec], dtype=np.float64)
+        lut = [
+            [round(float(np.dot(qv[j * d:(j + 1) * d], np.asarray(c))), 9)
+             for c in codebooks[j]]
+            for j in range(m)
+        ]
+        lut_rows.append((r[q_id], [float(x) for x in qv], lut))
+    spark = codes_df.sparkSession
+    qf = spark.createDataFrame(
+        lut_rows,
+        "query_id long, __qv array<double>, __lut array<array<double>>")
+    pairs = F.transform(
+        _centroid_dists(F.col("__qv"), centroids),
+        lambda dd, i: F.struct(dd.alias("d"), i.alias("bucket")))
+    probes = F.slice(F.array_sort(pairs), 1, n_probe)
+    q = (qf.withColumn(bucket_col, F.explode(probes["bucket"]))
+         .select("query_id", "__lut", bucket_col))
+    score = F.round(F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at(F.col("__lut"), j + 1),
+            F.element_at(F.col(codes_col), j + 1) + 1),
+    ), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id"))
+    return (
+        codes_df.select(F.col(id_col).alias("match_id"), codes_col,
+                        bucket_col)
+        .join(F.broadcast(q), bucket_col)
+        .withColumn("score", score)
+        .select("query_id", "match_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

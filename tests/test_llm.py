@@ -1817,3 +1817,44 @@ class TestProductQuantization:
             .queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan
         assert "WindowGroupLimit" in plan
+
+
+def test_ivfpq_matches_full_pq_within_probed_buckets(spark):
+    """IVF-PQ == plain PQ restricted to the probed buckets: with
+    n_probe = n_cells the results are identical to pq_topk, and with
+    n_probe=1 every match lives in the query's own bucket."""
+    import numpy as np
+
+    from physioview_spark.llm import pq
+    from physioview_spark.llm.similarity import (
+        assign_ivf_bucket, train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(4)
+    centers = rng.randn(10, 32)
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for c in range(10):
+        for i in range(6):
+            v = centers[c] + 0.05 * rng.randn(32)
+            v /= np.linalg.norm(v)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    unit = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(unit, n_centroids=6)
+    books = pq.train_pq(unit, m=4, n_codes=16)
+    enc = pq.encode_pq(unit, books).withColumn(
+        "bucket", assign_ivf_bucket(F.col("embedding"), cents))
+    queries = unit.where(F.col("vec_id") % 100 == 0).limit(4)
+
+    full = sorted(map(tuple, pq.pq_topk(
+        enc, queries, books, k=3).collect()))
+    allprobe = sorted(map(tuple, pq.ivfpq_topk(
+        enc, queries, cents, books, k=3, n_probe=6).collect()))
+    assert full == allprobe
+    one = pq.ivfpq_topk(enc, queries, cents, books, k=3, n_probe=1)
+    got = one.collect()
+    assert len(got) > 0
+    buckets = {r["vec_id"]: r["bucket"] for r in enc.collect()}
+    for r in got:
+        assert buckets[r["match_id"]] == buckets[r["query_id"]]
