@@ -694,3 +694,41 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "word", "tf", "score", "rank")
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+) -> tuple[dict[str, float], float]:
+    """Distributed training for the fastText-style quality gate that
+    :func:`score_linear` serves: fits a pyspark.ml logistic regression
+    on numeric feature columns (nulls read as 0, matching serving) and
+    returns ``(weights, intercept)`` in exactly the shape
+    ``score_linear`` consumes — train distributed, serve as fused
+    column arithmetic with zero per-row Python and zero shuffles.
+
+    The returned weights are plain floats (bounded by the feature
+    count), so the model ships inside the query plan as literals; at
+    100 TB, scoring cost is the projection the features already paid.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = df.select(
+        F.col(label_col).cast("double").alias("label"),
+        *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+          for c in feature_cols],
+    )
+    assembled = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features",
+    ).transform(feats)
+    model = LogisticRegression(
+        featuresCol="features", labelCol="label",
+        regParam=reg_param, maxIter=max_iter,
+    ).fit(assembled)
+    weights = {c: float(w) for c, w in
+               zip(feature_cols, model.coefficients)}
+    return weights, float(model.intercept)

@@ -1858,3 +1858,41 @@ def test_ivfpq_matches_full_pq_within_probed_buckets(spark):
     buckets = {r["vec_id"]: r["bucket"] for r in enc.collect()}
     for r in got:
         assert buckets[r["match_id"]] == buckets[r["query_id"]]
+
+
+def test_train_quality_classifier_roundtrips_into_score_linear(spark):
+    """Distributed LR training returns weights that score_linear serves
+    with the SAME decision function: on linearly separable synthetic
+    quality features, the served probabilities classify a held-out set
+    perfectly and match pyspark.ml's own predictions."""
+    import numpy as np
+
+    from physioview_spark.llm import text as T
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(400):
+        good = i % 2 == 0
+        frac_alpha = (0.8 if good else 0.3) + 0.05 * rng.randn()
+        n_tokens = (300 if good else 20) + 10 * rng.randn()
+        rows.append((i, float(frac_alpha), float(n_tokens), int(good)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, frac_alpha double, n_tokens double, label int")
+    train = df.where(F.col("doc_id") % 4 != 0)
+    test = df.where(F.col("doc_id") % 4 == 0)
+    weights, intercept = T.train_quality_classifier(
+        train, "label", ["frac_alpha", "n_tokens"])
+    assert set(weights) == {"frac_alpha", "n_tokens"}
+    served = T.score_linear(test, weights, intercept)
+    got = served.select("doc_id", "label", "model_prob").collect()
+    acc = np.mean([(r["model_prob"] >= 0.5) == bool(r["label"])
+                   for r in got])
+    assert acc == 1.0
+    # serving parity with the trainer's own sigmoid (score_linear
+    # rounds the logit to 6 before the sigmoid; tolerance covers it)
+    import math
+    for r in served.limit(5).collect():
+        z = (intercept + weights["frac_alpha"] * r["frac_alpha"]
+             + weights["n_tokens"] * r["n_tokens"])
+        want = 1.0 / (1.0 + math.exp(-round(z, 6)))
+        assert abs(r["model_prob"] - round(want, 6)) <= 1e-6
