@@ -407,3 +407,40 @@ class TestAucNormalization:
         # spread -> auc_norm = 15; truncated trailing windows stay in range
         assert np.allclose(roll["auc_norm"].iloc[:4], 15.0, atol=1e-6)
         assert (roll["auc_norm"].dropna() >= 0).all()
+
+
+class TestExpectations:
+    def test_validate_counts_and_quarantine_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from physioview_spark.operators.validate import (
+            quarantine, validate,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 60.0, "a"), (2, None, "b"), (3, 300.0, None),
+             (4, 80.0, "d"), (5, -5.0, "e")],
+            "id long, hr double, tag string")
+        rules = {
+            "hr_present": F.col("hr").isNotNull(),
+            "hr_in_range": (F.col("hr") >= 0) & (F.col("hr") <= 250),
+            "tag_present": F.col("tag").isNotNull(),
+        }
+        rep = validate(df, rules).first()
+        assert rep["n_rows"] == 5
+        assert rep["hr_present_violations"] == 1
+        # null hr fails the range expectation too (cannot evaluate ->
+        # not met), plus 300 and -5
+        assert rep["hr_in_range_violations"] == 3
+        assert rep["tag_present_violations"] == 1
+
+        valid, rejected = quarantine(df, rules)
+        assert {r["id"] for r in valid.collect()} == {1, 4}
+        rej = {r["id"]: r["violations"] for r in rejected.collect()}
+        assert rej[2] == ["hr_in_range", "hr_present"]
+        assert rej[3] == ["hr_in_range", "tag_present"]
+        assert rej[5] == ["hr_in_range"]
+        # single-pass shape: no Exchange in either branch
+        for frame in (valid, rejected):
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
