@@ -328,3 +328,97 @@ def pack_sequences(
     ).withColumn(
         "seq_id", F.floor(F.col("start_offset") / ctx_len).cast("long")
     )
+
+
+def materialize_packed(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    ctx_len: int = 2048,
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    seed: int = 42,
+    vocab: dict[str, int] | None = None,
+    pad_id: int = 0,
+) -> DataFrame:
+    """The pipeline's terminal artifact: fixed-length rows of token IDS
+    — what a pretraining dataloader actually reads. Where
+    :func:`pack_sequences` computes each document's (shard, offset,
+    seq) ADDRESS, this materializes the grid itself: documents lay
+    head-to-tail in their shard (same md5 order), spanning context
+    windows; every row is ``(shard, seq_id, token_ids, n_real)`` with
+    ``token_ids`` exactly ``ctx_len`` long (the final window per shard
+    right-padded with ``pad_id``; ``n_real`` counts the un-padded
+    slots).
+
+    ``vocab`` maps token string -> id; None derives a deterministic
+    vocabulary from the corpus (ids = 1-based alphabetical rank, so 0
+    and negative ``pad_id`` values never collide with real tokens). The
+    vocabulary is BOUNDED for subword tokens by construction (BPE
+    merges + alphabet), so its rank window and broadcast are
+    codebook-class, never corpus-class.
+
+    Scale shape: the document-address layout is the pack_sequences
+    shape (one shuffle on shard + per-shard running sum); tokens then
+    posexplode ONCE — linear in corpus tokens — into (shard, seq, slot,
+    id) and reassemble with a map-side-combinable collect_list keyed on
+    the unskewed composite (shard, seq_id); per-group size is bounded
+    by ``ctx_len``. No global sort anywhere.
+    """
+    digits = 2 if n_shards <= 256 else 13
+    h = sample_order(id_col, seed)
+    base = df.select(
+        id_col, tokens_col,
+        F.size(tokens_col).cast("long").alias("__nt"),
+        h.alias("__h"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("__h", 1, digits), 16, 10).cast("long")
+        % n_shards,
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn(
+        "__off", F.sum("__nt").over(w) - F.col("__nt"))
+    toks = base.select(
+        "shard", "__off",
+        F.posexplode(tokens_col).alias("__pos", "__tok"),
+    ).select(
+        "shard", "__tok",
+        (F.col("__off") + F.col("__pos")).alias("__g"),
+    )
+    if vocab is None:
+        # auto ids are 1..V (alphabetical), reserving 0 and negatives
+        # for padding; an explicit vocab owns its own id space
+        wv = Window.orderBy("__tok")  # bounded: the subword vocabulary
+        vf = (toks.select("__tok").distinct()
+              .withColumn("__tid", F.row_number().over(wv)))
+    else:
+        spark = df.sparkSession
+        vf = spark.createDataFrame(
+            list(vocab.items()), "__tok string, __tid int")
+    ids = (
+        toks.join(F.broadcast(vf), "__tok")
+        .select(
+            "shard",
+            F.floor(F.col("__g") / ctx_len).cast("long").alias("seq_id"),
+            (F.col("__g") % ctx_len).cast("int").alias("__slot"),
+            F.col("__tid").cast("int").alias("__tid"),
+        )
+    )
+    assembled = ids.groupBy("shard", "seq_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__slot", "__tid"))),
+            lambda s: s["__tid"],
+        ).alias("__real"),
+        F.count(F.lit(1)).cast("int").alias("n_real"),
+    )
+    padded = F.concat(
+        F.col("__real"),
+        F.array_repeat(F.lit(int(pad_id)),
+                       ctx_len - F.col("n_real")),
+    )
+    return assembled.select(
+        "shard", "seq_id", padded.alias("token_ids"), "n_real")

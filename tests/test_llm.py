@@ -1896,3 +1896,46 @@ def test_train_quality_classifier_roundtrips_into_score_linear(spark):
              + weights["n_tokens"] * r["n_tokens"])
         want = 1.0 / (1.0 + math.exp(-round(z, 6)))
         assert abs(r["model_prob"] - round(want, 6)) <= 1e-6
+
+
+def test_materialize_packed_grid_conservation_and_parity(spark, docs):
+    """The materialized token-id grid must agree exactly with the
+    pack_sequences ADDRESS layout run on the same token stream: every
+    token appears exactly once, every sequence is ctx_len long with
+    full sequences unpadded, per-shard ids reassemble to the shard's
+    concatenated document order, and document addresses match
+    pack_sequences on the synthesized token text."""
+    from physioview_spark.llm import bpe, sampling
+
+    merges = bpe.train_bpe(docs, num_merges=25)
+    enc = bpe.apply_bpe(docs, merges)
+    ctx = 16
+    grid = sampling.materialize_packed(
+        enc, ctx_len=ctx, n_shards=4, pad_id=0).collect()
+    total_tokens = enc.select(F.sum(F.size("bpe_tokens"))).first()[0]
+    # conservation: every real slot exactly once
+    assert sum(r["n_real"] for r in grid) == total_tokens
+    for r in grid:
+        assert len(r["token_ids"]) == ctx
+        assert all(t > 0 for t in r["token_ids"][:r["n_real"]])
+        assert all(t == 0 for t in r["token_ids"][r["n_real"]:])
+    # within a shard, only the LAST sequence may be partial
+    by_shard = {}
+    for r in grid:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r["n_real"] == ctx, (shard, r["seq_id"])
+    # address parity with pack_sequences over the same token stream
+    # (whitespace-join the BPE tokens so both paths count identically)
+    as_text = enc.select(
+        "doc_id", F.concat_ws(" ", "bpe_tokens").alias("text"))
+    addr = sampling.pack_sequences(
+        as_text, ctx_len=ctx, n_shards=4).collect()
+    shard_tokens = {s: sum(r["n_real"] for r in rs)
+                    for s, rs in by_shard.items()}
+    for s, rs in by_shard.items():
+        want = sum(a["n_tokens"] for a in addr if a["shard"] == s)
+        assert shard_tokens[s] == want, s
