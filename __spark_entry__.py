@@ -34,22 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # before your change), record round+1 so the pre-edit green cannot
 # satisfy the entry.
 _CHANGED_IN_ROUND = {
-    # r06 restructured these after their r05 green (real codec row mixes;
-    # multi-probe LSH plumbing) — the driver has never hashed these bytes
-    "multimodal_audio_features": 6, "multimodal_video_frames": 6,
-    "embedding_ann_lsh": 6,
-    # r07 edits
-    "doc_strip_boilerplate": 7,     # xxhash64 anti-join, de-broadcast
-    "doc_trigram_typicality": 7,    # bounded top-K + residual counts
-    "embedding_semantic_dedup": 7,  # cap no longer drops oversized buckets
-    "streaming_near_dup_pairs": 7,  # bucketed batch_id-keyed state
-    "doc_token_budget_sample": 7,   # two-level exact prefix scan
-    "embedding_near_dup_pairs": 7,  # cosine gear param threaded through
-    "multimodal_image_features": 7, # multimodal module reworked (gears)
-    "kernel_eda_scr": 7,            # tightened cvxEDA ADMM tolerance +
-                                    # 2-decimal mean_tonic; fixture
-                                    # regenerated (cross-host drift fix)
-    "doc_dedup_delta": 7,           # runtime prefilter default
+    # (r06/r07 entries all attested green at their rounds — pruned.)
+    # r08 edits
+    "embedding_label_centroids": 8,  # declared output flattened to
+                                     # (label, n_vecs, idx, value) rows
+    "embedding_quantize_int8": 8,    # flattened to (vec_id, q_scale,
+                                     # idx, code) rows
 }
 
 

@@ -1491,27 +1491,32 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("embedding_label_centroids", """
 WITH ex AS (
-  SELECT label, j.j AS idx, (embedding::DOUBLE[])[j.j] AS x
+  SELECT label, j.j - 1 AS idx, (embedding::DOUBLE[])[j.j] AS x
   FROM embeddings, UNNEST(generate_series(1, 64)) AS j(j)
 ), m AS (
   SELECT label, idx, AVG(x) AS mx FROM ex GROUP BY label, idx
-), c AS (
-  SELECT label, list(ROUND(mx, 6) ORDER BY idx) AS centroid
-  FROM m GROUP BY label
 ), n AS (
   SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
 )
-SELECT n.label, n.n_vecs, c.centroid
-FROM n JOIN c USING (label)
+SELECT n.label, n.n_vecs, m.idx, ROUND(m.mx, 6) AS value
+FROM n JOIN m USING (label)
 """)
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vectors (class prototypes / codebook training
     without a driver collect): posexplode to (label, idx, x), map-side
     combinable avg per (label, idx) - the exchange carries labels x dim
-    rows - then per-label array_sort reassembly. Components rounded to
-    6 so the float sum order across partitions cannot leak."""
+    rows. Components rounded to 6 so the float sum order across
+    partitions cannot leak. Declared output is FLATTENED to
+    (label, n_vecs, idx, value) rows — the driver's pandas
+    canonicalizer cannot sort array cells (r07 lesson; see
+    doc_bpe_encode's integers+strings contract) — while the library
+    function (llm/similarity.py label_centroids) keeps its
+    array<double> centroid return for programmatic use."""
     emb = read(spark, sf_dir, "embeddings")
-    return similarity.label_centroids(emb)
+    cents = similarity.label_centroids(emb)
+    return cents.select(
+        "label", "n_vecs",
+        F.posexplode("centroid").alias("idx", "value"))
 
 
 @q("embedding_quantize_int8", """
@@ -1524,21 +1529,26 @@ WITH t AS (
 )
 SELECT vec_id,
        ROUND(sc, 9) AS q_scale,
-       CASE WHEN sc = 0
-            THEN list_transform(e, x -> CAST(0 AS TINYINT))
-            ELSE list_transform(e, x -> CAST(round(x / sc, 0) AS TINYINT))
-       END AS q_embedding
-FROM s
+       j.j - 1 AS idx,
+       CASE WHEN sc = 0 THEN CAST(0 AS TINYINT)
+            ELSE CAST(round(e[j.j] / sc, 0) AS TINYINT)
+       END AS code
+FROM s, UNNEST(generate_series(1, 64)) AS j(j)
 """)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embeddings table
     (4x storage shrink for ANN serving): scale = max|x|/127, code =
     round(x/scale). Pure column arithmetic fused into the scan — zero
-    shuffles; the oracle recomputes codes in SQL and the full code
-    arrays hash-match."""
+    shuffles in the library op. Declared output is FLATTENED to
+    (vec_id, q_scale, idx, code) rows — the driver's pandas
+    canonicalizer cannot sort array<tinyint> cells (r07 lesson) — the
+    library function (llm/similarity.py quantize_int8) keeps its array
+    return."""
     emb = read(spark, sf_dir, "embeddings")
-    return similarity.quantize_int8(emb).select(
-        "vec_id", "q_scale", "q_embedding")
+    qz = similarity.quantize_int8(emb)
+    return qz.select(
+        "vec_id", "q_scale",
+        F.posexplode("q_embedding").alias("idx", "code"))
 
 
 @q("doc_bpe_token_stats", """

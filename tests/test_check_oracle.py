@@ -80,3 +80,55 @@ class TestCompareValues:
         note = check_oracle._versions_note()
         assert ("versions match" in note) or ("drift" in note) \
             or ("no VERSIONS.json" in note)
+
+
+class TestComplexCols:
+    """The driver's canonicalizer sorts with pandas sort_values, which
+    dies on list/dict cells — the replica must red-flag any declared
+    query whose Spark schema carries Array/Map/Struct columns BEFORE the
+    compare (r07 shipped two driver-red array queries past a fully-green
+    local rehearsal because the replica repr()'d cells)."""
+
+    def test_array_column_flagged(self):
+        from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("label", LongType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ])
+        assert check_oracle.complex_cols(schema) == ["centroid"]
+
+    def test_map_and_struct_flagged(self):
+        from pyspark.sql.types import (LongType, MapType, StringType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("m", MapType(StringType(), LongType())),
+            StructField("s", StructType([StructField("a", LongType())])),
+            StructField("ok", StringType()),
+        ])
+        assert check_oracle.complex_cols(schema) == ["m", "s"]
+
+    def test_scalar_schema_clean(self):
+        from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("x", DoubleType()),
+        ])
+        assert check_oracle.complex_cols(schema) == []
+
+    def test_no_declared_query_emits_complex_columns(self):
+        """Static sweep of the full registry source: every @q-declared
+        query function in plans/ must not end in a select that keeps an
+        array column un-exploded. Cheap proxy (no Spark session): the
+        two r07 offenders are pinned by name to the flattened shape."""
+        import __spark_entry__ as e  # noqa: F401  (import check only)
+        import inspect
+
+        from physioview_spark.plans import queries_llm
+
+        src = inspect.getsource(queries_llm.embedding_label_centroids)
+        assert "posexplode" in src
+        src = inspect.getsource(queries_llm.embedding_quantize_int8)
+        assert "posexplode" in src

@@ -98,6 +98,22 @@ def compare_values(srows, scols, drows, dcols):
     return "stale", detail
 
 
+def complex_cols(schema) -> list[str]:
+    """Columns the DRIVER's canonicalizer cannot handle.
+
+    The driver sorts the result with pandas ``sort_values``, which
+    raises ``TypeError: unhashable type: 'list'`` on any cell holding a
+    list/dict (r07 lost both array-output queries this way despite a
+    92/92-green local dress rehearsal — this replica ``repr()``s cells
+    so list columns compared fine here). Declared queries must emit
+    scalars only; flatten arrays with ``posexplode`` before declaring.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+
+
 def _versions_note() -> str:
     """Recorded fixture-generation versions vs the running ones."""
     from physioview_spark.plans.common import FIXTURE_DIR
@@ -151,6 +167,14 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            bad = complex_cols(sdf.schema)
+            if bad:
+                print(f"FAIL  {name}: complex-typed declared columns "
+                      f"{bad} — the driver's pandas canonicalizer cannot "
+                      f"sort list/struct cells; posexplode/flatten before "
+                      f"declaring")
+                n_fail += 1
+                continue
             srows = [row.asDict() for row in sdf.collect()]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
