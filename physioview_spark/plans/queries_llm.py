@@ -1261,6 +1261,154 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(emb, cents, threshold=0.95)
 
 
+@q("embedding_ann_pq", """
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+), sub AS (
+  SELECT v.vec_id, j.j AS sub, c.cid,
+         list_distance(list_slice(v.embedding::DOUBLE[],
+                                  j.j * 8 + 1, j.j * 8 + 8),
+                       list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)) AS d
+  FROM embeddings v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+), codes AS (
+  SELECT vec_id, sub, cid AS code
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, cid) AS rn FROM sub)
+  WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, j.j AS sub, c.cid AS code,
+         ROUND(list_dot_product(list_slice(q.embedding::DOUBLE[],
+                                           j.j * 8 + 1, j.j * 8 + 8),
+                                list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)),
+               9) AS dp
+  FROM embeddings q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  WHERE q.vec_id < 10
+), scored AS (
+  SELECT l.query_id, co.vec_id AS match_id, ROUND(SUM(l.dp), 6) AS score
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, match_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+""")
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/pq.py): split dim 64 into m=8
+    subspaces, encode every corpus vector as 8 nearest-subcentroid
+    codes (a 32x storage shrink), then score 10 queries by asymmetric
+    distance — per-query lookup tables of subspace dot products,
+    summed by a pure-JVM ``aggregate`` of ``element_at`` lookups; no
+    reconstruction, no Python in the corpus-sized path.
+
+    This driver-checked variant anchors the codebooks on deterministic
+    seed vectors (subspace slices of the 8 lowest even vec_ids, the
+    ``embedding_ann_ivf`` convention) so the oracle can rebuild the
+    identical index in SQL; the k-means-trained codebook path
+    (train_pq, pyspark.ml) runs the same encode/ADC mechanics and
+    holds its recall bound in pytest (tests/test_llm.py)."""
+    from physioview_spark.llm import pq
+
+    emb = read(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    d = len(seeds[0]) // 8
+    codebooks = [[s[j * d:(j + 1) * d] for s in seeds] for j in range(8)]
+    codes = pq.encode_pq(emb, codebooks)
+    return pq.pq_topk(
+        codes, emb.where(F.col("vec_id") < 10), codebooks, k=5)
+
+
+@q("embedding_semantic_dedup_delta", """
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding
+  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+), dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, cid AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn FROM dists)
+  WHERE rn = 1
+), nb AS (
+  SELECT * FROM assigned WHERE vec_id % 8 = 0
+), cb AS (
+  SELECT * FROM assigned WHERE vec_id % 8 != 0
+), corp_best AS (
+  SELECT vec_id, mid, sim FROM (
+    SELECT n.vec_id, c.vec_id AS mid,
+           ROUND(list_cosine_similarity(n.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(
+                                  n.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]), 6) DESC,
+                              c.vec_id) AS rn
+    FROM nb n JOIN cb c ON n.bucket = c.bucket
+    WHERE ROUND(list_cosine_similarity(n.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[]), 6) >= 0.95
+  ) WHERE rn = 1
+), batch_best AS (
+  SELECT vec_id, mid, sim FROM (
+    SELECT hi.vec_id, lo.vec_id AS mid,
+           ROUND(list_cosine_similarity(lo.embedding::DOUBLE[],
+                                        hi.embedding::DOUBLE[]), 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY hi.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(
+                                  lo.embedding::DOUBLE[],
+                                  hi.embedding::DOUBLE[]), 6) DESC,
+                              lo.vec_id) AS rn
+    FROM nb lo JOIN nb hi
+      ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+    WHERE ROUND(list_cosine_similarity(lo.embedding::DOUBLE[],
+                                       hi.embedding::DOUBLE[]), 6) >= 0.95
+  ) WHERE rn = 1
+)
+SELECT n.vec_id,
+       CASE WHEN c.mid IS NOT NULL THEN 'drop_corpus_dup'
+            WHEN b.mid IS NOT NULL THEN 'drop_batch_dup'
+            ELSE 'keep' END AS decision,
+       COALESCE(c.mid, b.mid, -1) AS match_id,
+       COALESCE(c.sim, b.sim, -1.0) AS sim
+FROM nb n
+LEFT JOIN corp_best c ON c.vec_id = n.vec_id
+LEFT JOIN batch_best b ON b.vec_id = n.vec_id
+""")
+def embedding_semantic_dedup_delta(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (llm/similarity.py semantic_dedup_delta):
+    a 1/8 modulo slice of the embeddings table plays the daily delta,
+    the remaining 7/8 the already-ingested corpus. One decision row per
+    delta vector — drop_corpus_dup / drop_batch_dup / keep, with the
+    best match and sim — computed one-sided: the corpus never re-pairs
+    with itself, and the runtime broadcast-semi-join prefilter moves
+    only touched buckets (measured flat against a 10x corpus,
+    PLANS.md). Nullable match columns are coalesced to -1 so the
+    declared output stays scalar-only and null-free."""
+    emb = read(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    out = similarity.semantic_dedup_delta(
+        emb.where(F.col("vec_id") % 8 == 0),
+        emb.where(F.col("vec_id") % 8 != 0),
+        cents, threshold=0.95)
+    return out.select(
+        "vec_id", "decision",
+        F.coalesce("match_id", F.lit(-1)).alias("match_id"),
+        F.coalesce("sim", F.lit(-1.0)).alias("sim"))
+
+
 @q("multimodal_audio_features")
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio binary-column plumbing: real RIFF/WAVE decode (stdlib
