@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from physioview_spark.llm import _cache
 from physioview_spark.llm.text import word_shingles
 
 
@@ -637,8 +638,6 @@ def dedup_delta(
     premise); pass ``prefilter=False`` when the "delta" is comparable
     to the corpus, which restores the plain shuffle plans.
     """
-    from pyspark import StorageLevel
-
     n_ids = new.select(id_col)
     # --- exact: one corpus-side hash aggregate, joined on 16 bytes
     c_rows = corpus.select(F.md5(F.col(text_col)).alias("__h"), id_col)
@@ -662,7 +661,7 @@ def dedup_delta(
         # bn feeds two consumers here (the broadcast probe and the
         # candidate join) — persist so the delta's minhash explode
         # runs once, not per lineage
-        bn = bn.persist(StorageLevel.MEMORY_AND_DISK)
+        bn = _cache.pin(bn)
         bc = bc.join(
             F.broadcast(bn.select("band", "band_hash").distinct()),
             ["band", "band_hash"], "semi")
@@ -683,7 +682,7 @@ def dedup_delta(
         # cand feeds two consumers below (the corpus-doc prune and the
         # intersection join); persisting the tiny candidate set stops
         # the second consumer re-running the corpus minhash explode
-        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        cand = _cache.pin(cand)
         corpus_verify = corpus.join(
             F.broadcast(cand.select(F.col("__cid").alias(id_col))
                         .distinct()),
@@ -694,14 +693,14 @@ def dedup_delta(
     # re-explodes the corpus per consumer CONCURRENTLY with the minhash
     # explode — measured executor OOM at the 10x corpus on a default
     # heap (the get_missing pattern, operators/metrics.py)
-    shn = shingle_frame(new, text_col, id_col, k) \
-        .withColumnRenamed(id_col, "__nid") \
-        .withColumnRenamed("shingle", "__s") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    shc = shingle_frame(corpus_verify, text_col, id_col, k) \
-        .withColumnRenamed(id_col, "__cid") \
-        .withColumnRenamed("shingle", "__s") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    shn = _cache.pin(
+        shingle_frame(new, text_col, id_col, k)
+        .withColumnRenamed(id_col, "__nid")
+        .withColumnRenamed("shingle", "__s"))
+    shc = _cache.pin(
+        shingle_frame(corpus_verify, text_col, id_col, k)
+        .withColumnRenamed(id_col, "__cid")
+        .withColumnRenamed("shingle", "__s"))
     sz_n = shn.groupBy("__nid").agg(F.count(F.lit(1)).alias("__na"))
     sz_c = shc.groupBy("__cid").agg(F.count(F.lit(1)).alias("__nb"))
     inter = (

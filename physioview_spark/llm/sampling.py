@@ -306,9 +306,13 @@ def pack_sequences(
     # more -> widen to 13 digits (52 bits, still exact in a long)
     digits = 2 if n_shards <= 256 else 13
     h = sample_order(id_col, seed)
+    # F.size() is -1 on a NULL array; clamp so a null-text document
+    # cannot decrement the running offsets (double-booked slots,
+    # windows longer than ctx_len after padding)
     base = df.select(
         id_col,
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.greatest(F.size(tokens(text_col)), F.lit(0))
+        .cast("long").alias("n_tokens"),
         h.alias("__h"),
     ).withColumn(
         "shard",
@@ -339,6 +343,7 @@ def materialize_packed(
     seed: int = 42,
     vocab: dict[str, int] | None = None,
     pad_id: int = 0,
+    unk_id: int | None = None,
 ) -> DataFrame:
     """The pipeline's terminal artifact: fixed-length rows of token IDS
     — what a pretraining dataloader actually reads. Where
@@ -355,7 +360,12 @@ def materialize_packed(
     and negative ``pad_id`` values never collide with real tokens). The
     vocabulary is BOUNDED for subword tokens by construction (BPE
     merges + alphabet), so its rank window and broadcast are
-    codebook-class, never corpus-class.
+    codebook-class, never corpus-class. An EXPLICIT vocab need not
+    cover the corpus: out-of-vocabulary tokens map to ``unk_id`` when
+    given, else the job fails loudly — their grid slots are already
+    counted in the running offsets, so silently dropping them (the
+    pre-r08 inner-join behavior) compacted later tokens left within
+    the window and corrupted the artifact with no error.
 
     Scale shape: the document-address layout is the pack_sequences
     shape (one shuffle on shard + per-shard running sum); tokens then
@@ -366,9 +376,12 @@ def materialize_packed(
     """
     digits = 2 if n_shards <= 256 else 13
     h = sample_order(id_col, seed)
+    # clamp F.size's -1-on-NULL so a null-tokens document cannot
+    # decrement the running offsets (see pack_sequences)
     base = df.select(
         id_col, tokens_col,
-        F.size(tokens_col).cast("long").alias("__nt"),
+        F.greatest(F.size(tokens_col), F.lit(0))
+        .cast("long").alias("__nt"),
         h.alias("__h"),
     ).withColumn(
         "shard",
@@ -395,18 +408,31 @@ def materialize_packed(
         wv = Window.orderBy("__tok")  # bounded: the subword vocabulary
         vf = (toks.select("__tok").distinct()
               .withColumn("__tid", F.row_number().over(wv)))
+        joined = toks.join(F.broadcast(vf), "__tok")
+        tid = F.col("__tid")
     else:
         spark = df.sparkSession
         vf = spark.createDataFrame(
             list(vocab.items()), "__tok string, __tid int")
-    ids = (
-        toks.join(F.broadcast(vf), "__tok")
-        .select(
-            "shard",
-            F.floor(F.col("__g") / ctx_len).cast("long").alias("seq_id"),
-            (F.col("__g") % ctx_len).cast("int").alias("__slot"),
-            F.col("__tid").cast("int").alias("__tid"),
-        )
+        # left join: an OOV token's slot is already booked in __off, so
+        # dropping the row (inner join) would shift every later token
+        # left within its window — map to unk_id or fail loudly instead
+        joined = toks.join(F.broadcast(vf), "__tok", "left")
+        if unk_id is None:
+            tid = F.when(
+                F.col("__tid").isNull(),
+                F.raise_error(F.concat(
+                    F.lit("materialize_packed: token not in vocab "
+                          "(pass unk_id to map OOV): "),
+                    F.col("__tok"))).cast("int"),
+            ).otherwise(F.col("__tid"))
+        else:
+            tid = F.coalesce(F.col("__tid"), F.lit(int(unk_id)))
+    ids = joined.select(
+        "shard",
+        F.floor(F.col("__g") / ctx_len).cast("long").alias("seq_id"),
+        (F.col("__g") % ctx_len).cast("int").alias("__slot"),
+        tid.cast("int").alias("__tid"),
     )
     assembled = ids.groupBy("shard", "seq_id").agg(
         F.transform(

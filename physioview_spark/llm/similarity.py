@@ -807,12 +807,11 @@ def semantic_dedup_delta(
     is the deterministic JVM cosine gear; per-batch-vector best-match
     windows partition on the delta id, so window input is delta-sized.
     """
-    from pyspark import StorageLevel
+    from physioview_spark.llm import _cache
 
-    vn = (
+    vn = _cache.pin(  # 4 lineages below; released via release_cached_frames
         new.select(id_col, vec_col)
         .withColumn("bucket", assign_ivf_bucket(F.col(vec_col), centroids))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # 4 lineages below
     )
     vc = corpus.select(id_col, vec_col).withColumn(
         "bucket", assign_ivf_bucket(F.col(vec_col), centroids))

@@ -468,9 +468,10 @@ def trigram_typicality(
         F.count(F.lit(1)).cast("double").alias("__m"))
     # three downstream lineages (counts -> topk / totals, and the
     # scoring join) re-expand dg's corpus explode without this persist
-    # (same spill-safe pattern as get_missing's shared beat frame)
-    from pyspark import StorageLevel
-    dg = dg.persist(StorageLevel.MEMORY_AND_DISK)
+    # (same spill-safe pattern as get_missing's shared beat frame);
+    # release via physioview_spark.llm.release_cached_frames
+    from physioview_spark.llm import _cache
+    dg = _cache.pin(dg)
     counts = dg.groupBy("__g").agg(F.sum("__m").alias("__c"))
     topk = counts.orderBy(F.col("__c").desc(), F.col("__g").asc()) \
         .limit(int(top_k))
@@ -652,15 +653,17 @@ def tfidf_topk(
 
     Output: ``(id_col, word, tf, score, rank)``.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
+
+    from physioview_spark.llm import _cache
 
     words = df.select(id_col, F.explode(tokens(text_col)).alias("word"))
     tf = words.groupBy(id_col, "word").agg(
         F.count(F.lit(1)).cast("long").alias("tf"))
     # two downstream lineages (df-counts and the scoring join) re-expand
-    # the corpus explode without this persist
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    # the corpus explode without this persist; release via
+    # physioview_spark.llm.release_cached_frames
+    tf = _cache.pin(tf)
     dfc = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double")
                                  .alias("__df"))
     head = dfc.orderBy(F.col("__df").desc(), F.col("word").asc()) \

@@ -26,11 +26,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """One row: ``n_rows`` plus ``<rule>_violations`` per rule (count of
     rows where the rule is NOT satisfied; nulls count as violations —
-    an expectation that cannot be evaluated is not met)."""
+    an expectation that cannot be evaluated is not met). Counts are
+    coalesced to 0 on an empty frame (F.sum is NULL over zero rows;
+    a consumer checking ``violations == 0`` must not read an
+    empty-but-clean dataset as failing)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, cond in sorted(rules.items()):
         aggs.append(
-            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+            F.coalesce(
+                F.sum(F.when(F.coalesce(cond, F.lit(False)), 0)
+                      .otherwise(1)),
+                F.lit(0))
             .alias(f"{name}_violations"))
     return df.agg(*aggs)
 

@@ -23,7 +23,21 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from physioview_spark.llm import text
+from physioview_spark.streaming import state
 from physioview_spark.streaming.rolling import with_watermark_if_streaming
+
+
+def _band_writer(n_buckets: int):
+    """Band-state table writer (overwrite, batch_id-partitioned,
+    bucketed on the band join key) shared by compaction and its crash
+    recovery so the spec never diverges between the two paths."""
+    def _write(df, name, path):
+        (df.write.mode("overwrite")
+         .partitionBy("batch_id")
+         .bucketBy(n_buckets, "band", "band_hash")
+         .option("path", path)
+         .format("parquet").saveAsTable(name))
+    return _write
 
 
 def streaming_doc_curation(
@@ -89,32 +103,24 @@ def compact_near_dup_state(
 
     The consolidated rows keep ``batch_id = upto_batch_id`` so the
     processor's ``batch_id < current`` prior-read and its retry guard
-    semantics are preserved for all live batches."""
+    semantics are preserved for all live batches. The swap is the
+    crash-safe staging-first ordering of
+    :mod:`physioview_spark.streaming.state`; the batch processor
+    recovers from staging if a crash lands between drop and rewrite."""
     table = _band_table_name(state_dir)
     staging = table + "_compact"
+    bands_path = os.path.join(state_dir, "bands")
+    staging_path = os.path.join(state_dir, "bands_compact")
+    write = _band_writer(n_buckets)
+    state.recover_state_table(
+        spark, table, staging, staging_path, bands_path, write)
     src = spark.read.table(table)
     old = (src.where(F.col("batch_id") <= upto_batch_id)
            .withColumn("batch_id", F.lit(int(upto_batch_id))))
     keep = src.where(F.col("batch_id") > upto_batch_id)
-
-    def _write(df, name, path):
-        (df.write.mode("overwrite")
-         .partitionBy("batch_id")
-         .bucketBy(n_buckets, "band", "band_hash")
-         .option("path", path)
-         .format("parquet").saveAsTable(name))
-
-    import shutil
-
-    bands_path = os.path.join(state_dir, "bands")
-    staging_path = os.path.join(state_dir, "bands_compact")
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    shutil.rmtree(staging_path, ignore_errors=True)
-    _write(old.unionByName(keep), staging, staging_path)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    _write(spark.read.table(staging), table, bands_path)
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    shutil.rmtree(staging_path, ignore_errors=True)
+    state.swap_compacted(
+        spark, table, staging, staging_path, bands_path,
+        old.unionByName(keep), write)
 
 
 def streaming_near_dup_lsh(
@@ -192,6 +198,14 @@ def near_dup_batch_processor(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # an interrupted compaction may have dropped the live table
+        # with the only complete copy in staging — finish its swap
+        # rather than treating the accumulated state as empty
+        state.recover_state_table(
+            spark, table, table + "_compact",
+            os.path.join(state_dir, "bands_compact"),
+            os.path.join(state_dir, "bands"),
+            _band_writer(n_buckets))
         have_state = spark.catalog.tableExists(table)
         if have_state and (
             spark.read.table(table)

@@ -39,11 +39,25 @@ from pyspark.sql import DataFrame, functions as F
 from physioview_spark.llm.similarity import (
     assign_ivf_bucket, semantic_dedup_delta,
 )
+from physioview_spark.streaming import state
 
 
 def _vector_table_name(state_dir: str) -> str:
     h = hashlib.md5(state_dir.encode()).hexdigest()[:12]
     return f"pv_sem_state_{h}"
+
+
+def _state_writer(n_buckets: int):
+    """The vector-state table writer (overwrite, batch_id-partitioned,
+    bucketed on the join key) shared by compaction and its crash
+    recovery so the spec never diverges between the two paths."""
+    def _write(df, name, path):
+        (df.write.mode("overwrite")
+         .partitionBy("batch_id")
+         .bucketBy(n_buckets, "bucket")
+         .option("path", path)
+         .format("parquet").saveAsTable(name))
+    return _write
 
 
 def drop_semantic_state(spark, state_dir: str) -> None:
@@ -86,6 +100,14 @@ def semantic_dedup_batch_processor(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # an interrupted compaction may have dropped the live table
+        # with the only complete copy in staging — finish its swap
+        # rather than treating the accumulated corpus as empty
+        state.recover_state_table(
+            spark, table, table + "_compact",
+            os.path.join(state_dir, "vectors_compact"),
+            os.path.join(state_dir, "vectors"),
+            _state_writer(n_buckets))
         have_state = spark.catalog.tableExists(table)
         if have_state and (
             spark.read.table(table)
@@ -131,34 +153,25 @@ def compact_semantic_state(
     of ``compact_near_dup_state``: every micro-batch appends one file
     per bucket, so partitions with ``batch_id <= upto_batch_id`` are
     rewritten into one consolidated partition with the same bucketing
-    spec (read-side join plan unchanged) via a staging table + read-back
-    rewrite (the in-memory catalog's RENAME keeps stale per-partition
-    locations). Run it between micro-batches, only for batch_ids below
-    the stream's last committed checkpoint; consolidated rows keep
-    ``batch_id = upto_batch_id`` so the processor's ``batch_id <
-    current`` prior-read and retry guard are preserved."""
-    import shutil
-
+    spec (read-side join plan unchanged) via the crash-safe swap in
+    :mod:`physioview_spark.streaming.state` — staging is written fully
+    before the live table is touched, and the batch processor recovers
+    from staging if a crash lands between drop and rewrite. Run it
+    between micro-batches, only for batch_ids below the stream's last
+    committed checkpoint; consolidated rows keep ``batch_id =
+    upto_batch_id`` so the processor's ``batch_id < current``
+    prior-read and retry guard are preserved."""
     table = _vector_table_name(state_dir)
     staging = table + "_compact"
+    vec_path = os.path.join(state_dir, "vectors")
+    staging_path = os.path.join(state_dir, "vectors_compact")
+    write = _state_writer(n_buckets)
+    state.recover_state_table(
+        spark, table, staging, staging_path, vec_path, write)
     src = spark.read.table(table)
     old = (src.where(F.col("batch_id") <= upto_batch_id)
            .withColumn("batch_id", F.lit(int(upto_batch_id))))
     keep = src.where(F.col("batch_id") > upto_batch_id)
-
-    def _write(df, name, path):
-        (df.write.mode("overwrite")
-         .partitionBy("batch_id")
-         .bucketBy(n_buckets, "bucket")
-         .option("path", path)
-         .format("parquet").saveAsTable(name))
-
-    vec_path = os.path.join(state_dir, "vectors")
-    staging_path = os.path.join(state_dir, "vectors_compact")
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    shutil.rmtree(staging_path, ignore_errors=True)
-    _write(old.unionByName(keep), staging, staging_path)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    _write(spark.read.table(staging), table, vec_path)
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    shutil.rmtree(staging_path, ignore_errors=True)
+    state.swap_compacted(
+        spark, table, staging, staging_path, vec_path,
+        old.unionByName(keep), write)

@@ -444,3 +444,20 @@ class TestExpectations:
         for frame in (valid, rejected):
             plan = frame._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan
+
+    def test_validate_empty_frame_reports_zero_not_null(self, spark):
+        """r08 ADVICE: F.sum over zero rows is NULL — an empty-but-clean
+        dataset must report integer-0 violations, not NULL (a consumer's
+        `violations == 0` check would read NULL as failing)."""
+        from pyspark.sql import functions as F
+
+        from physioview_spark.operators.validate import validate
+
+        df = spark.createDataFrame([], "id long, hr double")
+        rep = validate(df, {
+            "hr_present": F.col("hr").isNotNull(),
+            "hr_in_range": (F.col("hr") >= 0) & (F.col("hr") <= 250),
+        }).first()
+        assert rep["n_rows"] == 0
+        assert rep["hr_present_violations"] == 0
+        assert rep["hr_in_range_violations"] == 0

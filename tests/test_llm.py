@@ -1507,6 +1507,29 @@ def test_tfidf_topk_closed_form_and_residual(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_release_cached_frames_drops_operator_persists(spark):
+    """Operator-internal persists (tfidf's tf frame, dedup_delta's
+    band/candidate sets, ...) accumulate storage across invocations in
+    a long-lived session (r08 ADVICE — the bench OOM'd from exactly
+    this). release_cached_frames unpersists every pinned frame; results
+    stay correct afterwards (lazy consumers just recompute)."""
+    from physioview_spark.llm import release_cached_frames
+    from physioview_spark.llm import text as T
+
+    release_cached_frames()  # start from a clean registry
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry")],
+        "doc_id long, text string")
+    out = T.tfidf_topk(df, k=5, top_vocab=100)
+    n_rows = out.count()
+    assert n_rows > 0
+    released = release_cached_frames()
+    assert released >= 1
+    assert release_cached_frames() == 0  # registry drains
+    # lazy frame still usable after release (recompute, not error)
+    assert out.count() == n_rows
+
+
 class TestDedupDeltaPrefilter:
     def test_prefilter_parity_and_plan(self, spark, docs):
         """prefilter=True (broadcast semi-join runtime filters on every
@@ -1939,3 +1962,66 @@ def test_materialize_packed_grid_conservation_and_parity(spark, docs):
     for s, rs in by_shard.items():
         want = sum(a["n_tokens"] for a in addr if a["shard"] == s)
         assert shard_tokens[s] == want, s
+
+
+def test_materialize_packed_explicit_vocab_oov(spark):
+    """Explicit-vocab OOV contract (r08 ADVICE fix): an out-of-vocab
+    token's slot is already booked in the running offsets, so it must
+    map to unk_id (slots stay aligned) or fail loudly — never be
+    silently dropped (the old inner join compacted later tokens left
+    within the window and corrupted the grid with no error)."""
+    import pytest
+
+    from physioview_spark.llm import sampling
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "MISSING", "c"]), (2, ["a", "c"])],
+        "doc_id long, bpe_tokens array<string>")
+    vocab = {"a": 10, "b": 11, "c": 12}
+
+    # unk_id path: OOV keeps its slot with the unk code
+    grid = sampling.materialize_packed(
+        df, ctx_len=4, n_shards=1, vocab=vocab, unk_id=99,
+        pad_id=0).collect()
+    assert sum(r["n_real"] for r in grid) == 6  # all slots kept
+    ids = []
+    for r in sorted(grid, key=lambda r: r["seq_id"]):
+        ids.extend(r["token_ids"][:r["n_real"]])
+    assert ids.count(99) == 1  # MISSING mapped, in place
+    assert set(ids) <= {10, 11, 12, 99}
+
+    # no-unk path: loud failure, not silent corruption
+    with pytest.raises(Exception, match="not in vocab"):
+        sampling.materialize_packed(
+            df, ctx_len=4, n_shards=1, vocab=vocab).collect()
+
+    # complete vocab with no unk_id still works unchanged
+    ok = sampling.materialize_packed(
+        df.where(F.col("doc_id") == 2), ctx_len=4, n_shards=1,
+        vocab=vocab).collect()
+    assert sum(r["n_real"] for r in ok) == 2
+
+
+def test_packing_null_token_rows_do_not_corrupt_offsets(spark):
+    """F.size(NULL)=-1 must not decrement running offsets (r08 ADVICE
+    fix): a null-tokens document contributes 0 slots in
+    materialize_packed, and a null text contributes 0 tokens in
+    pack_sequences — offsets stay non-negative and monotone."""
+    from physioview_spark.llm import sampling
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, None), (3, ["c"])],
+        "doc_id long, bpe_tokens array<string>")
+    grid = sampling.materialize_packed(
+        df, ctx_len=4, n_shards=1, pad_id=0).collect()
+    assert sum(r["n_real"] for r in grid) == 3
+    for r in grid:
+        assert len(r["token_ids"]) == 4
+
+    txt = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "c")], "doc_id long, text string")
+    addr = sampling.pack_sequences(txt, ctx_len=4, n_shards=1).collect()
+    by_id = {r["doc_id"]: r for r in addr}
+    assert by_id[2]["n_tokens"] == 0
+    assert all(r["start_offset"] >= 0 for r in addr)
+    assert sum(r["n_tokens"] for r in addr) == 3

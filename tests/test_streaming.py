@@ -570,3 +570,100 @@ def test_semantic_state_compaction_preserves_decisions(spark, tmp_path):
         drop_semantic_state(spark, state)
     assert outs["plain"] == outs["compacted"]
     assert len(outs["plain"]) == 3
+
+
+def test_semantic_state_compaction_crash_recovery(spark, tmp_path):
+    """A crash between compaction's drop-live and rewrite-live (the
+    r08 ADVICE window) must NOT make the next micro-batch treat the
+    accumulated corpus as empty: the processor finds the complete
+    staging copy and finishes the swap, so a duplicate of a batch-0
+    vector is still dropped."""
+    import numpy as np
+
+    from physioview_spark.streaming.embeddings import (
+        _state_writer, _vector_table_name, drop_semantic_state,
+        semantic_dedup_batch_processor,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 8)
+    sch = "vec_id long, embedding array<float>"
+
+    def vec(i):
+        return [float(x) for x in base[i]]
+
+    def jit(i):
+        return [float(x) for x in base[i] + 0.01 * rng.randn(8)]
+
+    cents = [vec(i) for i in range(0, 6, 2)]
+    state_dir = str(tmp_path / "crashstate")
+    proc = semantic_dedup_batch_processor(state_dir, cents,
+                                          threshold=0.95)
+    proc(spark.createDataFrame([(0, vec(0)), (1, vec(1))], sch), 0)
+    proc(spark.createDataFrame([(10, vec(2))], sch), 1)
+
+    # simulate the crash: replay compaction's steps and stop right
+    # after the live table is dropped (staging written, live gone)
+    import os
+
+    table = _vector_table_name(state_dir)
+    staging = table + "_compact"
+    staging_path = os.path.join(state_dir, "vectors_compact")
+    write = _state_writer(8)
+    src = spark.read.table(table)
+    consolidated = src.withColumn("batch_id", F.lit(1))
+    write(consolidated, staging, staging_path)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert not spark.catalog.tableExists(table)  # the lethal window
+
+    # next micro-batch: 20 duplicates vector 0 from the pre-crash state
+    proc(spark.createDataFrame([(20, jit(0)), (21, vec(3))], sch), 2)
+    dec = {r["vec_id"]: r["decision"] for r in
+           spark.read.parquet(state_dir + "/decisions")
+           .where(F.col("batch_id") == 2).collect()}
+    assert dec[20] == "drop_corpus_dup"  # state was recovered, not empty
+    assert dec[21] == "keep"
+    # the swap finished: live table holds all state, staging is gone
+    assert spark.catalog.tableExists(table)
+    assert not spark.catalog.tableExists(staging)
+    vecs = spark.read.table(table)
+    assert vecs.count() == 5
+    drop_semantic_state(spark, state_dir)
+
+
+def test_near_dup_state_compaction_crash_recovery(spark, tmp_path):
+    """Same window for the band table: after an interrupted
+    compaction the next micro-batch must still pair against
+    pre-crash members."""
+    import os
+
+    from physioview_spark.streaming.documents import (
+        _band_table_name, _band_writer, drop_near_dup_state,
+        near_dup_batch_processor,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    sch = "doc_id long, text string"
+    state_dir = str(tmp_path / "ndcrash")
+    proc = near_dup_batch_processor(state_dir)
+    proc(spark.createDataFrame([(0, base), (1, "totally different "
+                                              "words here")], sch), 0)
+
+    table = _band_table_name(state_dir)
+    staging = table + "_compact"
+    write = _band_writer(8)
+    consolidated = spark.read.table(table).withColumn(
+        "batch_id", F.lit(0))
+    write(consolidated, staging,
+          os.path.join(state_dir, "bands_compact"))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert not spark.catalog.tableExists(table)
+
+    proc(spark.createDataFrame([(5, base)], sch), 1)  # dup of doc 0
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             spark.read.parquet(state_dir + "/pairs")
+             .where(F.col("batch_id") == 1).collect()}
+    assert (0, 5) in pairs  # pre-crash member found via recovery
+    assert spark.catalog.tableExists(table)
+    assert not spark.catalog.tableExists(staging)
+    drop_near_dup_state(spark, state_dir)
