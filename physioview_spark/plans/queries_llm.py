@@ -767,6 +767,71 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, ctx_len=256, n_shards=4, seed=42)
 
 
+@q("doc_materialize_packed", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id, toks, h,
+         CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 4
+              AS BIGINT) AS shard,
+         CAST(len(toks) AS BIGINT) AS nt
+  FROM t
+), c AS (
+  SELECT doc_id, toks, shard,
+         SUM(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+           AS off
+  FROM sh
+), tok AS (
+  SELECT shard, toks[i.i] AS tk, c.off + i.i - 1 AS g
+  FROM c, UNNEST(generate_series(1, len(toks))) AS i(i)
+), vocab AS (
+  SELECT tk, CAST(ROW_NUMBER() OVER (ORDER BY tk) AS INT) AS tid
+  FROM (SELECT DISTINCT tk FROM tok)
+), rl AS (
+  SELECT t.shard, CAST(FLOOR(g / 64.0) AS BIGINT) AS seq_id,
+         CAST(g % 64 AS INT) AS slot, v.tid AS token_id
+  FROM tok t JOIN vocab v USING (tk)
+), nr AS (
+  SELECT shard, seq_id, CAST(COUNT(*) AS INT) AS n_real
+  FROM rl GROUP BY shard, seq_id
+)
+SELECT shard, seq_id, n_real, slot, token_id FROM (
+  SELECT r.shard, r.seq_id, nr.n_real, r.slot, r.token_id
+  FROM rl r JOIN nr USING (shard, seq_id)
+  UNION ALL
+  SELECT nr.shard, nr.seq_id, nr.n_real, CAST(s.s AS INT) AS slot,
+         0 AS token_id
+  FROM nr, UNNEST(generate_series(0, 63)) AS s(s)
+  WHERE s.s >= nr.n_real
+)
+""")
+def doc_materialize_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized token-id grid (llm/sampling.py
+    materialize_packed — the terminal dataloader artifact): a 1/5
+    modulo slice of the documents table, whitespace-tokenized, packed
+    head-to-tail into 4 shards x 64-token context windows with an
+    auto-derived alphabetical vocabulary and pad_id 0. Declared output
+    is the grid FLATTENED to (shard, seq_id, n_real, slot, token_id)
+    rows (scalar-only contract); the oracle rebuilds the md5 shard
+    digits, the per-shard running offsets, the vocabulary ranks, and
+    the padding tail entirely in SQL, so every slot of every window
+    hash-matches."""
+    from physioview_spark.llm.text import tokens
+
+    docs = read(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 5 == 0)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    grid = sampling.materialize_packed(
+        toks, tokens_col="toks", ctx_len=64, n_shards=4, pad_id=0)
+    return grid.select(
+        "shard", "seq_id", "n_real",
+        F.posexplode("token_ids").alias("slot", "token_id"))
+
+
 @q("doc_script_profile", """
 WITH c AS (
   SELECT doc_id,
@@ -1324,6 +1389,88 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, emb.where(F.col("vec_id") < 10), codebooks, k=5)
 
 
+@q("embedding_ann_ivfpq", """
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+), dists AS (
+  SELECT v.vec_id, c.cid,
+         list_distance(v.embedding::DOUBLE[], c.e) AS d
+  FROM embeddings v, cents c
+), assigned AS (
+  SELECT vec_id, cid AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn FROM dists)
+  WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+        FROM dists WHERE vec_id < 10)
+  WHERE rn <= 3
+), sub AS (
+  SELECT v.vec_id, j.j AS sub, c.cid,
+         list_distance(list_slice(v.embedding::DOUBLE[],
+                                  j.j * 8 + 1, j.j * 8 + 8),
+                       list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)) AS d
+  FROM embeddings v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+), codes AS (
+  SELECT vec_id, sub, cid AS code
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, cid) AS rn FROM sub)
+  WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, j.j AS sub, c.cid AS code,
+         ROUND(list_dot_product(list_slice(q.embedding::DOUBLE[],
+                                           j.j * 8 + 1, j.j * 8 + 8),
+                                list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)),
+               9) AS dp
+  FROM embeddings q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  WHERE q.vec_id < 10
+), scored AS (
+  SELECT l.query_id, co.vec_id AS match_id, ROUND(SUM(l.dp), 6) AS score
+  FROM probes p
+  JOIN assigned a ON a.bucket = p.bucket
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = p.query_id
+            AND l.sub = co.sub AND l.code = co.code
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, match_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+""")
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (llm/pq.py ivfpq_topk — the FAISS IndexIVFPQ shape):
+    a coarse quantizer routes each query to its 3 nearest buckets, and
+    PQ asymmetric-distance scoring runs only over those buckets' codes
+    — per-query cost drops from O(N) lookups to O(N * n_probe /
+    n_cells) while storage stays m bytes per vector.
+
+    Driver-checked with BOTH codebooks anchored on the deterministic
+    seed vectors (coarse = full seed embeddings, PQ = their subspace
+    slices) so the oracle rebuilds the identical two-level index in
+    SQL; the trained path (train_ivf_centroids + train_pq) holds its
+    recall bound in pytest."""
+    from physioview_spark.llm import pq
+
+    emb = read(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    d = len(seeds[0]) // 8
+    codebooks = [[s[j * d:(j + 1) * d] for s in seeds] for j in range(8)]
+    codes = pq.encode_pq(emb, codebooks).withColumn(
+        "bucket", similarity.assign_ivf_bucket(F.col("embedding"), seeds))
+    return pq.ivfpq_topk(
+        codes, emb.where(F.col("vec_id") < 10), seeds, codebooks,
+        k=5, n_probe=3)
+
+
 @q("embedding_semantic_dedup_delta", """
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -1407,6 +1554,153 @@ def embedding_semantic_dedup_delta(
         "vec_id", "decision",
         F.coalesce("match_id", F.lit(-1)).alias("match_id"),
         F.coalesce("sim", F.lit(-1.0)).alias("sim"))
+
+
+@q("streaming_semantic_dedup", """
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding
+  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+), dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, CAST(vec_id % 2 AS INT) AS batch,
+         cid AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn FROM dists)
+  WHERE rn = 1
+), corp_best AS (
+  SELECT vec_id, mid, sim FROM (
+    SELECT n.vec_id, c.vec_id AS mid,
+           ROUND(list_cosine_similarity(n.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(
+                                  n.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]), 6) DESC,
+                              c.vec_id) AS rn
+    FROM assigned n JOIN assigned c
+      ON n.bucket = c.bucket AND c.batch < n.batch
+    WHERE ROUND(list_cosine_similarity(n.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[]), 6) >= 0.95
+  ) WHERE rn = 1
+), batch_best AS (
+  SELECT vec_id, mid, sim FROM (
+    SELECT hi.vec_id, lo.vec_id AS mid,
+           ROUND(list_cosine_similarity(lo.embedding::DOUBLE[],
+                                        hi.embedding::DOUBLE[]), 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY hi.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(
+                                  lo.embedding::DOUBLE[],
+                                  hi.embedding::DOUBLE[]), 6) DESC,
+                              lo.vec_id) AS rn
+    FROM assigned lo JOIN assigned hi
+      ON lo.bucket = hi.bucket AND lo.batch = hi.batch
+     AND lo.vec_id < hi.vec_id
+    WHERE ROUND(list_cosine_similarity(lo.embedding::DOUBLE[],
+                                       hi.embedding::DOUBLE[]), 6) >= 0.95
+  ) WHERE rn = 1
+)
+SELECT n.vec_id,
+       CASE WHEN c.mid IS NOT NULL THEN 'drop_corpus_dup'
+            WHEN b.mid IS NOT NULL THEN 'drop_batch_dup'
+            ELSE 'keep' END AS decision,
+       COALESCE(c.mid, b.mid, -1) AS match_id,
+       COALESCE(c.sim, b.sim, -1.0) AS sim
+FROM assigned n
+LEFT JOIN corp_best c ON c.vec_id = n.vec_id
+LEFT JOIN batch_best b ON b.vec_id = n.vec_id
+""")
+def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch unification for SEMANTIC dedup, hash-gated: the
+    embeddings table replays as TWO micro-batches (vec_id parity, even
+    file written first) through the incremental SemDeDup operator
+    (:func:`physioview_spark.streaming.embeddings
+    .streaming_semantic_dedup` — foreachBatch against an accumulating
+    bucketed vector table). The oracle recomputes every decision in
+    SQL from the batch order: a drop_corpus_dup needs a same-bucket
+    >=0.95 match in an EARLIER batch (best sim, ties on lowest id), a
+    drop_batch_dup a lower-id match within the SAME batch — so
+    cross-batch decisions only hash-match if the accumulated-state
+    join works. Scratch input/checkpoint/state live in a tempfile dir
+    removed (and the managed vector table dropped) before returning;
+    decisions are rehosted through the driver (same pattern as
+    ``streaming_near_dup_pairs``)."""
+    import shutil
+    import tempfile
+
+    from physioview_spark.streaming import await_stream
+    from physioview_spark.streaming.embeddings import (
+        drop_semantic_state, streaming_semantic_dedup as stream_op,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    tmp = tempfile.mkdtemp(prefix="pv_stream_sem_")
+    try:
+        (emb.where(F.col("vec_id") % 2 == 0).coalesce(1)
+         .write.mode("append").parquet(f"{tmp}/in"))
+        (emb.where(F.col("vec_id") % 2 == 1).coalesce(1)
+         .write.mode("append").parquet(f"{tmp}/in"))
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in"))
+        q_ = (stream_op(stream, f"{tmp}/state", cents, threshold=0.95)
+              .trigger(availableNow=True)
+              .option("checkpointLocation", f"{tmp}/ckpt").start())
+        await_stream(q_)
+        out = (spark.read.parquet(f"{tmp}/state/decisions")
+               .select("vec_id", "decision",
+                       F.coalesce("match_id", F.lit(-1))
+                       .alias("match_id"),
+                       F.coalesce("sim", F.lit(-1.0)).alias("sim")))
+        rows, schema = out.collect(), out.schema
+    finally:
+        drop_semantic_state(spark, f"{tmp}/state")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@q("doc_validate_report", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN lang IS NOT NULL
+                              THEN 0 ELSE 1 END), 0) AS BIGINT)
+           AS lang_present_violations,
+       CAST(COALESCE(SUM(CASE WHEN n_chars = length(text)
+                              THEN 0 ELSE 1 END), 0) AS BIGINT)
+           AS n_chars_consistent_violations,
+       CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL AND length(text) > 0
+                              THEN 0 ELSE 1 END), 0) AS BIGINT)
+           AS text_present_violations
+FROM documents
+""")
+def doc_validate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations
+    (operators/validate.py:validate) over the documents table: three
+    named rules evaluated in ONE map-side-combinable projection — a
+    1-row report, no shuffle of the data. Null rule results count as
+    violations; counts coalesce to 0 on empty input (r08 fix)."""
+    from physioview_spark.operators.validate import validate
+
+    docs = read(spark, sf_dir, "documents")
+    rep = validate(docs, {
+        "lang_present": F.col("lang").isNotNull(),
+        "n_chars_consistent": F.col("n_chars") == F.length("text"),
+        "text_present": F.col("text").isNotNull() & (F.length("text") > 0),
+    })
+    return rep.select(
+        "n_rows",
+        F.col("lang_present_violations").cast("long")
+        .alias("lang_present_violations"),
+        F.col("n_chars_consistent_violations").cast("long")
+        .alias("n_chars_consistent_violations"),
+        F.col("text_present_violations").cast("long")
+        .alias("text_present_violations"))
 
 
 @q("multimodal_audio_features")
