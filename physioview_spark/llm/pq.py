@@ -174,10 +174,12 @@ def ivfpq_topk(
     SAME centroids) alongside ``codes_col`` — assign once at encode
     time and both columns persist together. The probe join is an
     equi-join on bucket id with the broadcast query side (same shape
-    as ivf_topk); scoring is the same JVM LUT aggregate as
-    :func:`pq_topk`. Output: ``(query_id, match_id, score, rank)``.
+    as ivf_topk); probes gear-switch with the codebook size
+    (:func:`~physioview_spark.llm.similarity.probe_ivf_buckets`);
+    scoring is the same JVM LUT aggregate as :func:`pq_topk`.
+    Output: ``(query_id, match_id, score, rank)``.
     """
-    from physioview_spark.llm.similarity import _centroid_dists
+    from physioview_spark.llm.similarity import probe_ivf_buckets
 
     m = len(codebooks)
     d = len(codebooks[0][0])
@@ -195,11 +197,10 @@ def ivfpq_topk(
     qf = spark.createDataFrame(
         lut_rows,
         "query_id long, __qv array<double>, __lut array<array<double>>")
-    pairs = F.transform(
-        _centroid_dists(F.col("__qv"), centroids),
-        lambda dd, i: F.struct(dd.alias("d"), i.alias("bucket")))
-    probes = F.slice(F.array_sort(pairs), 1, n_probe)
-    q = (qf.withColumn(bucket_col, F.explode(probes["bucket"]))
+    q = (qf.withColumn(
+            bucket_col,
+            F.explode(probe_ivf_buckets(F.col("__qv"), centroids,
+                                        n_probe)))
          .select("query_id", "__lut", bucket_col))
     score = F.round(F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),

@@ -630,6 +630,59 @@ def assign_ivf_bucket(
     return _assign(vec)
 
 
+def probe_ivf_buckets(
+    vec: Column,
+    centroids: list[list[float]],
+    n_probe: int,
+    method: str = "auto",
+) -> Column:
+    """Array of the ``n_probe`` nearest centroid ids (ascending
+    distance, ties to the lowest id) — the multi-probe sibling of
+    :func:`assign_ivf_bucket`, with the same two gears and the same
+    auto threshold:
+
+    - ``expr``: literal centroid-distance expressions + one array_sort
+      — right for small codebooks (the oracle-pinned k=8 queries).
+    - ``pandas``: Arrow-vectorized argpartition over a NumPy matmul.
+      Literal expressions grow as k x dim in CODE size, and the r08
+      ANN bench measured the k=126/dim=64 probe paying ~1.2 MB task
+      binaries and seconds of codegen before touching any data (the
+      cost is per-plan, not per-row) — at the sqrt(N) codebooks real
+      corpora need, the vectorized gear is the only viable one.
+
+    As with assign_ivf_bucket, FP rounding differs between the two
+    formulas, so near-tie probe sets can differ between gears; auto
+    keeps small (oracle-pinned) codebooks on the deterministic expr
+    gear.
+    """
+    if method == "auto":
+        method = "pandas" if len(centroids) * len(centroids[0]) > 1024 \
+            else "expr"
+    if method == "expr":
+        pairs = F.transform(
+            _centroid_dists(vec, centroids),
+            lambda d, i: F.struct(d.alias("d"), i.alias("bucket")))
+        return F.slice(F.array_sort(pairs), 1, n_probe)["bucket"]
+    if method != "pandas":
+        raise ValueError(f"method must be auto|expr|pandas, got {method!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    p = min(n_probe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        scores = -2.0 * (X @ C.T) + c2
+        # stable full argsort: ascending distance, ties to lowest id
+        # (argpartition would be O(k) but breaks ties arbitrarily)
+        order = np.argsort(scores, axis=1, kind="stable")[:, :p]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    return _probe(vec)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -639,29 +692,30 @@ def ivf_topk(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their
     nearest-centroid bucket; each query probes its ``n_probe`` closest
     buckets and re-ranks exactly inside them.
 
     The scale path next to LSH: the corpus is scanned once to assign
-    buckets (pure JVM expressions), the probe join is an equi-join on
-    bucket id with the (small) query side broadcast — no cross product,
-    and recall is tunable via n_probe instead of hash width.
+    buckets, the probe join is an equi-join on bucket id with the
+    (small) query side broadcast — no cross product, and recall is
+    tunable via n_probe instead of hash width. Both the corpus
+    assignment and the query probes pick the expr/pandas gear by the
+    codebook's k x dim (see :func:`probe_ivf_buckets`).
     """
     c = corpus.select(
         F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("bucket", assign_ivf_bucket(F.col("__cv"), centroids))
+    ).withColumn("bucket", assign_ivf_bucket(F.col("__cv"), centroids,
+                                             method=method))
 
     qd = queries.select(
-        F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__d", _centroid_dists(F.col("__qv"), centroids))
-    # n_probe nearest buckets: sort (dist, idx) pairs, take the head
-    pairs = F.transform(
-        F.col("__d"),
-        lambda d, i: F.struct(d.alias("d"), i.alias("bucket")))
-    probes = F.slice(F.array_sort(pairs), 1, n_probe)
-    q = (qd.withColumn("bucket", F.explode(probes["bucket"]))
+        F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q = (qd.withColumn(
+            "bucket",
+            F.explode(probe_ivf_buckets(F.col("__qv"), centroids,
+                                        n_probe, method=method)))
          .select("query_id", "__qv", "bucket"))
 
     scored = (

@@ -1881,6 +1881,59 @@ def test_ivfpq_matches_full_pq_within_probed_buckets(spark):
     buckets = {r["vec_id"]: r["bucket"] for r in enc.collect()}
     for r in got:
         assert buckets[r["match_id"]] == buckets[r["query_id"]]
+    # plan shape (r08 audit): the probe join is a broadcast equi-join
+    # on bucket id (never a nested loop over the full corpus), the
+    # per-query top-k rewrites to WindowGroupLimit, and only the
+    # reduced score rows cross an exchange
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_probe_ivf_buckets_gear_parity(spark):
+    """The expr and pandas probe gears must agree on well-separated
+    data (near-ties are the documented divergence caveat, as with
+    assign_ivf_bucket): same n_probe bucket ids, same order, ties to
+    the lowest centroid id. The r08 ANN bench found the literal-expr
+    probe paying ~1.2 MB task binaries at k=126 — the pandas gear is
+    the scale path, so its semantics must be pinned."""
+    import numpy as np
+
+    from physioview_spark.llm.similarity import probe_ivf_buckets
+
+    rng = np.random.RandomState(21)
+    cents = rng.randn(12, 16)
+    cents /= np.linalg.norm(cents, axis=1)[:, None]
+    cl = [[float(x) for x in c] for c in cents]
+    rows = []
+    for i in range(40):
+        c = i % 12
+        v = cents[c] + 0.03 * rng.randn(16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for gear in ("expr", "pandas"):
+        got[gear] = {r["vec_id"]: list(r["p"]) for r in df.select(
+            "vec_id", probe_ivf_buckets(
+                F.col("embedding"), cl, 3, method=gear).alias("p")
+        ).collect()}
+    assert got["expr"] == got["pandas"]
+    # nearest probe == assign_ivf_bucket, and it is the home cluster
+    for i, probes in got["expr"].items():
+        assert probes[0] == i % 12
+        assert len(probes) == 3
+    # exact-tie determinism on the pandas gear: duplicated centroids
+    # must probe in ascending id order
+    dup = [cl[0], cl[0], cl[1]]
+    out = {r["vec_id"]: list(r["p"]) for r in df.select(
+        "vec_id", probe_ivf_buckets(
+            F.col("embedding"), dup, 2, method="pandas").alias("p")
+    ).collect()}
+    for probes in out.values():
+        assert probes[0] != 1 or probes != [1, 0]  # 0 before 1 on tie
+        if 0 in probes and 1 in probes:
+            assert probes.index(0) < probes.index(1)
 
 
 def test_train_quality_classifier_roundtrips_into_score_linear(spark):
