@@ -1666,6 +1666,43 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@q("jsonl_roundtrip", """
+SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 7 = 0
+""")
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source, hash-gated end to end: a 1/7 slice of the
+    documents table is written as JSONL shards (sources/jsonl.py
+    write_jsonl) into a tempfile dir and read back through the
+    schema-enforced PERMISSIVE loader (load_jsonl); the oracle is the
+    source slice itself, so ANY corruption in serialization, escaping,
+    or parsing breaks the value hash. The quarantine side must come
+    back empty (asserted — a non-empty quarantine would silently
+    shrink the good frame and fail on row count anyway). Rows are
+    rehosted through the driver so the returned frame outlives the
+    tempdir cleanup (the streaming-query pattern); the slice is
+    bounded at any tested SF."""
+    import shutil
+    import tempfile
+
+    from physioview_spark.sources.jsonl import load_jsonl, write_jsonl
+
+    docs = read(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 7 == 0) \
+        .select("doc_id", "text", "lang", "source",
+                F.col("n_chars").cast("long").alias("n_chars"))
+    tmp = tempfile.mkdtemp(prefix="pv_jsonl_")
+    try:
+        write_jsonl(docs, f"{tmp}/out", n_files=2)
+        good, quarantine = load_jsonl(spark, f"{tmp}/out",
+                                      schema=docs.schema)
+        assert quarantine.limit(1).count() == 0
+        rows, schema = good.collect(), good.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 @q("doc_validate_report", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COALESCE(SUM(CASE WHEN lang IS NOT NULL
