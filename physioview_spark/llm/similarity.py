@@ -106,21 +106,33 @@ def cosine_topk(
     )
 
 
+def _plane_components(plane_id: int, dim: int) -> list[float]:
+    """Hyperplane components, computed ONCE driver-side: deterministic
+    pseudo-randoms in [-0.5, 0.5) from md5(plane||dim-index) —
+    bit-identical to any engine recomputing the same digests (the
+    DuckDB oracles do), and exactly representable doubles (n/2^32 is
+    exact scaling, 0.5 exact)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"h{plane_id}|{i}".encode()).hexdigest()[:8], 16)
+        / float(1 << 32) - 0.5
+        for i in range(dim)
+    ]
+
+
 def _plane_dot(vec: Column, plane_id: int, dim: int) -> Column:
-    """<vec, h_plane>: h components are deterministic pseudo-randoms in
-    [-0.5, 0.5) from md5(plane||dim-index) — reproducible everywhere."""
-    comps = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"h{plane_id}|"), i.cast("string"))),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("double") / F.lit(float(1 << 32)) - 0.5
-        ),
-    )
+    """<vec, h_plane> with the plane folded to a LITERAL array.
+
+    The pre-r08 version derived each component with per-row md5
+    expressions — the index came from a ``sequence`` column, so
+    Catalyst could not constant-fold and every row paid dim digests
+    per plane (1024 md5/row at 16 planes x dim 64; the r08 ANN bench
+    measured LSH slower than brute force because of it). The fold
+    over the literal array keeps the exact same multiply-add order,
+    so signatures are bit-identical to the old gear and to the SQL
+    oracles."""
+    comps = F.array(*[F.lit(c) for c in _plane_components(plane_id, dim)])
     return F.aggregate(
         F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
         F.lit(0.0),
