@@ -224,6 +224,7 @@ def lsh_topk(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: only pairs sharing an LSH bucket are scored.
 
@@ -242,7 +243,15 @@ def lsh_topk(
     side at 100 TB; the query side is broadcast). Candidates reached
     via several bands/probes are deduplicated on (query_id, match_id)
     before the exact re-rank. Recall measured against ``cosine_topk``
-    in tests.
+    in tests. ``method='arrow'`` swaps the re-rank's per-pair cosine
+    for the Arrow batch form — MEASURED SLOWER here at high candidate
+    fan-out (expr 6.8-8.9 s vs arrow 9-12.6 s on the 160k ANN bench):
+    per-pair Arrow ships both vectors per candidate across the Python
+    boundary, while the JVM fold rides whole-stage codegen. Kept for
+    shapes with few, wide candidates; the true scale gear for massive
+    candidate sets is the per-bucket matmul (``embedding_near_dups``
+    ``method='matmul'``), where each vector crosses the boundary once
+    per bucket, not once per pair.
     """
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -256,8 +265,8 @@ def lsh_topk(
         scored = (
             cb.join(F.broadcast(qb), "bucket")
             .where(F.col("query_id") != F.col("match_id"))
-            .withColumn("sim",
-                        F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+            .withColumn("sim", F.round(_cosine_by(method)(
+                F.col("__qv"), F.col("__cv")), 6))
         )
         out_cols = ["query_id", "bucket", "match_id", "sim", "rank"]
     else:
@@ -275,8 +284,8 @@ def lsh_topk(
             cb.join(F.broadcast(qb), ["band", "bucket"])
             .where(F.col("query_id") != F.col("match_id"))
             .dropDuplicates(["query_id", "match_id"])
-            .withColumn("sim",
-                        F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+            .withColumn("sim", F.round(_cosine_by(method)(
+                F.col("__qv"), F.col("__cv")), 6))
         )
         out_cols = ["query_id", "match_id", "sim", "rank"]
     w = Window.partitionBy("query_id").orderBy(

@@ -135,6 +135,25 @@ def test_lsh_topk_recall(spark, vectors):
     assert (3, 7) in a
 
 
+def test_lsh_topk_arrow_gear_parity(spark, vectors):
+    """method='arrow' swaps the re-rank's per-pair cosine expressions
+    for the Arrow batch gear (r08: candidate scoring dominates LSH
+    once signatures are literal-folded). Signatures are shared, so the
+    candidate set is identical; 6-decimal-rounded sims must match the
+    expr gear on both the single-band and multi-band paths."""
+    for kw in ({"n_planes": 2, "dim": 16},
+               {"n_planes": 2, "dim": 16, "n_bands": 3, "n_probe": 1}):
+        expr = similarity.lsh_topk(
+            vectors.where(F.col("vec_id") < 10), vectors, k=3, **kw)
+        arrow = similarity.lsh_topk(
+            vectors.where(F.col("vec_id") < 10), vectors, k=3,
+            method="arrow", **kw)
+        cols = ["query_id", "match_id", "sim", "rank"]
+        a = sorted(tuple(r[c] for c in cols) for r in expr.collect())
+        b = sorted(tuple(r[c] for c in cols) for r in arrow.collect())
+        assert a == b, kw
+
+
 def test_lsh_topk_multiband_recall(spark, vectors):
     """OR-of-bands ANN: recall >=0.9 vs brute force at the same
     bucket-equi-join cost shape (single band at these plane counts is
