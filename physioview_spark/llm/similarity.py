@@ -853,12 +853,31 @@ def semantic_dedup_delta(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     prefilter: bool = True,
+    corpus_bucket_col: str | None = None,
+    scoring: str = "expr",
 ) -> DataFrame:
     """Incremental SemDeDup: score a NEW embedding batch against an
     EXISTING corpus without re-pairing the corpus with itself — the
     embedding twin of :func:`physioview_spark.llm.dedup.dedup_delta`
     (daily increments into a deduplicated reference corpus, same
     centroids across increments so bucket geometry is stable).
+
+    ``corpus_bucket_col`` names a PRECOMPUTED bucket column on the
+    corpus: assignment is then skipped for the corpus side. CAVEAT,
+    measured (r08): when the corpus is a table bucketed on that column
+    the join skips the Exchange — and with it AQE's skew-splitting of
+    the k fat partitions a k-cell coarse quantizer produces (the join
+    key has only k distinct values). On such low-cardinality keys the
+    exchange IS the scale mechanism and the bucketed read ran 7x
+    slower; use this parameter to skip re-assignment cost on an
+    already-bucketed FRAME, not to chase exchange elimination.
+    ``scoring='pandas'`` swaps the per-pair cosine expressions for one
+    per-bucket normalized Gram matmul (each vector crosses the Python
+    boundary once per bucket, not once per pair — the winning side of
+    the r08 boundary-crossing rule); same 6-decimal rounding,
+    threshold, and (sim desc, id asc) tie-break as the expr gear,
+    parity-tested. ``'auto'`` follows the k*dim switch so the
+    oracle-pinned seed-codebook queries stay byte-deterministic.
 
     One decision row per new vector: ``(id_col, decision, match_id,
     sim)`` with ``decision`` in ``drop_corpus_dup`` (a corpus vector in
@@ -888,8 +907,12 @@ def semantic_dedup_delta(
         new.select(id_col, vec_col)
         .withColumn("bucket", assign_ivf_bucket(F.col(vec_col), centroids))
     )
-    vc = corpus.select(id_col, vec_col).withColumn(
-        "bucket", assign_ivf_bucket(F.col(vec_col), centroids))
+    if corpus_bucket_col is not None:
+        vc = corpus.select(
+            id_col, vec_col, F.col(corpus_bucket_col).alias("bucket"))
+    else:
+        vc = corpus.select(id_col, vec_col).withColumn(
+            "bucket", assign_ivf_bucket(F.col(vec_col), centroids))
     if prefilter:
         vc = vc.join(F.broadcast(vn.select("bucket").distinct()),
                      "bucket", "semi")
@@ -902,51 +925,131 @@ def semantic_dedup_delta(
             .where(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-    bn = vn.select(F.col(id_col).alias("__nid"),
-                   F.col(vec_col).alias("__nv"), "bucket")
-    bc = vc.select(F.col(id_col).alias("__cid"),
-                   F.col(vec_col).alias("__cv"), "bucket")
-    wn = Window.partitionBy("__nid").orderBy(
-        F.desc("__sim"), F.asc("__mid"))
-    corp_best = (
-        bn.join(bc, "bucket")
-        .withColumn("__sim", F.round(cosine(F.col("__nv"),
-                                            F.col("__cv")), 6))
-        .where(F.col("__sim") >= threshold)
-        .select("__nid", F.col("__cid").alias("__mid"), "__sim")
-        .withColumn("__rn", F.row_number().over(wn))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    lo = vn.select(F.col(id_col).alias("__lo"),
-                   F.col(vec_col).alias("__lv"), "bucket")
-    hi = vn.select(F.col(id_col).alias("__nid"),
-                   F.col(vec_col).alias("__hv"), "bucket")
-    batch_best = (
-        lo.join(hi, "bucket")
-        .where(F.col("__lo") < F.col("__nid"))
-        .withColumn("__sim", F.round(cosine(F.col("__lv"),
-                                            F.col("__hv")), 6))
-        .where(F.col("__sim") >= threshold)
-        .select("__nid", F.col("__lo").alias("__mid"), "__sim")
-        .withColumn("__rn", F.row_number().over(wn))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    c = corp_best.select("__nid", F.col("__mid").alias("__c_mid"),
-                         F.col("__sim").alias("__c_sim"))
-    b = batch_best.select("__nid", F.col("__mid").alias("__b_mid"),
-                          F.col("__sim").alias("__b_sim"))
-    return (
-        vn.select(F.col(id_col).alias("__nid"))
-        .join(c, "__nid", "left")
-        .join(b, "__nid", "left")
-        .select(
-            F.col("__nid").alias(id_col),
-            F.when(F.col("__c_mid").isNotNull(), "drop_corpus_dup")
-            .when(F.col("__b_mid").isNotNull(), "drop_batch_dup")
-            .otherwise("keep").alias("decision"),
-            F.coalesce("__c_mid", "__b_mid").alias("match_id"),
-            F.coalesce("__c_sim", "__b_sim").alias("sim"),
+    if scoring == "auto":
+        scoring = "pandas" if len(centroids) * len(centroids[0]) > 1024 \
+            else "expr"
+    if scoring == "pandas":
+        thr = float(threshold)
+        union = (
+            vn.select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).alias("__v"), "bucket",
+                      F.lit(1).alias("__new"))
+            .unionByName(vc.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"), "bucket",
+                F.lit(0).alias("__new")))
         )
+
+        def _bucket_best(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["__id"].to_numpy()
+            is_new = pdf["__new"].to_numpy() == 1
+            ni = np.where(is_new)[0]
+            if len(ni) == 0:
+                return pd.DataFrame({
+                    "__nid": ids[:0], "__c_mid": ids[:0],
+                    "__c_sim": np.array([], dtype=np.float64),
+                    "__b_mid": ids[:0],
+                    "__b_sim": np.array([], dtype=np.float64)})
+            X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            zero = norms == 0.0
+            norms[zero] = 1.0
+            U = X / norms[:, None]
+            S = np.round(U @ U.T, 6)
+            S[zero, :] = np.nan  # zero-norm never similar (JVM nullif)
+            S[:, zero] = np.nan
+            ci = np.where(~is_new)[0]
+            ci = ci[np.argsort(ids[ci], kind="stable")]  # ties -> low id
+            nid_sorted = ni[np.argsort(ids[ni], kind="stable")]
+            out = []
+            for i in nid_sorted:
+                c_mid = c_sim = b_mid = b_sim = None
+                if len(ci):
+                    sims = S[i, ci]
+                    with np.errstate(invalid="ignore"):
+                        ok = sims >= thr
+                    if ok.any():
+                        mx = sims[ok].max()
+                        j = ci[int(np.argmax(sims == mx))]
+                        c_mid, c_sim = int(ids[j]), float(mx)
+                lower = nid_sorted[ids[nid_sorted] < ids[i]]
+                if len(lower):
+                    sims = S[i, lower]
+                    with np.errstate(invalid="ignore"):
+                        ok = sims >= thr
+                    if ok.any():
+                        mx = sims[ok].max()
+                        j = lower[int(np.argmax(sims == mx))]
+                        b_mid, b_sim = int(ids[j]), float(mx)
+                out.append((int(ids[i]), c_mid, c_sim, b_mid, b_sim))
+            res = pd.DataFrame(
+                out, columns=["__nid", "__c_mid", "__c_sim",
+                              "__b_mid", "__b_sim"])
+            # nullable extension dtypes: a missing match must arrive
+            # as SQL null (NaN in a plain float64 column is NOT null
+            # to Spark, and would poison the downstream coalesce)
+            res["__nid"] = res["__nid"].astype("int64")
+            res["__c_mid"] = res["__c_mid"].astype("Int64")
+            res["__b_mid"] = res["__b_mid"].astype("Int64")
+            res["__c_sim"] = res["__c_sim"].astype("Float64")
+            res["__b_sim"] = res["__b_sim"].astype("Float64")
+            return res
+
+        best = union.groupBy("bucket").applyInPandas(
+            _bucket_best,
+            schema="__nid long, __c_mid long, __c_sim double, "
+                   "__b_mid long, __b_sim double")
+        joined = vn.select(F.col(id_col).alias("__nid")) \
+            .join(best, "__nid", "left")
+    elif scoring == "expr":
+        bn = vn.select(F.col(id_col).alias("__nid"),
+                       F.col(vec_col).alias("__nv"), "bucket")
+        bc = vc.select(F.col(id_col).alias("__cid"),
+                       F.col(vec_col).alias("__cv"), "bucket")
+        wn = Window.partitionBy("__nid").orderBy(
+            F.desc("__sim"), F.asc("__mid"))
+        corp_best = (
+            bn.join(bc, "bucket")
+            .withColumn("__sim", F.round(cosine(F.col("__nv"),
+                                                F.col("__cv")), 6))
+            .where(F.col("__sim") >= threshold)
+            .select("__nid", F.col("__cid").alias("__mid"), "__sim")
+            .withColumn("__rn", F.row_number().over(wn))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        lo = vn.select(F.col(id_col).alias("__lo"),
+                       F.col(vec_col).alias("__lv"), "bucket")
+        hi = vn.select(F.col(id_col).alias("__nid"),
+                       F.col(vec_col).alias("__hv"), "bucket")
+        batch_best = (
+            lo.join(hi, "bucket")
+            .where(F.col("__lo") < F.col("__nid"))
+            .withColumn("__sim", F.round(cosine(F.col("__lv"),
+                                                F.col("__hv")), 6))
+            .where(F.col("__sim") >= threshold)
+            .select("__nid", F.col("__lo").alias("__mid"), "__sim")
+            .withColumn("__rn", F.row_number().over(wn))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        c = corp_best.select("__nid", F.col("__mid").alias("__c_mid"),
+                             F.col("__sim").alias("__c_sim"))
+        b = batch_best.select("__nid", F.col("__mid").alias("__b_mid"),
+                              F.col("__sim").alias("__b_sim"))
+        joined = (
+            vn.select(F.col(id_col).alias("__nid"))
+            .join(c, "__nid", "left")
+            .join(b, "__nid", "left")
+        )
+    else:
+        raise ValueError(
+            f"scoring must be auto|expr|pandas, got {scoring!r}")
+    return joined.select(
+        F.col("__nid").alias(id_col),
+        F.when(F.col("__c_mid").isNotNull(), "drop_corpus_dup")
+        .when(F.col("__b_mid").isNotNull(), "drop_batch_dup")
+        .otherwise("keep").alias("decision"),
+        F.coalesce("__c_mid", "__b_mid").alias("match_id"),
+        F.coalesce("__c_sim", "__b_sim").alias("sim"),
     )

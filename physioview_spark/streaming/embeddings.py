@@ -73,6 +73,7 @@ def streaming_semantic_dedup(
     vec_col: str = "embedding",
     n_buckets: int = 8,
     max_bucket_size: int | None = None,
+    scoring: str = "expr",
 ):
     """Returns a ``DataStreamWriter`` running
     :func:`semantic_dedup_batch_processor` under ``foreachBatch`` —
@@ -80,7 +81,7 @@ def streaming_semantic_dedup(
     land in ``state_dir/decisions`` partitioned by batch_id."""
     return vecs.writeStream.foreachBatch(semantic_dedup_batch_processor(
         state_dir, centroids, threshold, id_col, vec_col, n_buckets,
-        max_bucket_size))
+        max_bucket_size, scoring))
 
 
 def semantic_dedup_batch_processor(
@@ -91,10 +92,13 @@ def semantic_dedup_batch_processor(
     vec_col: str = "embedding",
     n_buckets: int = 8,
     max_bucket_size: int | None = None,
+    scoring: str = "expr",
 ):
     """The ``foreachBatch`` body, exposed so tests can drive
     micro-batches (and redeliver one — the retry path) without a
-    running stream."""
+    running stream. ``scoring`` threads to
+    :func:`~physioview_spark.llm.similarity.semantic_dedup_delta`
+    ('pandas' = per-bucket matmul, the long-stream gear)."""
     decisions_path = os.path.join(state_dir, "decisions")
     table = _vector_table_name(state_dir)
 
@@ -114,6 +118,15 @@ def semantic_dedup_batch_processor(
             .where(F.col("batch_id") == batch_id).limit(1).count() > 0
         ):
             return  # retried batch whose state writes all committed
+        # NOTE deliberately NOT passing the stored bucket column
+        # (corpus_bucket_col): the pair-join key is the coarse IVF
+        # cell — k distinct values — and the bucketed-scan join that
+        # skips the Exchange also forfeits AQE's skew-splitting of
+        # those k fat partitions; measured 7x SLOWER (18.7 vs 127 s
+        # on a 3-batch state, r08). The exchange + skew-split IS the
+        # scale mechanism for a low-cardinality join key. (The
+        # near-dup band table keeps its bucketed read: band_hash is
+        # high-cardinality, so its buckets are already fine-grained.)
         prior = (
             spark.read.table(table)
             .where(F.col("batch_id") < batch_id)
@@ -125,7 +138,7 @@ def semantic_dedup_batch_processor(
         decisions = semantic_dedup_delta(
             batch, prior, centroids, threshold=threshold,
             id_col=id_col, vec_col=vec_col,
-            max_bucket_size=max_bucket_size)
+            max_bucket_size=max_bucket_size, scoring=scoring)
         (decisions.withColumn("batch_id", F.lit(int(batch_id)))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

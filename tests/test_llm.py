@@ -1774,6 +1774,33 @@ class TestSemanticDedupDelta:
             .queryExecution().executedPlan().toString()
         assert "LeftSemi, BuildRight" in plan
 
+    def test_scoring_gear_and_stored_bucket_parity(self, spark):
+        """r08: the per-bucket matmul scoring gear and the
+        precomputed-bucket corpus path (what the streaming processor
+        now feeds from its state table) must reproduce the expr gear's
+        decisions exactly — same 6-decimal rounding, threshold, and
+        (sim desc, id asc) tie-break."""
+        from physioview_spark.llm import similarity
+        from physioview_spark.llm.similarity import assign_ivf_bucket
+
+        new, corpus, cents = self._frames(spark)
+
+        def run(**kw):
+            return sorted(map(tuple, similarity.semantic_dedup_delta(
+                new, kw.pop("corpus", corpus), cents, threshold=0.95,
+                **kw).collect()))
+
+        base = run()
+        assert run(scoring="pandas") == base
+        pc = corpus.withColumn(
+            "bkt", assign_ivf_bucket(F.col("embedding"), cents))
+        assert run(corpus=pc, corpus_bucket_col="bkt") == base
+        assert run(corpus=pc, corpus_bucket_col="bkt",
+                   scoring="pandas") == base
+        # cap applies identically through the pandas gear
+        assert run(scoring="pandas", max_bucket_size=0) == \
+            run(max_bucket_size=0)
+
 
 class TestProductQuantization:
     def test_encode_reconstruct_and_adc_closed_form(self, spark):
