@@ -1,0 +1,214 @@
+"""Distributed Bloom filter for prune-only runtime prefilters.
+
+Spark's own ``bloom_filter_agg`` / ``might_contain`` expressions are
+optimizer-internal (not on the SQL function search path), so this is a
+from-scratch Bloom filter expressed entirely in DataFrame operators:
+
+* **build** — bit positions are ``pmod(xxhash64(key..., seed_i), m)``
+  columns (pure JVM), exploded to ``(word_idx, mask)`` and folded with a
+  ``bit_or`` aggregate into a SPARSE word table ``(word_idx: long,
+  bits: long)`` of at most ``m/64`` rows. One shuffle, map-side
+  combinable, output bounded by the filter size — not the key count.
+* **probe (local gear)** — the word table densifies into a numpy
+  ``uint64`` bitmap (``m/8`` bytes, broadcast via Spark's TorrentBroadcast),
+  and membership is an Arrow-batched pandas UDF over the SAME JVM-computed
+  position columns: ``(bitmap[pos >> 6] >> (pos & 63)) & 1`` for each of
+  the ``k`` probes, vectorized with ``numpy.take``. Zero shuffle on the
+  probed frame; the only Python hop carries ``k`` long columns per row.
+* **probe (join gear)** — for Python-worker-free plans: explode the
+  ``k`` positions and broadcast-hash-join the word table, keeping rows
+  whose ``k`` probes all hit a set bit. Costs one ``k``-way explode and a
+  re-aggregate on the probe key; prefer the local gear unless the bitmap
+  exceeds the broadcast budget.
+
+Hash parity between build and probe is free because BOTH sides compute
+positions with the same JVM ``xxhash64`` expression — nothing in Python
+ever hashes, so there is no cross-language hash-compatibility surface.
+
+Why a Bloom gear at all, when ``dedup_delta``-style operators already
+prefilter with EXACT broadcast semi-joins: the exact gear broadcasts the
+full distinct key set (16-byte md5 rows plus JVM hashmap overhead); at
+~1% FPP a Bloom costs ~9.6 BITS per key — roughly 15-20x smaller — so
+the "broadcast the delta" regime survives deltas an order of magnitude
+larger before the broadcast itself becomes the bottleneck. The trade is
+false positives, which prune-only consumers absorb by construction: an
+FP lets an extra corpus row through the prefilter, and the downstream
+exact join/verify then rejects it, so results are bit-identical. Bloom
+filters have NO false negatives, so no genuine match is ever pruned.
+
+No reference counterpart (cbslneu/physioview has no incremental-corpus
+surface); the design follows the classic runtime-filter pattern that
+engines inject automatically (Spark's own InjectRuntimeFilter rule).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_parameters",
+    "bit_positions",
+    "bloom_build",
+    "bloom_to_bitmap",
+    "bloom_probe",
+    "bloom_probe_join",
+]
+
+# The local gear collects the sparse word table and broadcasts a dense
+# bitmap; cap it well under typical driver/broadcast budgets. 2**30 bits
+# = 128 MiB dense, ~110M keys at 1% FPP.
+_MAX_LOCAL_BITS = 1 << 30
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: ``m = -n ln p / (ln 2)^2`` bits rounded up to a
+    multiple of 64, ``k = round(m/n ln 2)`` hashes (clamped to [1, 16])."""
+    if n_items <= 0:
+        return 64, 1
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, min(16, round(m / n_items * math.log(2))))
+    return m, k
+
+
+def bit_positions(
+    key_cols: Sequence, num_bits: int, num_hashes: int
+) -> list:
+    """The ``k`` JVM-side position columns for a (possibly composite)
+    key: ``pmod(xxhash64(key..., seed_i), m)``. Seeding via an extra
+    hashed literal keeps all k probes on the built-in xxhash64 — no UDF,
+    and build/probe parity is automatic because both call this."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return [
+        F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_cols: Sequence,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Sparse word table ``(word_idx: long, bits: long)`` with every
+    key's ``k`` bits set. One map-side-combinable ``bit_or`` shuffle
+    whose output is bounded by ``num_bits/64`` rows regardless of input
+    size; absent words mean all-zero bits."""
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    pos = F.explode(F.array(*bit_positions(key_cols, num_bits, num_hashes)))
+    return (
+        df.select(pos.alias("__pos"))
+        .select(
+            F.shiftright(F.col("__pos"), 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))")
+            .alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_to_bitmap(bloom_words: DataFrame, num_bits: int) -> np.ndarray:
+    """Densify the sparse word table into a ``uint64[num_bits/64]``
+    bitmap on the driver. Bounded collect: at most ``num_bits/64`` rows,
+    enforced against ``_MAX_LOCAL_BITS`` (128 MiB dense)."""
+    if num_bits > _MAX_LOCAL_BITS:
+        raise ValueError(
+            f"num_bits={num_bits} exceeds the local-gear bound "
+            f"{_MAX_LOCAL_BITS}; use bloom_probe_join for larger filters")
+    bitmap = np.zeros(num_bits // 64, dtype=np.uint64)
+    for row in bloom_words.select("word_idx", "bits").collect():
+        bitmap[row.word_idx] = np.uint64(row.bits & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_cols: Sequence,
+    bitmap: np.ndarray,
+    num_bits: int,
+    num_hashes: int,
+    keep: str = "maybe",
+) -> DataFrame:
+    """Filter ``df`` to rows the Bloom filter says MAY be members
+    (``keep="maybe"``) or are DEFINITELY not (``keep="definitely_not"``).
+
+    Zero-shuffle: positions are JVM columns, membership is one
+    Arrow-batched pandas UDF over ``k`` longs per row against the
+    broadcast bitmap. FPs only ever enlarge the "maybe" side — callers
+    must treat "maybe" as a candidate set, never as confirmed members.
+    """
+    if keep not in ("maybe", "definitely_not"):
+        raise ValueError(f"keep must be 'maybe' or 'definitely_not', got {keep!r}")
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def _maybe(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        bits = bc.value
+        for pdf in it:
+            hit = np.ones(len(pdf), dtype=bool)
+            for c in pdf.columns:
+                pos = pdf[c].to_numpy(dtype=np.int64)
+                word = bits.take(pos >> 6)
+                hit &= ((word >> (pos & 63).astype(np.uint64))
+                        & np.uint64(1)).astype(bool)
+            yield pd.Series(hit)
+
+    pos_struct = F.struct(*[
+        p.alias(f"p{i}")
+        for i, p in enumerate(bit_positions(key_cols, num_bits, num_hashes))
+    ])
+    flag = _maybe(pos_struct)
+    return df.where(flag if keep == "maybe" else ~flag)
+
+
+def bloom_probe_join(
+    df: DataFrame,
+    key_cols: Sequence,
+    bloom_words: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    keep: str = "maybe",
+) -> DataFrame:
+    """JVM-only probe gear: explode the ``k`` positions, broadcast-join
+    the word table, and keep rows where all ``k`` probes hit a set bit.
+    Costs the explode plus a re-aggregate on a synthetic row id (so key
+    duplicates survive unchanged); use when Python workers are
+    unavailable or the bitmap exceeds the local gear's bound."""
+    if keep not in ("maybe", "definitely_not"):
+        raise ValueError(f"keep must be 'maybe' or 'definitely_not', got {keep!r}")
+    tagged = df.withColumn(
+        "__brow", F.monotonically_increasing_id())
+    probes = (
+        tagged.select(
+            "__brow",
+            F.explode(F.array(*bit_positions(key_cols, num_bits, num_hashes))
+                      ).alias("__pos"))
+        .select(
+            "__brow",
+            F.shiftright(F.col("__pos"), 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))")
+            .alias("__mask"),
+        )
+        .join(F.broadcast(bloom_words), "word_idx", "left")
+        .withColumn(
+            "__hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__mask"))
+             != 0).cast("int"))
+        .groupBy("__brow")
+        .agg((F.sum("__hit") == F.lit(num_hashes)).alias("__maybe"))
+    )
+    out = tagged.join(probes, "__brow")
+    cond = F.col("__maybe") if keep == "maybe" else ~F.col("__maybe")
+    return out.where(cond).drop("__brow", "__maybe")

@@ -591,7 +591,8 @@ def dedup_delta(
     band_size: int = 2,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
-    prefilter: bool = True,
+    prefilter: bool | str = True,
+    bloom_fpp: float = 0.01,
 ) -> DataFrame:
     """Incremental dedup: score a NEW batch against an EXISTING corpus
     without re-pairing the corpus with itself — the production shape
@@ -637,11 +638,39 @@ def dedup_delta(
     Every broadcast is bounded by the DELTA batch (the operator's
     premise); pass ``prefilter=False`` when the "delta" is comparable
     to the corpus, which restores the plain shuffle plans.
+
+    ``prefilter="bloom"`` swaps the exact broadcast key sets for Bloom
+    filters (:mod:`physioview_spark.llm.bloom`): ~9.6 bits/key at the
+    default 1% FPP instead of 16-byte md5 rows plus hashmap overhead,
+    so the broadcast-the-delta regime survives deltas an order of
+    magnitude larger. False positives only let extra corpus rows
+    through the prune into the exact join/verify, so decisions are
+    bit-identical to the exact gear (Bloom has no false negatives).
+    The bloom gear is partially EAGER: it runs one count + one filter
+    build on the delta before returning (runtime-filter construction);
+    the exact gear stays fully lazy.
     """
+    if prefilter not in (True, False, "exact", "bloom"):
+        raise ValueError(
+            f"prefilter must be True/False/'exact'/'bloom', got {prefilter!r}")
+    use_bloom = prefilter == "bloom"
+    if prefilter == "exact":
+        prefilter = True
+    if use_bloom:
+        from physioview_spark.llm.bloom import (
+            bloom_build, bloom_parameters, bloom_probe, bloom_to_bitmap)
+        n_new = new.count()  # one sizing job over the (small) delta
     n_ids = new.select(id_col)
     # --- exact: one corpus-side hash aggregate, joined on 16 bytes
     c_rows = corpus.select(F.md5(F.col(text_col)).alias("__h"), id_col)
-    if prefilter:
+    if use_bloom:
+        m_h, k_h = bloom_parameters(n_new, bloom_fpp)
+        h_bitmap = bloom_to_bitmap(
+            bloom_build(new.select(F.md5(F.col(text_col)).alias("__h")),
+                        ["__h"], m_h, k_h),
+            m_h)
+        c_rows = bloom_probe(c_rows, ["__h"], h_bitmap, m_h, k_h)
+    elif prefilter:
         c_rows = c_rows.join(
             F.broadcast(new.select(F.md5(F.col(text_col)).alias("__h"))
                         .distinct()),
@@ -657,7 +686,18 @@ def dedup_delta(
         .withColumnRenamed(id_col, "__nid")
     bc = _lsh_bands(corpus, text_col, id_col, k, num_hashes, band_size) \
         .withColumnRenamed(id_col, "__cid")
-    if prefilter:
+    if use_bloom:
+        # bn feeds the bloom build and the candidate join — same
+        # two-consumer persist as the exact gear
+        bn = _cache.pin(bn)
+        n_band_rows = max(1, n_new * (num_hashes // band_size))
+        m_b, k_b = bloom_parameters(n_band_rows, bloom_fpp)
+        b_bitmap = bloom_to_bitmap(
+            bloom_build(bn.select("band", "band_hash"),
+                        ["band", "band_hash"], m_b, k_b),
+            m_b)
+        bc = bloom_probe(bc, ["band", "band_hash"], b_bitmap, m_b, k_b)
+    elif prefilter:
         # bn feeds two consumers here (the broadcast probe and the
         # candidate join) — persist so the delta's minhash explode
         # runs once, not per lineage
@@ -678,7 +718,9 @@ def dedup_delta(
         .select("__nid", "__cid").distinct()
     )
     corpus_verify = corpus
-    if prefilter:
+    if prefilter:  # truthy for "bloom" too: the candidate-id set is
+        # tiny post-banding, so the exact semi-join stays the right
+        # gear even when the delta-sized sets above went Bloom
         # cand feeds two consumers below (the corpus-doc prune and the
         # intersection join); persisting the tiny candidate set stops
         # the second consumer re-running the corpus minhash explode

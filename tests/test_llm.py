@@ -1565,11 +1565,113 @@ class TestDedupDeltaPrefilter:
                 new, corpus, threshold=0.5, max_bucket_size=cap,
                 prefilter=True).collect()))
             assert plain == fast, cap
+            blm = sorted(map(tuple, dedup.dedup_delta(
+                new, corpus, threshold=0.5, max_bucket_size=cap,
+                prefilter="bloom").collect()))
+            # Bloom FPs only weaken the PRUNE; the exact join/verify
+            # behind it rejects them, so decisions are bit-identical
+            assert plain == blm, cap
         plan = dedup.dedup_delta(new, corpus, threshold=0.5) \
             ._jdf.queryExecution().executedPlan().toString()
         # delta-derived key sets reach the corpus side as broadcast
         # LeftSemi probes (exact runtime filters, not shuffles)
         assert "LeftSemi, BuildRight" in plan
+
+
+class TestBloomFilter:
+    """physioview_spark.llm.bloom — distributed Bloom filter used as
+    dedup_delta's compressed prefilter gear. The load-bearing claims:
+    no false negatives ever (prune-only safety), FP rate near the
+    sizing formula, and both probe gears agree exactly."""
+
+    def _frames(self, spark):
+        members = spark.range(0, 3000).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("key"))
+        probe = spark.range(0, 12000).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("key"))
+        return members, probe
+
+    def test_no_false_negatives_and_fp_rate(self, spark):
+        from physioview_spark.llm import bloom
+        members, probe = self._frames(spark)
+        m, k = bloom.bloom_parameters(3000, 0.01)
+        words = bloom.bloom_build(members, ["key"], m, k)
+        bitmap = bloom.bloom_to_bitmap(words, m)
+        # every member must survive the probe — Bloom has no false
+        # negatives, which is what makes the prefilter prune-only-safe
+        assert bloom.bloom_probe(members, ["key"], bitmap, m, k) \
+            .count() == 3000
+        kept = bloom.bloom_probe(probe, ["key"], bitmap, m, k).count()
+        fp_rate = (kept - 3000) / 9000
+        assert fp_rate < 0.03, fp_rate  # 3x the 1% design point
+        # maybe + definitely_not partition the probe frame
+        dropped = bloom.bloom_probe(probe, ["key"], bitmap, m, k,
+                                    keep="definitely_not").count()
+        assert kept + dropped == 12000
+
+    def test_gear_parity_local_vs_join(self, spark):
+        from physioview_spark.llm import bloom
+        members, probe = self._frames(spark)
+        m, k = bloom.bloom_parameters(3000, 0.02)
+        words = bloom.bloom_build(members, ["key"], m, k)
+        bitmap = bloom.bloom_to_bitmap(words, m)
+        local = sorted(r.key for r in bloom.bloom_probe(
+            probe, ["key"], bitmap, m, k).collect())
+        joined = sorted(r.key for r in bloom.bloom_probe_join(
+            probe, ["key"], words, m, k).collect())
+        assert local == joined
+
+    def test_empty_filter_rejects_everything(self, spark):
+        from physioview_spark.llm import bloom
+        members, probe = self._frames(spark)
+        m, k = 640, 3
+        words = bloom.bloom_build(members.limit(0), ["key"], m, k)
+        bitmap = bloom.bloom_to_bitmap(words, m)
+        assert bloom.bloom_probe(probe, ["key"], bitmap, m, k).count() == 0
+        assert bloom.bloom_probe_join(probe, ["key"], words, m, k) \
+            .count() == 0
+
+    def test_composite_key(self, spark):
+        from physioview_spark.llm import bloom
+        members = spark.range(0, 500).select(
+            (F.col("id") % 8).alias("band"), F.col("id").alias("band_hash"))
+        m, k = bloom.bloom_parameters(500, 0.01)
+        words = bloom.bloom_build(members, ["band", "band_hash"], m, k)
+        bitmap = bloom.bloom_to_bitmap(words, m)
+        assert bloom.bloom_probe(members, ["band", "band_hash"],
+                                 bitmap, m, k).count() == 500
+        # shifted composite keys are (mostly) rejected — same columns,
+        # different pairing
+        probe = spark.range(1000, 1500).select(
+            (F.col("id") % 8).alias("band"), F.col("id").alias("band_hash"))
+        kept = bloom.bloom_probe(probe, ["band", "band_hash"],
+                                 bitmap, m, k).count()
+        assert kept < 25  # 500 non-members at 1% FPP
+
+    def test_parameter_sizing_and_validation(self, spark):
+        from physioview_spark.llm import bloom
+        m, k = bloom.bloom_parameters(1_000_000, 0.01)
+        assert m % 64 == 0 and 9.0 < m / 1_000_000 < 10.2 and k == 7
+        assert bloom.bloom_parameters(0, 0.01) == (64, 1)
+        with pytest.raises(ValueError):
+            bloom.bloom_parameters(10, 1.5)
+        with pytest.raises(ValueError):
+            bloom.bloom_build(spark.range(1), ["id"], 100, 3)  # not %64
+        with pytest.raises(ValueError):
+            bloom.bloom_to_bitmap(spark.range(0).selectExpr(
+                "id as word_idx", "id as bits"), 1 << 40)
+
+    def test_local_probe_plan_has_no_exchange(self, spark, docs):
+        """The local gear's whole point: membership is a projection
+        (JVM hash columns + one Arrow UDF against a broadcast bitmap),
+        so probing must not shuffle the probed frame."""
+        from physioview_spark.llm import bloom
+        m, k = bloom.bloom_parameters(100, 0.01)
+        words = bloom.bloom_build(docs.select("text"), ["text"], m, k)
+        bitmap = bloom.bloom_to_bitmap(words, m)
+        plan = bloom.bloom_probe(docs, ["text"], bitmap, m, k) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
 
 
 class TestBpe:
