@@ -139,18 +139,51 @@ def bloom_probe(
     num_bits: int,
     num_hashes: int,
     keep: str = "maybe",
+    gear: str = "jvm",
 ) -> DataFrame:
     """Filter ``df`` to rows the Bloom filter says MAY be members
     (``keep="maybe"``) or are DEFINITELY not (``keep="definitely_not"``).
+    FPs only ever enlarge the "maybe" side — callers must treat "maybe"
+    as a candidate set, never as confirmed members.
 
-    Zero-shuffle: positions are JVM columns, membership is one
-    Arrow-batched pandas UDF over ``k`` longs per row against the
-    broadcast bitmap. FPs only ever enlarge the "maybe" side — callers
-    must treat "maybe" as a candidate set, never as confirmed members.
+    Zero-shuffle either way; the gears differ in where the bit test
+    runs:
+
+    * ``"jvm"`` (default) — the bitmap ships as a ONE-ROW
+      ``array<bigint>`` broadcast (the pq.py LUT pattern: a broadcast
+      nested-loop join against a single row), and membership is pure
+      JVM ``element_at``/``shiftright`` arithmetic inside codegen. No
+      Python hop at all — this is the gear for probing the BIG side.
+      MEASURED (PLANS.md round 8): the pandas gear's Arrow hop over the
+      corpus-side rows made the whole bloom prefilter 3x slower than
+      the exact semi-join; the jvm gear removes that hop.
+    * ``"pandas"`` — one Arrow-batched pandas UDF over the ``k``
+      JVM-computed position columns against a TorrentBroadcast numpy
+      bitmap (vectorized ``take``). Kept for very large bitmaps, where
+      a Python broadcast round-trips cheaper than a plan-attached
+      array, and as the parity witness for the jvm gear.
     """
     if keep not in ("maybe", "definitely_not"):
         raise ValueError(f"keep must be 'maybe' or 'definitely_not', got {keep!r}")
+    if gear not in ("jvm", "pandas"):
+        raise ValueError(f"gear must be 'jvm' or 'pandas', got {gear!r}")
     spark = df.sparkSession
+    if gear == "jvm":
+        words = [int(x) for x in bitmap.view(np.int64)]
+        bf = spark.createDataFrame([(words,)], "__bf array<bigint>")
+        tagged = df
+        for i, p in enumerate(bit_positions(key_cols, num_bits, num_hashes)):
+            tagged = tagged.withColumn(f"__bp{i}", p)
+        tagged = tagged.join(F.broadcast(bf), how="cross")
+        hit = None
+        for i in range(num_hashes):
+            t = F.expr(
+                f"(shiftright(element_at(__bf, "
+                f"CAST(shiftright(__bp{i}, 6) + 1 AS INT)), "
+                f"CAST(__bp{i} % 64 AS INT)) & 1) = 1")
+            hit = t if hit is None else (hit & t)
+        out = tagged.where(hit if keep == "maybe" else ~hit)
+        return out.drop("__bf", *[f"__bp{i}" for i in range(num_hashes)])
     bc = spark.sparkContext.broadcast(bitmap)
 
     @F.pandas_udf("boolean")

@@ -459,6 +459,8 @@ def decontaminate(
     id_col: str = "doc_id",
     k: int = 5,
     min_hits: int = 1,
+    bloom_prefilter: bool = False,
+    bloom_fpp: float = 0.05,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing at
     least ``min_hits`` distinct k-word shingles with any benchmark
@@ -474,12 +476,29 @@ def decontaminate(
     through a broadcast hash join with NO corpus-wide shuffle: corpus
     shingles are exploded un-deduped (a distinct first would shuffle
     the whole corpus), the broadcast join keeps only hit rows, and the
-    distinct-shingle dedup runs on those (tiny) hits."""
+    distinct-shingle dedup runs on those (tiny) hits.
+
+    ``bloom_prefilter=True`` inserts a Bloom probe of the corpus
+    shingle stream against the bench shingle set BEFORE the exact
+    broadcast join — for a benchmark suite whose distinct k-gram set
+    runs to millions of rows, the broadcast hashmap is the cost center
+    and the ~9.6-bits/key bitmap is 15-20x smaller. The exact join
+    still verifies every survivor, so FPs cannot flag a clean doc:
+    results are bit-identical (eagerly builds the filter: one count +
+    one collect over the bench side)."""
     tsh = shingle_frame(train, text_col, id_col, k, distinct=False)
     bsh = (
         shingle_frame(bench, text_col, id_col, k)
         .withColumnRenamed(id_col, "__bench_id")
     )
+    if bloom_prefilter:
+        from physioview_spark.llm.bloom import (
+            bloom_build, bloom_parameters, bloom_probe, bloom_to_bitmap)
+        n_b = bsh.select("shingle").distinct().count()
+        m, n_h = bloom_parameters(max(1, n_b), bloom_fpp)
+        bitmap = bloom_to_bitmap(
+            bloom_build(bsh.select("shingle"), ["shingle"], m, n_h), m)
+        tsh = bloom_probe(tsh, ["shingle"], bitmap, m, n_h)
     hits = (
         tsh.join(F.broadcast(bsh), "shingle")
         .select(id_col, "__bench_id", "shingle")
@@ -592,7 +611,7 @@ def dedup_delta(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     prefilter: bool | str = True,
-    bloom_fpp: float = 0.01,
+    bloom_fpp: float = 0.05,
 ) -> DataFrame:
     """Incremental dedup: score a NEW batch against an EXISTING corpus
     without re-pairing the corpus with itself — the production shape

@@ -448,3 +448,51 @@ def materialize_packed(
     )
     return assembled.select(
         "shard", "seq_id", padded.alias("token_ids"), "n_real")
+
+
+def epoch_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    epoch: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment — the dataloader
+    handoff: every row lands in exactly one of ``n_shards`` shards with
+    a 1-based position, and both the assignment and the within-shard
+    order re-randomize per ``epoch`` (the "reshuffle each epoch"
+    contract of training loops) while staying a pure function of
+    ``(seed, epoch, id)`` — reproducible across runs, partitionings,
+    and cluster sizes.
+
+    Shard and order both derive from ``md5(seed|epoch|id)`` (the
+    :func:`sample_order` construction, engine-independent): the shard
+    is the top 60 bits mod ``n_shards`` (multinomially balanced), the
+    position is ``row_number`` over the hash order within the shard.
+
+    Scale shape: ONE shuffle (the window exchange on ``shard_col``).
+    There is deliberately NO global sort — a total-order permutation
+    would range-partition the corpus for no training benefit; hash
+    order within hash-assigned shards is the standard shuffle quality
+    a dataloader needs. To write one file per shard::
+
+        epoch_shards(df, 1024).repartition(1024, "shard") \\
+            .sortWithinPartitions("shard_pos") \\
+            .write.partitionBy("shard").parquet(out)
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.md5(F.concat_ws(
+        "|", F.lit(str(seed)), F.lit(str(epoch)),
+        F.col(id_col).cast("string")))
+    tagged = df.withColumn("__h", h).withColumn(
+        shard_col,
+        F.pmod(F.conv(F.substring("__h", 1, 15), 16, 10).cast("long"),
+               F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy(shard_col).orderBy("__h", F.col(id_col))
+    return (
+        tagged.withColumn(pos_col, F.row_number().over(w))
+        .drop("__h")
+    )

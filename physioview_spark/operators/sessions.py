@@ -1,0 +1,95 @@
+"""Gap-based sessionization over event streams.
+
+Beyond-reference operator (cbslneu/physioview segments by fixed windows
+only — physioview.py:945-975 — never by inactivity gaps); sessionization
+is the standard events-analytics companion to those tumbling segments:
+a session is a maximal run of a key's events where consecutive
+timestamps are less than ``gap`` apart.
+
+Two shapes, both one-shuffle-on-the-key:
+
+* :func:`session_bounds` — per-session aggregates via the built-in
+  ``F.session_window`` (Spark's native gap-window groupBy). This is the
+  Structured-Streaming-ready form: the identical expression runs under
+  ``readStream`` with a watermark, where Spark maintains and merges
+  open sessions in the state store.
+* :func:`session_ids` — per-EVENT session labels via gaps-and-islands
+  (``lag`` + a running sum of gap-break flags over the key's time
+  order). ``session_window`` only exists inside a groupBy, so labeling
+  events requires the islands construction; it is also the exact
+  ANSI-SQL twin a DuckDB oracle can run.
+
+Parity contract (tested): aggregating :func:`session_ids` output by
+``(key, session_id)`` reproduces :func:`session_bounds` row-for-row,
+modulo ``session_window``'s half-open ``end = last_ts + gap`` bound.
+
+Scale shape: both forms shuffle once on the key columns (window or
+groupBy exchange); no self-joins, no per-key collect. Skewed keys are
+bounded by AQE skew handling like every other keyed window in the
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def session_bounds(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per session: ``key..., session_start, session_end,
+    n_events`` — ``session_end`` is ``session_window``'s half-open
+    bound (last event + gap).
+
+    Streaming-ready: apply the same groupBy to a watermarked stream and
+    Spark's session-window state merging takes over.
+    """
+    keys = key_cols if key_cols is not None else ["user_id"]
+    return (
+        df.groupBy(*keys, F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_ids(
+    df: DataFrame,
+    gap_seconds: float = 1800.0,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Label every event with its 1-based session id within its key
+    (gaps-and-islands: a session breaks where the gap to the previous
+    event is >= ``gap_seconds``, matching ``session_window``'s
+    exclusive merge bound).
+
+    Use when downstream logic needs per-event session membership
+    (funnels, per-session feature joins) rather than the aggregate
+    bounds.
+    """
+    keys = key_cols if key_cols is not None else ["user_id"]
+    order = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike and is
+    # session-timezone independent (unix_micros rejects NTZ, which is
+    # what the parquet sources deliver)
+    tagged = df.withColumn("__prev_ts", F.lag(F.col(ts_col)).over(order))
+    brk = F.when(
+        F.col("__prev_ts").isNull()
+        | (F.expr(f"timestampdiff(MICROSECOND, __prev_ts, {ts_col})")
+           >= F.lit(int(gap_seconds * 1_000_000))),
+        F.lit(1)).otherwise(F.lit(0))
+    running = Window.partitionBy(*keys).orderBy(F.col(ts_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        tagged.withColumn(out_col, F.sum(brk).over(running).cast("long"))
+        .drop("__prev_ts")
+    )

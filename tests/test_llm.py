@@ -1013,6 +1013,66 @@ class TestCurationOps:
         # "brown fox jumps","fox jumps over" -> 4
         assert r["doc_id"] == 0 and r["max_overlap"] == 4 and r["n_bench_docs"] == 1
 
+    def test_decontaminate_bloom_prefilter_parity(self, spark, docs):
+        """The Bloom probe only prunes rows the exact broadcast join
+        would reject anyway, so the flagged set and every count must be
+        bit-identical with the prefilter on."""
+        bench = docs.where(F.col("doc_id") == 0)
+        train = docs.where(F.col("doc_id") != 0)
+        plain = sorted(map(tuple, dedup.decontaminate(
+            train, bench, k=3, min_hits=2).collect()))
+        blm = sorted(map(tuple, dedup.decontaminate(
+            train, bench, k=3, min_hits=2,
+            bloom_prefilter=True).collect()))
+        # docs 1 and 3 share the fox-dog-river shingle run with doc 0
+        assert plain == blm and {t[0] for t in plain} == {1, 3}
+
+
+class TestEpochShards:
+    def _df(self, spark, n=500):
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def test_coverage_balance_and_positions(self, spark):
+        from physioview_spark.llm import sampling
+        out = sampling.epoch_shards(self._df(spark), 8).collect()
+        assert len(out) == 500
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            assert 0 <= r.shard < 8
+            by_shard.setdefault(r.shard, []).append(r.shard_pos)
+        # positions are 1..len dense per shard
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        # multinomial balance: 500 rows over 8 shards, expect ~62 each;
+        # 5 sigma ~ +-39
+        sizes = [len(ps) for ps in by_shard.values()]
+        assert len(by_shard) == 8 and max(sizes) - min(sizes) < 80
+
+    def test_deterministic_and_epoch_varies(self, spark):
+        from physioview_spark.llm import sampling
+        df = self._df(spark, 200)
+        a = sorted(map(tuple, sampling.epoch_shards(df, 4, epoch=1).collect()))
+        b = sorted(map(tuple, sampling.epoch_shards(df, 4, epoch=1).collect()))
+        assert a == b  # pure function of (seed, epoch, id)
+        c = sorted(map(tuple, sampling.epoch_shards(df, 4, epoch=2).collect()))
+        assert a != c  # epochs genuinely reshuffle
+        # python-side oracle for the shard assignment (engine-independent)
+        import hashlib
+        r0 = next(r for r in a if r[0] == 0)
+        h = hashlib.md5(b"42|1|0").hexdigest()
+        assert r0[1] == int(h[:15], 16) % 4
+
+    def test_single_shuffle_plan(self, spark):
+        from physioview_spark.llm import sampling
+        plan = sampling.epoch_shards(self._df(spark), 16) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # only the window exchange
+
+    def test_validation(self, spark):
+        from physioview_spark.llm import sampling
+        with pytest.raises(ValueError):
+            sampling.epoch_shards(self._df(spark), 0)
+
 
 class TestPackSequences:
     def test_contiguous_offsets_and_determinism(self, spark):
@@ -1609,17 +1669,22 @@ class TestBloomFilter:
                                     keep="definitely_not").count()
         assert kept + dropped == 12000
 
-    def test_gear_parity_local_vs_join(self, spark):
+    def test_gear_parity_jvm_pandas_join(self, spark):
         from physioview_spark.llm import bloom
         members, probe = self._frames(spark)
         m, k = bloom.bloom_parameters(3000, 0.02)
         words = bloom.bloom_build(members, ["key"], m, k)
         bitmap = bloom.bloom_to_bitmap(words, m)
-        local = sorted(r.key for r in bloom.bloom_probe(
+        jvm = sorted(r.key for r in bloom.bloom_probe(
             probe, ["key"], bitmap, m, k).collect())
+        pnd = sorted(r.key for r in bloom.bloom_probe(
+            probe, ["key"], bitmap, m, k, gear="pandas").collect())
         joined = sorted(r.key for r in bloom.bloom_probe_join(
             probe, ["key"], words, m, k).collect())
-        assert local == joined
+        assert jvm == pnd == joined
+        # the jvm gear must also preserve the probed frame's columns
+        cols = bloom.bloom_probe(probe, ["key"], bitmap, m, k).columns
+        assert cols == probe.columns
 
     def test_empty_filter_rejects_everything(self, spark):
         from physioview_spark.llm import bloom
@@ -1661,17 +1726,26 @@ class TestBloomFilter:
             bloom.bloom_to_bitmap(spark.range(0).selectExpr(
                 "id as word_idx", "id as bits"), 1 << 40)
 
-    def test_local_probe_plan_has_no_exchange(self, spark, docs):
-        """The local gear's whole point: membership is a projection
-        (JVM hash columns + one Arrow UDF against a broadcast bitmap),
-        so probing must not shuffle the probed frame."""
+    def test_probe_plans_zero_shuffle(self, spark, docs):
+        """Both in-row gears exist to avoid shuffling the probed frame:
+        the jvm gear is a broadcast NLJ against one bitmap row with the
+        bit test in codegen (no Python either); the pandas gear is a
+        projection through one Arrow UDF."""
         from physioview_spark.llm import bloom
         m, k = bloom.bloom_parameters(100, 0.01)
         words = bloom.bloom_build(docs.select("text"), ["text"], m, k)
         bitmap = bloom.bloom_to_bitmap(words, m)
-        plan = bloom.bloom_probe(docs, ["text"], bitmap, m, k) \
-            ._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
+        for gear in ("jvm", "pandas"):
+            plan = bloom.bloom_probe(docs, ["text"], bitmap, m, k,
+                                     gear=gear) \
+                ._jdf.queryExecution().executedPlan().toString()
+            # no data shuffle; the jvm gear's BroadcastExchange of the
+            # single bitmap row is the point, not a violation
+            assert "Exchange hashpartitioning" not in plan, gear
+            assert "Exchange rangepartitioning" not in plan, gear
+            if gear == "jvm":
+                assert "ArrowEvalPython" not in plan
+                assert "BroadcastNestedLoopJoin" in plan
 
 
 class TestBpe:

@@ -309,3 +309,68 @@ class TestSessionTimezoneIndependence:
                 assert len(outs[0]) > 0, name
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
+
+
+class TestSessionization:
+    """operators/sessions.py — gap-based sessions over the events table.
+    The load-bearing parity: per-event islands labeling aggregated by
+    (key, session_id) must reproduce the built-in session_window
+    bounds, and both must match a DuckDB gaps-and-islands oracle."""
+
+    GAP_S = 1200  # 20 min; the sf0.001 events cadence makes real gaps
+
+    def _events(self, spark, sf_dir):
+        from physioview_spark.plans.common import read
+        return read(spark, sf_dir, "events")
+
+    def test_ids_aggregate_to_bounds(self, spark, sf_dir):
+        from physioview_spark.operators import sessions
+        ev = self._events(spark, sf_dir)
+        bounds = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events)
+            for r in sessions.session_bounds(
+                ev, f"{self.GAP_S} seconds").collect()}
+        ids_agg = (
+            sessions.session_ids(ev, self.GAP_S)
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("start"), F.max("ts").alias("last"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect())
+        assert len(ids_agg) == len(bounds) > 0
+        for r in ids_agg:
+            end, n = bounds[(r.user_id, r.start)]
+            assert n == r.n
+            # session_window's end is half-open: last event + gap
+            assert (end - r.last).total_seconds() == self.GAP_S
+
+    def test_islands_match_duckdb_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from physioview_spark.operators import sessions
+        ev = self._events(spark, sf_dir)
+        got = sorted(
+            (r.event_id, r.session_id)
+            for r in sessions.session_ids(ev, self.GAP_S).collect())
+        want = sorted(map(tuple, duckdb.sql(f"""
+            SELECT event_id,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id))
+                               >= {self.GAP_S}
+                          THEN 1 ELSE 0 END AS brk
+              FROM '{sf_dir}/events.parquet')
+            """).fetchall()))
+        assert got == want
+
+    def test_single_shuffle_each(self, spark, sf_dir):
+        from physioview_spark.operators import sessions
+        ev = self._events(spark, sf_dir)
+        for frame in (sessions.session_bounds(ev, "20 minutes"),
+                      sessions.session_ids(ev, 1200)):
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange hashpartitioning") <= 1

@@ -126,7 +126,23 @@ def run_knn_graph(spark, sf_dir: str, mult: int):
         emb, k=3, n_planes=planes, dim=64, n_bands=4, method="matmul")
 
 
-def run_delta_fixed(prefilter: bool):
+def run_delta_grow_bloom(spark, sf_dir: str, mult: int):
+    """doc_dedup_delta's growing %5 split with the Bloom prefilter —
+    the regime the bloom gear exists for: the delta (and so the exact
+    gear's broadcast key sets) grows with the corpus, while the Bloom
+    bitmaps stay ~9.6 bits/key. Contrast against doc_dedup_delta
+    (same split, exact gear). Timed end-to-end including the eager
+    filter build (the runner re-invokes the operator per timing)."""
+    from physioview_spark.llm import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup.dedup_delta(new, corpus, threshold=0.5,
+                             prefilter="bloom")
+
+
+def run_delta_fixed(prefilter: bool | str):
     """dedup_delta in its production regime: a FIXED 100-doc delta
     against the GROWING corpus (doc_dedup_delta's %5 split grows the
     delta with the corpus, which measures the verify leg, not the
@@ -161,6 +177,8 @@ def main() -> None:
         ("knn_graph_plogN", run_knn_graph),
         ("delta_fixed_prefilter", run_delta_fixed(True)),
         ("delta_fixed_shuffle", run_delta_fixed(False)),
+        ("delta_fixed_bloom", run_delta_fixed("bloom")),
+        ("delta_grow_bloom", run_delta_grow_bloom),
     )
     if args.targets is not None:
         bad = set(args.targets) - set(names) - {l for l, _ in labeled}
