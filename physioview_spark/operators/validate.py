@@ -61,3 +61,77 @@ def quarantine(
     valid = tagged.where(F.size(reasons_col) == 0).drop(reasons_col)
     rejected = tagged.where(F.size(reasons_col) > 0)
     return valid, rejected
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    distinct_rsd: float = 0.05,
+) -> DataFrame:
+    """Single-pass column profile — the dataset-shape companion to
+    :func:`validate`'s rule counts: for every profiled column one row
+    ``(column, dtype, n_nulls, n_distinct_approx, min_str, max_str,
+    mean, stddev, q_...)``; numeric-only metrics are NULL elsewhere.
+
+    Everything folds into ONE aggregate over one scan (no per-column
+    jobs, no shuffle of the data — the exchange carries a single
+    partial-aggregate row per task at any corpus size):
+
+    - ``n_distinct_approx`` is HyperLogLog++
+      (``approx_count_distinct``, relative error ``distinct_rsd``) —
+      an exact distinct per column would be one corpus shuffle EACH;
+    - quantiles are ``approx_percentile`` (Greenwald-Khanna), the same
+      sketch Spark's own ANALYZE uses;
+    - min/max are stringified so one long-format report covers mixed
+      types (the numeric originals stay exact in mean/stddev/quantile
+      fields).
+
+    The wide 1-row aggregate is unpivoted driver-side into the
+    long-format frame — bounded by the column count, never by rows.
+    """
+    cols = columns if columns is not None else df.columns
+    numeric = {
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() in
+        ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or f.dataType.simpleString().startswith("decimal")
+    }
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.coalesce(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias(f"__nn_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd=distinct_rsd)
+                    .alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"__mx_{c}"))
+        if c in numeric:
+            aggs.append(F.avg(c).alias(f"__av_{c}"))
+            aggs.append(F.stddev(c).alias(f"__sd_{c}"))
+            for q in quantiles:
+                aggs.append(
+                    F.expr(f"approx_percentile({c}, {q})")
+                    .cast("double").alias(f"__q{int(q * 100)}_{c}"))
+    wide = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    out_rows = []
+    for c in cols:
+        row = {
+            "column": c, "dtype": dtypes[c], "n_rows": wide["__n"],
+            "n_nulls": wide[f"__nn_{c}"],
+            "n_distinct_approx": wide[f"__nd_{c}"],
+            "min_str": wide[f"__mn_{c}"], "max_str": wide[f"__mx_{c}"],
+            "mean": wide.get(f"__av_{c}"),
+            "stddev": wide.get(f"__sd_{c}"),
+        }
+        for q in quantiles:
+            row[f"q{int(q * 100)}"] = wide.get(f"__q{int(q * 100)}_{c}")
+        out_rows.append(row)
+    qcols = ", ".join(f"q{int(q * 100)} double" for q in quantiles)
+    return spark.createDataFrame(
+        out_rows,
+        "column string, dtype string, n_rows bigint, n_nulls bigint, "
+        "n_distinct_approx bigint, min_str string, max_str string, "
+        f"mean double, stddev double, {qcols}")

@@ -461,3 +461,62 @@ class TestExpectations:
         assert rep["n_rows"] == 0
         assert rep["hr_present_violations"] == 0
         assert rep["hr_in_range_violations"] == 0
+
+
+class TestProfile:
+    """operators/validate.profile — one-pass long-format column stats."""
+
+    def test_matches_duckdb_exact_metrics(self, spark):
+        import duckdb
+
+        from physioview_spark.operators.validate import profile
+        rows = [(i, float(i) if i % 5 else None,
+                 f"s{i % 7}" if i % 11 else None) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, v double, s string")
+        got = {r.column: r for r in profile(df).collect()}
+        assert set(got) == {"id", "v", "s"}
+        pdf = df.toPandas()  # duckdb replacement scan needs pandas
+        want = duckdb.sql("""
+            SELECT count(*) n,
+                   sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) nn_v,
+                   sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) nn_s,
+                   avg(v) av, stddev_samp(v) sd,
+                   quantile_disc(v, 0.5) med, min(s) mns, max(s) mxs
+            FROM pdf""").fetchone()
+        for r in got.values():
+            assert r.n_rows == want[0] == 200
+        assert got["v"].n_nulls == want[1] and got["s"].n_nulls == want[2]
+        assert abs(got["v"].mean - want[3]) < 1e-9
+        assert abs(got["v"].stddev - want[4]) < 1e-9
+        # GK sketch is exact at this size; quantile_disc matches
+        # Spark's discrete (non-interpolating) percentile definition
+        assert abs(got["v"].q50 - want[5]) < 1e-9
+        assert (got["s"].min_str, got["s"].max_str) == (want[6], want[7])
+        # non-numeric columns carry NULL numeric stats
+        assert got["s"].mean is None and got["s"].q50 is None
+        # HLL++ within 3x rsd of truth (id: 200 distinct, s: 7)
+        assert abs(got["id"].n_distinct_approx - 200) <= 30
+        assert got["s"].n_distinct_approx == 7
+
+    def test_single_job_single_scan(self, spark):
+        """The point of the operator: profiling N columns must not run
+        N jobs — everything folds into one aggregate over one scan."""
+        from physioview_spark.operators.validate import profile
+        # 12 columns: a per-column fan-out (describe-style loops) would
+        # cost >= 12 jobs; the single wide aggregate stays O(1)
+        df = spark.range(1000).selectExpr(
+            "id", *[f"id * {i} as c{i}" for i in range(1, 11)],
+            "cast(id as string) as s")
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        out = profile(df)
+        assert out.count() == 12
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after - before <= 6
+
+    def test_empty_frame(self, spark):
+        from physioview_spark.operators.validate import profile
+        df = spark.range(0).selectExpr("id", "cast(id as double) as v")
+        got = {r.column: r for r in profile(df).collect()}
+        assert got["id"].n_rows == 0 and got["id"].n_nulls == 0
+        assert got["v"].mean is None
