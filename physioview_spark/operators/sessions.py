@@ -93,3 +93,60 @@ def session_ids(
         tagged.withColumn(out_col, F.sum(brk).over(running).cast("long"))
         .drop("__prev_ts")
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the classic greedy match of
+    ``steps`` — step i+1 counts only at the EARLIEST event of that type
+    strictly after the matched step-i event. Output: key columns,
+    ``step_1_ts .. step_k_ts`` (NULL once the chain breaks) and
+    ``steps_completed``.
+
+    Spark-first shape: ONE groupBy shuffle collecting a sorted
+    timestamp array per (key, step) — conditional ``collect_list``
+    keeps only the funnel's event types, so the arrays are bounded by
+    a key's per-type event counts, not the corpus. The greedy chain is
+    then pure JVM array algebra (``filter``/``element_at``), no second
+    shuffle, no self-joins per step (the textbook SQL funnel is k-1
+    correlated subqueries — a join per step at corpus scale).
+
+    Skew note: a bot key with millions of step events makes one fat
+    row, not a hot shuffle partition; cap upstream (e.g. per-key event
+    limits) if that is a live threat in the corpus.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    keys = key_cols if key_cols is not None else ["user_id"]
+    aggs = [
+        F.sort_array(F.collect_list(
+            F.when(F.col(type_col) == F.lit(s), F.col(ts_col))))
+        .alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = df.groupBy(*keys).agg(*aggs)
+    # greedy chain: t0 = first step-0 event; t_{i} = first step-i event
+    # strictly after t_{i-1}
+    # F.get (0-based) is null-on-missing under ANSI mode, unlike
+    # element_at which throws on an empty array
+    out = g.withColumn("step_1_ts", F.get("__a0", 0))
+    for i in range(1, len(steps)):
+        out = out.withColumn(
+            f"step_{i + 1}_ts",
+            F.get(F.expr(f"filter(__a{i}, x -> x > step_{i}_ts)"), 0))
+    # build innermost-first so the OUTERMOST when tests the deepest
+    # step (when-chains evaluate outside-in)
+    completed = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        completed = F.when(
+            F.col(f"step_{i}_ts").isNotNull(), F.lit(i)).otherwise(completed)
+    return out.select(
+        *keys,
+        *[F.col(f"step_{i + 1}_ts") for i in range(len(steps))],
+        completed.cast("int").alias("steps_completed"),
+    )

@@ -374,3 +374,77 @@ class TestSessionization:
                       sessions.session_ids(ev, 1200)):
             plan = frame._jdf.queryExecution().executedPlan().toString()
             assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestFunnel:
+    """operators/sessions.funnel_steps — greedy ordered funnels."""
+
+    def test_greedy_semantics_hand_case(self, spark):
+        import datetime as dt
+
+        from physioview_spark.operators.sessions import funnel_steps
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        rows = [
+            # user 1 completes signup -> purchase -> error in order
+            (1, t(1), "signup"), (1, t(2), "purchase"), (1, t(3), "error"),
+            # user 2: purchase BEFORE signup doesn't count; no purchase after
+            (2, t(1), "purchase"), (2, t(2), "signup"),
+            # user 3: greedy takes the EARLIEST post-signup purchase (t4)
+            (3, t(2), "signup"), (3, t(4), "purchase"), (3, t(6), "purchase"),
+            # user 4: no funnel events at all
+            (4, t(1), "click"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        out = {r.user_id: r for r in funnel_steps(
+            df, ["signup", "purchase", "error"]).collect()}
+        assert out[1].steps_completed == 3
+        assert out[2].steps_completed == 1 and out[2].step_2_ts is None
+        assert out[3].steps_completed == 2 and out[3].step_2_ts == t(4)
+        assert out[4].steps_completed == 0 and out[4].step_1_ts is None
+
+    def test_matches_duckdb_oracle_on_events(self, spark, sf_dir):
+        import duckdb
+
+        from physioview_spark.operators.sessions import funnel_steps
+        from physioview_spark.plans.common import read
+        ev = read(spark, sf_dir, "events")
+        got = sorted(
+            (r.user_id, r.steps_completed)
+            for r in funnel_steps(ev, ["signup", "purchase", "error"])
+            .collect())
+        want = sorted(map(tuple, duckdb.sql(f"""
+            WITH g AS (
+              SELECT user_id,
+                list_sort(list(ts) FILTER (event_type = 'signup'))   a0,
+                list_sort(list(ts) FILTER (event_type = 'purchase')) a1,
+                list_sort(list(ts) FILTER (event_type = 'error'))    a2
+              FROM '{sf_dir}/events.parquet' GROUP BY user_id),
+            s AS (
+              SELECT user_id, a0[1] t1,
+                     list_filter(a1, x -> x > a0[1])[1] t2
+              FROM g),
+            s2 AS (
+              SELECT g.user_id, t1, t2,
+                     list_filter(a2, x -> x > t2)[1] t3
+              FROM g JOIN s ON g.user_id = s.user_id)
+            SELECT user_id, CASE WHEN t3 IS NOT NULL THEN 3
+                                 WHEN t2 IS NOT NULL THEN 2
+                                 WHEN t1 IS NOT NULL THEN 1
+                                 ELSE 0 END
+            FROM s2""").fetchall()))
+        assert got == want and len(got) > 0
+
+    def test_single_shuffle(self, spark, sf_dir):
+        from physioview_spark.operators.sessions import funnel_steps
+        from physioview_spark.plans.common import read
+        ev = read(spark, sf_dir, "events")
+        plan = funnel_steps(ev, ["signup", "purchase"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+    def test_empty_steps_raises(self, spark):
+        import pytest as _pt
+
+        from physioview_spark.operators.sessions import funnel_steps
+        with _pt.raises(ValueError):
+            funnel_steps(spark.range(1), [])
