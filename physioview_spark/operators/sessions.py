@@ -150,3 +150,51 @@ def funnel_steps(
         *[F.col(f"step_{i + 1}_ts") for i in range(len(steps))],
         completed.cast("int").alias("steps_completed"),
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; each later period they appear in increments that
+    cohort's retained count. Output: ``(cohort, period_n,
+    n_active)`` where ``cohort`` is the cohort period start,
+    ``period_n`` the whole periods since it (0 = the cohort period
+    itself), ``n_active`` the distinct users from that cohort active
+    then.
+
+    Scale shape: one groupBy on ``(key, period)`` (activity dedup, one
+    row per user-period), one window min per key for the cohort (the
+    same exchange the dedup already partitioned by key would feed),
+    and a final bounded aggregate on ``(cohort, period_n)`` — a
+    cohorts x periods grid, tiny by construction. No user-level join
+    back, no distinct-count over the corpus.
+
+    ``period``: ``day``, ``week`` or ``month`` (months use
+    ``months_between`` on the truncated starts; days/weeks are day
+    arithmetic).
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day/week/month, got {period!r}")
+    p = F.date_trunc(period, F.col(ts_col))
+    activity = (
+        df.select(F.col(key_col).alias("__k"), p.alias("__p"))
+        .groupBy("__k", "__p").agg(F.lit(1).alias("__one"))
+    )
+    w = Window.partitionBy("__k")
+    tagged = activity.withColumn("__cohort", F.min("__p").over(w))
+    if period == "month":
+        delta = F.months_between("__p", "__cohort").cast("int")
+    elif period == "week":
+        delta = (F.datediff("__p", "__cohort") / 7).cast("int")
+    else:
+        delta = F.datediff("__p", "__cohort")
+    return (
+        tagged.groupBy(
+            F.col("__cohort").alias("cohort"),
+            delta.cast("int").alias("period_n"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -448,3 +448,49 @@ class TestFunnel:
         from physioview_spark.operators.sessions import funnel_steps
         with _pt.raises(ValueError):
             funnel_steps(spark.range(1), [])
+
+
+class TestRetention:
+    """operators/sessions.retention_cohorts vs a DuckDB oracle."""
+
+    def test_matches_duckdb_weekly(self, spark, sf_dir):
+        import duckdb
+
+        from physioview_spark.operators.sessions import retention_cohorts
+        from physioview_spark.plans.common import read
+        ev = read(spark, sf_dir, "events")
+        got = sorted(
+            (r.cohort.date(), r.period_n, r.n_active)
+            for r in retention_cohorts(ev, period="week").collect())
+        want = sorted(map(tuple, duckdb.sql(f"""
+            WITH act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+              FROM '{sf_dir}/events.parquet'),
+            tagged AS (
+              SELECT user_id, p,
+                     min(p) OVER (PARTITION BY user_id) AS cohort
+              FROM act)
+            SELECT cohort,
+                   CAST(date_diff('day', cohort, p) / 7 AS INT) period_n,
+                   count(*) n_active
+            FROM tagged GROUP BY 1, 2""").fetchall()))
+        assert got == want and len(got) > 0
+        # period 0 exists for every cohort (the cohort period itself)
+        cohorts = {c for c, _, _ in got}
+        assert all((c, 0) in {(c2, p) for c2, p, _ in got} for c in cohorts)
+
+    def test_retained_never_exceeds_cohort_size(self, spark, sf_dir):
+        from physioview_spark.operators.sessions import retention_cohorts
+        from physioview_spark.plans.common import read
+        ev = read(spark, sf_dir, "events")
+        rows = retention_cohorts(ev, period="day").collect()
+        base = {r.cohort: r.n_active for r in rows if r.period_n == 0}
+        for r in rows:
+            assert r.n_active <= base[r.cohort]
+
+    def test_invalid_period(self, spark):
+        import pytest as _pt
+
+        from physioview_spark.operators.sessions import retention_cohorts
+        with _pt.raises(ValueError):
+            retention_cohorts(spark.range(1), period="fortnight")
