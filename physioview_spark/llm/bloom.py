@@ -214,22 +214,28 @@ def bloom_probe_join(
     num_hashes: int,
     keep: str = "maybe",
 ) -> DataFrame:
-    """JVM-only probe gear: explode the ``k`` positions, broadcast-join
-    the word table, and keep rows where all ``k`` probes hit a set bit.
-    Costs the explode plus a re-aggregate on a synthetic row id (so key
-    duplicates survive unchanged); use when Python workers are
-    unavailable or the bitmap exceeds the local gear's bound."""
+    """JVM-only probe gear: per DISTINCT key, explode the ``k``
+    positions, broadcast-join the word table, reduce to one
+    maybe/not verdict, and join the verdicts back on the key columns
+    (null-safe, so null keys keep their — consistent — verdict). Key
+    duplicates survive unchanged and the verdict table is bounded by
+    the distinct key count. Joining on the KEYS rather than a row id
+    matters for correctness, not just size: a
+    ``monotonically_increasing_id`` self-join is nondeterministic
+    across plan re-instantiations. Use this gear when Python workers
+    are unavailable or the bitmap exceeds the local gear's bound."""
     if keep not in ("maybe", "definitely_not"):
         raise ValueError(f"keep must be 'maybe' or 'definitely_not', got {keep!r}")
-    tagged = df.withColumn(
-        "__brow", F.monotonically_increasing_id())
-    probes = (
-        tagged.select(
-            "__brow",
-            F.explode(F.array(*bit_positions(key_cols, num_bits, num_hashes))
+    names = [c if isinstance(c, str) else df.select(c).columns[0]
+             for c in key_cols]
+    verdicts = (
+        df.select(*names).distinct()
+        .select(
+            *names,
+            F.explode(F.array(*bit_positions(names, num_bits, num_hashes))
                       ).alias("__pos"))
         .select(
-            "__brow",
+            *names,
             F.shiftright(F.col("__pos"), 6).alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))")
             .alias("__mask"),
@@ -239,9 +245,20 @@ def bloom_probe_join(
             "__hit",
             (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__mask"))
              != 0).cast("int"))
-        .groupBy("__brow")
+        .groupBy(*names)
         .agg((F.sum("__hit") == F.lit(num_hashes)).alias("__maybe"))
     )
-    out = tagged.join(probes, "__brow")
-    cond = F.col("__maybe") if keep == "maybe" else ~F.col("__maybe")
-    return out.where(cond).drop("__brow", "__maybe")
+    # alias BOTH sides: verdicts derives from df, so unqualified key
+    # references are ambiguous self-join columns to the analyzer
+    d = df.alias("__bd")
+    v = verdicts.alias("__bv")
+    cond = None
+    for n in names:
+        eq = F.col(f"__bd.{n}").eqNullSafe(F.col(f"__bv.{n}"))
+        cond = eq if cond is None else (cond & eq)
+    flag = F.coalesce(F.col("__bv.__maybe"), F.lit(False))
+    return (
+        d.join(v, cond, "left")
+        .where(flag if keep == "maybe" else ~flag)
+        .select(*[F.col(f"__bd.{c}") for c in df.columns])
+    )

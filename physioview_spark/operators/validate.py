@@ -112,7 +112,7 @@ def profile(
             aggs.append(F.stddev(c).alias(f"__sd_{c}"))
             for q in quantiles:
                 aggs.append(
-                    F.expr(f"approx_percentile({c}, {q})")
+                    F.expr(f"approx_percentile(`{c}`, {q})")
                     .cast("double").alias(f"__q{int(q * 100)}_{c}"))
     wide = df.agg(*aggs).collect()[0].asDict()
     spark = df.sparkSession
