@@ -84,7 +84,7 @@ def session_ids(
     tagged = df.withColumn("__prev_ts", F.lag(F.col(ts_col)).over(order))
     brk = F.when(
         F.col("__prev_ts").isNull()
-        | (F.expr(f"timestampdiff(MICROSECOND, __prev_ts, {ts_col})")
+        | (F.expr(f"timestampdiff(MICROSECOND, __prev_ts, `{ts_col}`)")
            >= F.lit(int(gap_seconds * 1_000_000))),
         F.lit(1)).otherwise(F.lit(0))
     running = Window.partitionBy(*keys).orderBy(F.col(ts_col)) \

@@ -1696,6 +1696,25 @@ class TestBloomFilter:
         assert bloom.bloom_probe_join(probe, ["key"], words, m, k) \
             .count() == 0
 
+    def test_join_gear_null_keys_and_duplicates(self, spark):
+        """The join gear verdicts per DISTINCT key and joins back
+        null-safely: null keys keep a consistent verdict instead of
+        dropping out of the equi-join, and duplicate probe rows all
+        survive."""
+        from physioview_spark.llm import bloom
+        members = spark.createDataFrame(
+            [("a",), (None,)], "key string")
+        probe = spark.createDataFrame(
+            [("a",), ("a",), (None,), ("zz",)], "key string")
+        m, k = 640, 3
+        words = bloom.bloom_build(members, ["key"], m, k)
+        maybe = [r.key for r in bloom.bloom_probe_join(
+            probe, ["key"], words, m, k).collect()]
+        # members (incl. the null key, hashed consistently on both
+        # sides) are kept, duplicates preserved; "zz" may only survive
+        # as an FP, which a 640-bit filter over 2 keys won't produce
+        assert sorted(maybe, key=str) == sorted(["a", "a", None], key=str)
+
     def test_composite_key(self, spark):
         from physioview_spark.llm import bloom
         members = spark.range(0, 500).select(
