@@ -1514,3 +1514,47 @@ def beat_edits_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = process_beat_edits(samples, edits, use_ts=False)
     return out.select("subject_id", "sample_idx", "deleted_beat",
                       "added_beat", "unusable", "edited")
+
+
+@q("events_sessionize", """
+WITH tagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts)) >= 1200
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), ids AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM tagged)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch,
+       COUNT(*) AS n_events
+FROM ids GROUP BY user_id, session_id
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py, round-8
+    second pass; beyond-reference — the reference segments by fixed
+    windows only, physioview/physioview.py:945-975): 20-minute
+    inactivity gap, per-event islands labeling aggregated to session
+    bounds. The session_window twin of this aggregate is
+    batch/stream-parity tested in tests/test_streaming.py; this
+    declared shape uses the per-event ids so the oracle is pure
+    gaps-and-islands ANSI SQL. Timestamps project as epoch seconds
+    (tz-proof); tied timestamps can't straddle a break (gap 0 < any
+    threshold), so the aggregate is deterministic."""
+    from physioview_spark.operators.sessions import session_ids
+
+    ev = read(spark, sf_dir, "events")
+    return (
+        session_ids(ev, 1200.0)
+        .groupBy("user_id", "session_id")
+        .agg(
+            epoch_s(F.min("ts")).cast("long").alias("start_epoch"),
+            epoch_s(F.max("ts")).cast("long").alias("last_epoch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
