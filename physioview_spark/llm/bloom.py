@@ -228,6 +228,10 @@ def bloom_probe_join(
         raise ValueError(f"keep must be 'maybe' or 'definitely_not', got {keep!r}")
     names = [c if isinstance(c, str) else df.select(c).columns[0]
              for c in key_cols]
+    # word table under reserved names so a probe key may itself be
+    # called "bits" or "word_idx" without an ambiguous reference
+    words = bloom_words.select(
+        F.col("word_idx").alias("__bw_idx"), F.col("bits").alias("__bw_bits"))
     verdicts = (
         df.select(*names).distinct()
         .select(
@@ -236,15 +240,15 @@ def bloom_probe_join(
                       ).alias("__pos"))
         .select(
             *names,
-            F.shiftright(F.col("__pos"), 6).alias("word_idx"),
+            F.shiftright(F.col("__pos"), 6).alias("__bw_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))")
             .alias("__mask"),
         )
-        .join(F.broadcast(bloom_words), "word_idx", "left")
+        .join(F.broadcast(words), "__bw_idx", "left")
         .withColumn(
             "__hit",
-            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__mask"))
-             != 0).cast("int"))
+            (F.coalesce(F.col("__bw_bits"), F.lit(0))
+             .bitwiseAND(F.col("__mask")) != 0).cast("int"))
         .groupBy(*names)
         .agg((F.sum("__hit") == F.lit(num_hashes)).alias("__maybe"))
     )

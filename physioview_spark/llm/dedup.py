@@ -482,7 +482,7 @@ def decontaminate(
     shingle stream against the bench shingle set BEFORE the exact
     broadcast join — for a benchmark suite whose distinct k-gram set
     runs to millions of rows, the broadcast hashmap is the cost center
-    and the ~9.6-bits/key bitmap is 15-20x smaller. The exact join
+    and the ~6.2-bits/key bitmap (5% FPP default) is 15-20x smaller. The exact join
     still verifies every survivor, so FPs cannot flag a clean doc:
     results are bit-identical (eagerly builds the filter: one count +
     one collect over the bench side)."""
@@ -659,8 +659,10 @@ def dedup_delta(
     to the corpus, which restores the plain shuffle plans.
 
     ``prefilter="bloom"`` swaps the exact broadcast key sets for Bloom
-    filters (:mod:`physioview_spark.llm.bloom`): ~9.6 bits/key at the
-    default 1% FPP instead of 16-byte md5 rows plus hashmap overhead,
+    filters (:mod:`physioview_spark.llm.bloom`): ~6.2 bits/key at the
+    default 5% FPP (loose is right for a prune-only prefilter — fewer
+    hash probes, and leaked rows just reach the exact join) instead of
+    16-byte md5 rows plus hashmap overhead,
     so the broadcast-the-delta regime survives deltas an order of
     magnitude larger. False positives only let extra corpus rows
     through the prune into the exact join/verify, so decisions are

@@ -182,7 +182,7 @@ def retention_cohorts(
     p = F.date_trunc(period, F.col(ts_col))
     activity = (
         df.select(F.col(key_col).alias("__k"), p.alias("__p"))
-        .groupBy("__k", "__p").agg(F.lit(1).alias("__one"))
+        .distinct()
     )
     w = Window.partitionBy("__k")
     tagged = activity.withColumn("__cohort", F.min("__p").over(w))

@@ -83,14 +83,22 @@ def profile(
       an exact distinct per column would be one corpus shuffle EACH;
     - quantiles are ``approx_percentile`` (Greenwald-Khanna), the same
       sketch Spark's own ANALYZE uses;
-    - min/max are stringified so one long-format report covers mixed
-      types (the numeric originals stay exact in mean/stddev/quantile
-      fields).
+    - min/max are computed in the column's NATIVE type and stringified
+      afterwards, so one long-format report covers mixed types without
+      lexicographic artifacts ('9' > '10' string-compares true; the
+      native min/max never sees strings unless the column is one).
 
     The wide 1-row aggregate is unpivoted driver-side into the
     long-format frame — bounded by the column count, never by rows.
     """
     cols = columns if columns is not None else df.columns
+    qlabels = [
+        f"q{int(q * 100)}" if float(q * 100).is_integer()
+        else "q" + repr(float(q))[2:]
+        for q in quantiles
+    ]
+    if len(set(qlabels)) != len(qlabels):
+        raise ValueError(f"quantile labels collide: {qlabels}")
     numeric = {
         f.name for f in df.schema.fields
         if f.dataType.simpleString() in
@@ -105,15 +113,17 @@ def profile(
         ).alias(f"__nn_{c}"))
         aggs.append(F.approx_count_distinct(c, rsd=distinct_rsd)
                     .alias(f"__nd_{c}"))
-        aggs.append(F.min(F.col(c).cast("string")).alias(f"__mn_{c}"))
-        aggs.append(F.max(F.col(c).cast("string")).alias(f"__mx_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
         if c in numeric:
-            aggs.append(F.avg(c).alias(f"__av_{c}"))
-            aggs.append(F.stddev(c).alias(f"__sd_{c}"))
-            for q in quantiles:
+            # cast: avg/stddev over decimals yield decimal.Decimal,
+            # which the double output schema rejects
+            aggs.append(F.avg(c).cast("double").alias(f"__av_{c}"))
+            aggs.append(F.stddev(c).cast("double").alias(f"__sd_{c}"))
+            for q, ql in zip(quantiles, qlabels):
                 aggs.append(
                     F.expr(f"approx_percentile(`{c}`, {q})")
-                    .cast("double").alias(f"__q{int(q * 100)}_{c}"))
+                    .cast("double").alias(f"__{ql}_{c}"))
     wide = df.agg(*aggs).collect()[0].asDict()
     spark = df.sparkSession
     out_rows = []
@@ -126,10 +136,10 @@ def profile(
             "mean": wide.get(f"__av_{c}"),
             "stddev": wide.get(f"__sd_{c}"),
         }
-        for q in quantiles:
-            row[f"q{int(q * 100)}"] = wide.get(f"__q{int(q * 100)}_{c}")
+        for ql in qlabels:
+            row[ql] = wide.get(f"__{ql}_{c}")
         out_rows.append(row)
-    qcols = ", ".join(f"q{int(q * 100)} double" for q in quantiles)
+    qcols = ", ".join(f"{ql} double" for ql in qlabels)
     return spark.createDataFrame(
         out_rows,
         "column string, dtype string, n_rows bigint, n_nulls bigint, "

@@ -520,3 +520,28 @@ class TestProfile:
         got = {r.column: r for r in profile(df).collect()}
         assert got["id"].n_rows == 0 and got["id"].n_nulls == 0
         assert got["v"].mean is None
+
+    def test_numeric_minmax_not_lexicographic(self, spark):
+        """Regression (review-caught): min/max must be computed in the
+        native type BEFORE stringifying — lexicographic '9' > '10'."""
+        from physioview_spark.operators.validate import profile
+        df = spark.createDataFrame(
+            [(9,), (10,), (199,)], "v long")
+        r = profile(df).collect()[0]
+        assert (r.min_str, r.max_str) == ("9", "199")
+
+    def test_decimal_column_and_quantile_labels(self, spark):
+        """Regression (review-caught): decimal avg/stddev yield
+        Decimal objects the double schema rejected; sub-percent or
+        colliding quantile labels must be handled, not silently merged."""
+        import pytest as _pt
+
+        from physioview_spark.operators.validate import profile
+        df = spark.createDataFrame(
+            [(1,), (2,), (3,)], "v long").selectExpr(
+            "cast(v as decimal(10,2)) as d")
+        got = profile(df, quantiles=(0.5, 0.999)).collect()[0]
+        assert abs(got.mean - 2.0) < 1e-9
+        assert got.q999 == 3.0
+        with _pt.raises(ValueError):
+            profile(df, quantiles=(0.99, 0.999, 0.9990))
