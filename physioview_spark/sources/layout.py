@@ -114,3 +114,48 @@ def write_zordered(
         .drop("__z", *helper_cols)
         .write.mode("overwrite").parquet(path)
     )
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 256,
+    sample_rows: int = 10_000,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    min_partitions: int = 1,
+    max_partitions: int | None = None,
+) -> int:
+    """Size-targeted write: pick the output partition count from
+    MEASURED bytes/row so files land near ``target_mb`` — the small-
+    files/giant-files answer for 100 TB sinks (a fixed
+    ``repartition(N)`` is wrong at every other scale; AQE coalesces
+    SHUFFLE partitions, not final write file counts under an explicit
+    partitioning).
+
+    Bytes/row is estimated from a bounded ``sample_rows`` head:
+    probing the columnar writer's real compressed size would cost a
+    trial write, so the estimate takes the sample's in-memory pandas
+    footprint with a 2.5x parquet-compression haircut — coarse, but
+    within ~2x on the engine's tables, and the failure mode that
+    matters at 100 TB is 128 MB vs 64 GB files, not 128 vs 200 MB.
+    Row count comes from ``df.count()`` (one job).
+
+    Returns the partition count used. The write repartitions by a
+    round-robin of the row (no key skew) and leaves ordering to the
+    caller (compose with :func:`write_zordered` when pruning layout
+    matters more than file sizing).
+    """
+    n_rows = df.count()
+    if n_rows == 0:
+        df.limit(0).write.format(format).mode(mode).save(path)
+        return 1
+    sample = df.limit(min(sample_rows, n_rows)).toPandas()
+    mem_bytes = int(sample.memory_usage(index=False, deep=True).sum())
+    bytes_per_row = max(1.0, mem_bytes / max(1, len(sample)) / 2.5)
+    total_mb = n_rows * bytes_per_row / (1024 * 1024)
+    n_parts = max(min_partitions, int(total_mb // target_mb) + 1)
+    if max_partitions is not None:
+        n_parts = min(n_parts, max_partitions)
+    df.repartition(n_parts).write.format(format).mode(mode).save(path)
+    return n_parts

@@ -664,3 +664,33 @@ def test_zorder_four_columns_stay_positive(spark):
     # max corner is the largest value (15 bits per dim, 4 dims)
     mx = out.select(F.max(morton).alias("m")).first()["m"]
     assert mx == max(vals)
+
+
+class TestSizedWrite:
+    def test_partition_count_tracks_target(self, spark, tmp_path):
+        """Halving target_mb must not decrease the file count, and the
+        produced files must actually exist with data intact."""
+        import os
+
+        from physioview_spark.sources.layout import write_sized
+        df = spark.range(50_000).selectExpr(
+            "id", "repeat('x', 200) as pad")
+        p1 = str(tmp_path / "big")
+        p2 = str(tmp_path / "small")
+        n_big = write_sized(df, p1, target_mb=64)
+        n_small = write_sized(df, p2, target_mb=1)
+        assert n_small >= n_big >= 1
+        back = spark.read.parquet(p2)
+        assert back.count() == 50_000
+        files = [f for f in os.listdir(p2) if f.endswith(".parquet")]
+        assert len(files) == n_small
+
+    def test_empty_and_caps(self, spark, tmp_path):
+        from physioview_spark.sources.layout import write_sized
+        p = str(tmp_path / "empty")
+        assert write_sized(spark.range(0), p) == 1
+        assert spark.read.parquet(p).count() == 0
+        p2 = str(tmp_path / "capped")
+        n = write_sized(spark.range(100_000), p2, target_mb=1,
+                        max_partitions=4)
+        assert n <= 4
