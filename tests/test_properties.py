@@ -595,3 +595,58 @@ class TestBloomProperties:
             assert set(keys) <= set(maybe), gear       # no false negatives
             assert len(maybe) + len(no) == len(probe_rows), gear
             assert not (set(maybe) & set(no)) or True  # multiset split
+
+
+class TestFunnelProperties:
+    """funnel_steps vs an independent per-key greedy reference on
+    random event streams: same step timestamps, same depth, for any
+    mix of orderings, repeats, and missing steps."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_matches_greedy_reference(self, spark, data):
+        import datetime as dt
+
+        from physioview_spark.operators.sessions import funnel_steps
+
+        steps = ["a", "b", "c"]
+        types = steps + ["x"]  # plus a decoy type
+        rows = []
+        n_users = data.draw(st.integers(1, 4), label="n_users")
+        for u in range(n_users):
+            n_ev = data.draw(st.integers(0, 12), label=f"n{u}")
+            # distinct minute offsets so greedy choice is unambiguous
+            offs = data.draw(st.lists(
+                st.integers(0, 500), min_size=n_ev, max_size=n_ev,
+                unique=True), label=f"offs{u}")
+            for o in offs:
+                t = data.draw(st.integers(0, 3), label=f"t{u}_{o}")
+                rows.append((u, dt.datetime(2024, 1, 1)
+                             + dt.timedelta(minutes=o), types[t]))
+        if not rows:
+            rows = [(0, dt.datetime(2024, 1, 1), "x")]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+        got = {r.user_id: r for r in funnel_steps(df, steps).collect()}
+
+        # independent greedy reference
+        per_user: dict[int, dict[str, list]] = {}
+        for u, ts, et in rows:
+            per_user.setdefault(u, {}).setdefault(et, []).append(ts)
+        for u, by_type in per_user.items():
+            expect = []
+            prev = None
+            for s in steps:
+                cand = sorted(t for t in by_type.get(s, [])
+                              if prev is None or t > prev)
+                if not cand:
+                    break
+                prev = cand[0]
+                expect.append(prev)
+            r = got[u]
+            assert r.steps_completed == len(expect), (u, rows)
+            for i, t in enumerate(expect):
+                assert getattr(r, f"step_{i + 1}_ts") == t, (u, i)
+            for i in range(len(expect), len(steps)):
+                assert getattr(r, f"step_{i + 1}_ts") is None, (u, i)
