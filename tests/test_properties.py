@@ -650,3 +650,33 @@ class TestFunnelProperties:
                 assert getattr(r, f"step_{i + 1}_ts") == t, (u, i)
             for i in range(len(expect), len(steps)):
                 assert getattr(r, f"step_{i + 1}_ts") is None, (u, i)
+
+
+class TestEpochShardProperties:
+    """epoch_shards: exact partition of the input for ANY shard count
+    and epoch, dense positions, and pure-function determinism."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_partition_and_determinism(self, spark, data):
+        import hashlib
+
+        from physioview_spark.llm.sampling import epoch_shards
+
+        n = data.draw(st.integers(1, 120), label="n")
+        shards = data.draw(st.integers(1, 16), label="shards")
+        epoch = data.draw(st.integers(0, 3), label="epoch")
+        seed = data.draw(st.integers(0, 2), label="seed")
+        df = spark.range(n).selectExpr("id as doc_id")
+        out = epoch_shards(df, shards, seed=seed, epoch=epoch).collect()
+        assert len(out) == n                       # exact coverage
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            # the shard matches the engine-independent hashlib oracle
+            h = hashlib.md5(
+                f"{seed}|{epoch}|{r.doc_id}".encode()).hexdigest()
+            assert r.shard == int(h[:15], 16) % shards
+            by_shard.setdefault(r.shard, []).append(r.shard_pos)
+        for ps in by_shard.values():               # dense 1..len
+            assert sorted(ps) == list(range(1, len(ps) + 1))
