@@ -106,6 +106,12 @@ def profile(
         or f.dataType.simpleString().startswith("decimal")
     }
     dtypes = dict(df.dtypes)
+    # map-typed columns have no ordering (min/max reject them); profile
+    # their nulls/distinct only, with min_str/max_str left NULL
+    orderable = {
+        f.name for f in df.schema.fields
+        if not f.dataType.simpleString().startswith("map")
+    }
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.coalesce(
@@ -113,8 +119,9 @@ def profile(
         ).alias(f"__nn_{c}"))
         aggs.append(F.approx_count_distinct(c, rsd=distinct_rsd)
                     .alias(f"__nd_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
+        if c in orderable:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
         if c in numeric:
             # cast: avg/stddev over decimals yield decimal.Decimal,
             # which the double output schema rejects
@@ -132,7 +139,8 @@ def profile(
             "column": c, "dtype": dtypes[c], "n_rows": wide["__n"],
             "n_nulls": wide[f"__nn_{c}"],
             "n_distinct_approx": wide[f"__nd_{c}"],
-            "min_str": wide[f"__mn_{c}"], "max_str": wide[f"__mx_{c}"],
+            "min_str": wide.get(f"__mn_{c}"),
+            "max_str": wide.get(f"__mx_{c}"),
             "mean": wide.get(f"__av_{c}"),
             "stddev": wide.get(f"__sd_{c}"),
         }

@@ -521,6 +521,20 @@ class TestProfile:
         assert got["id"].n_rows == 0 and got["id"].n_nulls == 0
         assert got["v"].mean is None
 
+    def test_array_and_map_columns(self, spark):
+        """profile must survive complex columns: arrays are orderable
+        and hashable (full stats); maps have no ordering — nulls and
+        distinct only, min_str/max_str NULL."""
+        from physioview_spark.operators.validate import profile
+        df = spark.sql(
+            "select id, array(id, id+1) as a, map('k', id) as m "
+            "from range(5)")
+        got = {r.column: r for r in profile(df).collect()}
+        assert got["a"].min_str is not None
+        assert got["a"].n_distinct_approx == 5
+        assert got["m"].min_str is None and got["m"].max_str is None
+        assert got["m"].n_nulls == 0 and got["m"].n_distinct_approx == 5
+
     def test_numeric_minmax_not_lexicographic(self, spark):
         """Regression (review-caught): min/max must be computed in the
         native type BEFORE stringifying — lexicographic '9' > '10'."""
