@@ -219,3 +219,62 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_topk_refined(
+    codes_df: DataFrame,
+    emb_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    vec_col: str = "embedding",
+    method: str = "expr",
+) -> DataFrame:
+    """ADC-then-exact refinement (the standard PQ quality knob, Jégou
+    et al. 2011 §IV): :func:`pq_topk` shortlists ``k * refine``
+    candidates per query from the CODES alone, then the shortlist —
+    and only the shortlist — is re-scored with the exact cosine
+    against the original embeddings and cut to the final ``k``.
+    Output matches :func:`similarity.cosine_topk`'s shape
+    ``(query_id, match_id, sim, rank)``.
+
+    Scale shape: the ADC pass is pq_topk's corpus-sized
+    broadcast-NLJ + WindowGroupLimit; its output is BOUNDED
+    (queries x k x refine rows), so the exact pass broadcasts the
+    candidate list against ONE scan of the embedding table (semi-join
+    shape — the full-precision vectors are only read for candidates)
+    and computes queries x k x refine exact cosines, not corpus-sized
+    work. Like pq_topk, a query matching itself is not filtered —
+    drop ``query_id == match_id`` downstream if self-matches are not
+    wanted.
+    """
+    from physioview_spark.llm.similarity import _cosine_by
+
+    cand = pq_topk(
+        codes_df, queries, codebooks, k=k * refine,
+        id_col=id_col, codes_col=codes_col, q_id=q_id, q_vec=q_vec,
+    ).select("query_id", "match_id")
+    ce = (
+        emb_df.select(F.col(id_col).alias("match_id"),
+                      F.col(vec_col).alias("__cv"))
+        .join(F.broadcast(cand), "match_id")
+    )
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       F.col(q_vec).alias("__qv"))
+    cos = _cosine_by(method)
+    scored = (
+        ce.join(F.broadcast(q), "query_id")
+        .withColumn("sim", F.round(cos(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )

@@ -2082,6 +2082,26 @@ class TestProductQuantization:
         assert "BroadcastNestedLoopJoin" in plan
         assert "WindowGroupLimit" in plan
 
+        # ADC-then-exact refinement: the exact re-rank over the
+        # shortlist resolves exactly the tie problem above — recall@5
+        # at k=5 (self-matches dropped to mirror cosine_topk), where
+        # raw ADC ties made k=5 arbitrary
+        refined = pq.pq_topk_refined(
+            enc, unit, queries, books, k=6, refine=4).toPandas()
+        refined = refined[refined["query_id"] != refined["match_id"]]
+        r5 = []
+        for qid, grp in exact.groupby("query_id"):
+            truth = set(grp["match_id"])
+            got = set(refined[refined["query_id"] == qid]
+                      .nsmallest(5, "rank")["match_id"])
+            r5.append(len(truth & got) / len(truth))
+        assert np.mean(r5) >= 0.95, r5
+        # and the exact sims must agree with cosine_topk's on shared
+        # pairs (same rounding, same definition)
+        merged = refined.merge(
+            exact, on=["query_id", "match_id"], how="inner")
+        assert (abs(merged["sim_x"] - merged["sim_y"]) <= 1e-6).all()
+
 
 def test_ivfpq_matches_full_pq_within_probed_buckets(spark):
     """IVF-PQ == plain PQ restricted to the probed buckets: with
