@@ -97,6 +97,8 @@ def main() -> None:
         "ivf_probe4": lambda: similarity.ivf_topk(
             queries, corpus, cents, k=8, n_probe=4),
         "pq_adc": lambda: pq.pq_topk(enc, queries, books, k=8),
+        "pq_refined_x4": lambda: pq.pq_topk_refined(
+            enc, corpus, queries, books, k=8, refine=4),
         "ivfpq_probe4": lambda: pq.ivfpq_topk(
             enc, queries, cents, books, k=8, n_probe=4),
     }
