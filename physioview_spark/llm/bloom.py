@@ -9,17 +9,19 @@ from-scratch Bloom filter expressed entirely in DataFrame operators:
   ``bit_or`` aggregate into a SPARSE word table ``(word_idx: long,
   bits: long)`` of at most ``m/64`` rows. One shuffle, map-side
   combinable, output bounded by the filter size — not the key count.
-* **probe (local gear)** — the word table densifies into a numpy
-  ``uint64`` bitmap (``m/8`` bytes, broadcast via Spark's TorrentBroadcast),
-  and membership is an Arrow-batched pandas UDF over the SAME JVM-computed
-  position columns: ``(bitmap[pos >> 6] >> (pos & 63)) & 1`` for each of
-  the ``k`` probes, vectorized with ``numpy.take``. Zero shuffle on the
-  probed frame; the only Python hop carries ``k`` long columns per row.
-* **probe (join gear)** — for Python-worker-free plans: explode the
-  ``k`` positions and broadcast-hash-join the word table, keeping rows
-  whose ``k`` probes all hit a set bit. Costs one ``k``-way explode and a
-  re-aggregate on the probe key; prefer the local gear unless the bitmap
-  exceeds the broadcast budget.
+* **probe (jvm gear, default)** — the word table densifies into a
+  bitmap shipped as a ONE-ROW ``array<bigint>`` broadcast, and
+  membership is pure JVM ``element_at``/``shiftright`` arithmetic in
+  codegen over the same JVM-computed position columns. Zero shuffle,
+  zero Python on the probed frame.
+* **probe (pandas gear)** — the bitmap as a numpy ``uint64`` array
+  (TorrentBroadcast) with membership in one Arrow-batched pandas UDF
+  (``(bitmap[pos >> 6] >> (pos & 63)) & 1`` via ``numpy.take``). For
+  very large bitmaps, and the parity witness for the jvm gear.
+* **probe (join gear)** — per-distinct-key verdicts via explode +
+  broadcast-hash-join of the word table, joined back null-safely on
+  the key columns. For Python-worker-free plans with filters past the
+  local bound.
 
 Hash parity between build and probe is free because BOTH sides compute
 positions with the same JVM ``xxhash64`` expression — nothing in Python
