@@ -496,3 +496,64 @@ def epoch_shards(
         tagged.withColumn(pos_col, F.row_number().over(w))
         .drop("__h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    quota: int,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — inclusion
+    probability proportional to ``weight_col`` (quality-weighted
+    curation: sample good documents more often without hard
+    thresholds). The uniform gear is :func:`stratified_sample`; this is
+    its weighted sibling.
+
+    Method: Efraimidis-Spirakis A-Res keys (public algorithm, 2006) —
+    each row draws ``u in (0, 1]`` and ranks by ``u^(1/w)`` descending;
+    the top ``quota`` is exactly a weighted sample without replacement.
+    ``u`` derives from ``md5(seed|id)`` (the :func:`sample_order`
+    construction), so the sample is a pure function of (corpus, seed)
+    and the whole expression has an exact ANSI-SQL twin. Rows with
+    NULL or non-positive weight are excluded (they cannot carry
+    sampling mass).
+
+    Scale shape: with ``strata_cols``, per-stratum ``row_number`` with
+    the ``rank <= quota`` filter rewriting to WindowGroupLimit (partial
+    per-mapper limits before the exchange, as in
+    :func:`stratified_sample`); without strata, a global
+    ``ORDER BY ... LIMIT`` that compiles to TakeOrderedAndProject — a
+    per-partition top-``quota`` then one ``quota``-row reduce, never a
+    single-partition global sort.
+    """
+    u = (
+        (F.conv(F.substring(sample_order(id_col, seed), 1, 15), 16, 10)
+         .cast("double") + F.lit(1.0))
+        / F.lit(float(1 << 60))
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    eligible = df.where(w.isNotNull() & (w > 0)) \
+        .withColumn("__wkey", key)
+    if strata_cols:
+        win = Window.partitionBy(*strata_cols).orderBy(
+            F.desc("__wkey"), F.col(id_col))
+        return (
+            eligible.withColumn(rank_col, F.row_number().over(win))
+            .where(F.col(rank_col) <= quota)
+            .drop("__wkey")
+        )
+    out = (
+        eligible.orderBy(F.desc("__wkey"), F.col(id_col))
+        .limit(quota)
+        .withColumn(
+            rank_col,
+            F.row_number().over(
+                Window.orderBy(F.desc("__wkey"), F.col(id_col))))
+        .drop("__wkey")
+    )
+    return out

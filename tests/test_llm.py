@@ -2339,3 +2339,69 @@ def test_packing_null_token_rows_do_not_corrupt_offsets(spark):
     assert by_id[2]["n_tokens"] == 0
     assert all(r["start_offset"] >= 0 for r in addr)
     assert sum(r["n_tokens"] for r in addr) == 3
+
+
+class TestWeightedSample:
+    """llm/sampling.weighted_sample — Efraimidis-Spirakis A-Res."""
+
+    def _df(self, spark, weights):
+        return spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)],
+            "doc_id long, w double")
+
+    def test_matches_python_reference(self, spark):
+        """The key is a pure function of (seed, id, weight): recompute
+        u^(1/w) in python (hashlib md5, same hex-prefix u) and the
+        selected top-quota set must match exactly."""
+        import hashlib
+
+        from physioview_spark.llm import sampling
+        weights = [(i % 7) + 0.5 for i in range(60)]
+        got = sorted(r.doc_id for r in sampling.weighted_sample(
+            self._df(spark, weights), "w", 10, seed=3).collect())
+
+        def key(i):
+            h = hashlib.md5(f"3|{i}".encode()).hexdigest()
+            u = (int(h[:15], 16) + 1.0) / float(1 << 60)
+            return u ** (1.0 / weights[i])
+
+        want = sorted(sorted(range(60), key=lambda i: (-key(i), i))[:10])
+        assert got == want
+
+    def test_heavier_weights_sampled_more(self, spark):
+        """Statistical sanity: weight-10 docs (half the corpus) should
+        dominate a quota-20 sample over several seeds."""
+        from physioview_spark.llm import sampling
+        weights = [10.0 if i < 50 else 1.0 for i in range(100)]
+        df = self._df(spark, weights)
+        heavy = 0
+        for seed in range(4):
+            ids = [r.doc_id for r in sampling.weighted_sample(
+                df, "w", 20, seed=seed).collect()]
+            heavy += sum(1 for i in ids if i < 50)
+        assert heavy / (4 * 20) > 0.7  # E ~ 0.85 at w-ratio 10
+
+    def test_null_and_nonpositive_excluded_and_strata(self, spark):
+        from physioview_spark.llm import sampling
+        df = spark.createDataFrame(
+            [(0, None, "a"), (1, 0.0, "a"), (2, -1.0, "a"),
+             (3, 2.0, "a"), (4, 1.0, "a"), (5, 3.0, "b")],
+            "doc_id long, w double, dom string")
+        out = sampling.weighted_sample(
+            df, "w", 5, strata_cols=["dom"]).collect()
+        assert sorted(r.doc_id for r in out) == [3, 4, 5]
+        # per-stratum ranks are dense from 1
+        assert {(r.dom, r.sample_rank) for r in out} == {
+            ("a", 1), ("a", 2), ("b", 1)}
+
+    def test_plans(self, spark):
+        from physioview_spark.llm import sampling
+        df = self._df(spark, [1.0] * 1000)
+        plan = sampling.weighted_sample(df, "w", 5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # no global sort
+        plan_s = sampling.weighted_sample(
+            df.withColumn("s", F.col("doc_id") % 4), "w", 5,
+            strata_cols=["s"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan_s
