@@ -20,7 +20,7 @@ whole-stage codegen, and never leave the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -153,3 +153,58 @@ def profile(
         "column string, dtype string, n_rows bigint, n_nulls bigint, "
         "n_distinct_approx bigint, min_str string, max_str string, "
         f"mean double, stddev double, {qcols}")
+
+
+def skew_report(
+    df: DataFrame,
+    columns: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Hot-key diagnostics for join/groupBy key candidates — the
+    measurement behind a salting decision: for each column, the ``top``
+    most frequent keys with count and share of rows. Output (long
+    format): ``(column, key_str, cnt, share, rank)``; NULL keys report
+    as key_str NULL with their true count.
+
+    Spark-first shape: ONE ``GROUPING SETS ((c1), (c2), ...)``
+    aggregate computes every column's frequency table in a single pass
+    and a single shuffle (vs one groupBy job per column);
+    ``grouping(c)`` flags — not NULL-ness, which a NULL key would fake
+    — identify which set each row belongs to. The per-column top-k
+    filter rewrites to WindowGroupLimit, so only ~top keys per column
+    per mapper cross the final exchange.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    n_rows = df.count()
+    g = df.groupingSets([[c] for c in columns], *columns).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in columns],
+    )
+    # every grouping-sets row belongs to exactly ONE single-column set
+    # (its grouping flag is 0); a CASE projection recovers which — one
+    # lineage, one Expand, rather than a union of per-column filters
+    # that would re-expand the aggregate per branch
+    col_expr = None
+    key_expr = None
+    for c in columns:
+        is_set = F.col(f"__g_{c}") == 0
+        col_expr = (F.when(is_set, F.lit(c)) if col_expr is None
+                    else col_expr.when(is_set, F.lit(c)))
+        key_expr = (F.when(is_set, F.col(c).cast("string"))
+                    if key_expr is None
+                    else key_expr.when(is_set, F.col(c).cast("string")))
+    out = g.select(col_expr.alias("column"),
+                   key_expr.alias("key_str"), F.col("cnt"))
+    w = Window.partitionBy("column").orderBy(
+        F.desc("cnt"), F.asc_nulls_last("key_str"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .withColumn(
+            "share",
+            F.when(F.lit(n_rows) > 0,
+                   F.round(F.col("cnt") / F.lit(float(n_rows)), 6))
+            .otherwise(F.lit(None).cast("double")))
+        .select("column", "key_str", "cnt", "share", "rank")
+    )

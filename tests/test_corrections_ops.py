@@ -559,3 +559,53 @@ class TestProfile:
         assert got.q999 == 3.0
         with _pt.raises(ValueError):
             profile(df, quantiles=(0.99, 0.999, 0.9990))
+
+
+class TestSkewReport:
+    def test_matches_duckdb_and_null_keys(self, spark):
+        import duckdb
+
+        from physioview_spark.operators.validate import skew_report
+        rows = [(i % 3 if i % 10 else None, f"d{i % 4}")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "k long, dom string")
+        key = lambda t: (t[0], t[4])  # (column, rank): never None
+        got = sorted(map(tuple, skew_report(df, ["k", "dom"], top=5)
+                         .collect()), key=key)
+        pdf = df.toPandas()
+        want = sorted(map(tuple, duckdb.sql("""
+            WITH f AS (
+              SELECT 'k' AS colname, CAST(CAST(k AS BIGINT) AS VARCHAR) AS key_str,  -- pandas floats the nullable long
+                     count(*) AS cnt FROM pdf GROUP BY k
+              UNION ALL
+              SELECT 'dom', dom, count(*) FROM pdf GROUP BY dom),
+            r AS (
+              SELECT colname, key_str, cnt,
+                     round(cnt / 200.0, 6) AS share,
+                     row_number() OVER (PARTITION BY colname
+                         ORDER BY cnt DESC, key_str ASC NULLS LAST) AS rnk
+              FROM f)
+            SELECT colname, key_str, cnt, share, rnk
+            FROM r WHERE rnk <= 5""").fetchall()), key=key)
+        assert got == want
+        # the NULL key (20 rows) must appear with its true count
+        assert any(t[1] is None and t[2] == 20 for t in got)
+
+    def test_single_pass_plan(self, spark):
+        """One grouping-sets aggregate, not one shuffle per column: the
+        plan has exactly one Expand node feeding one aggregate exchange
+        (plus the top-k window exchange)."""
+        from physioview_spark.operators.validate import skew_report
+        df = spark.range(100).selectExpr(
+            "id % 3 as a", "id % 5 as b", "id % 7 as c")
+        plan = skew_report(df, ["a", "b", "c"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Expand") == 1
+        assert "WindowGroupLimit" in plan
+
+    def test_empty_columns_raises(self, spark):
+        import pytest as _pt
+
+        from physioview_spark.operators.validate import skew_report
+        with _pt.raises(ValueError):
+            skew_report(spark.range(1), [])
