@@ -1,5 +1,6 @@
 """Declarative data-quality expectations over any frame: single-pass
-validation counts and row quarantine.
+validation counts, row quarantine, column profiling, and hot-key skew
+diagnostics.
 
 The ingest-side complement of the source-specific header/schema checks
 (sources/csv.py S8): rules are named boolean Columns ("ts_not_null",
