@@ -680,3 +680,67 @@ class TestEpochShardProperties:
             by_shard.setdefault(r.shard, []).append(r.shard_pos)
         for ps in by_shard.values():               # dense 1..len
             assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+class TestWeightedSampleProperties:
+    """weighted_sample invariants beyond the python-reference test."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_weight_scale_invariance(self, spark, data):
+        """Multiplying every weight by a constant c > 0 must not change
+        the selected set or its order: rank key u^(1/(cw)) is the
+        monotone transform x -> x^(1/c) of u^(1/w)."""
+        from physioview_spark.llm.sampling import weighted_sample
+        n = data.draw(st.integers(5, 40), label="n")
+        seed = data.draw(st.integers(0, 3), label="seed")
+        c = data.draw(st.sampled_from([0.25, 3.0, 17.0]), label="c")
+        ws = [data.draw(st.sampled_from([0.5, 1.0, 2.0, 8.0]),
+                        label=f"w{i}") for i in range(n)]
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(ws)], "doc_id long, w double")
+        df2 = df.selectExpr("doc_id", f"w * {c} as w")
+        a = [(r.doc_id, r.sample_rank) for r in weighted_sample(
+            df, "w", 7, seed=seed).orderBy("sample_rank").collect()]
+        b = [(r.doc_id, r.sample_rank) for r in weighted_sample(
+            df2, "w", 7, seed=seed).orderBy("sample_rank").collect()]
+        assert a == b
+
+
+class TestSessionizationProperties:
+    """session_ids vs a brute-force python islands reference on random
+    per-user event times."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_matches_python_islands(self, spark, data):
+        import datetime as dt
+
+        from physioview_spark.operators.sessions import session_ids
+
+        gap_s = 600
+        rows = []
+        per_user: dict[int, list] = {}
+        n_users = data.draw(st.integers(1, 3), label="users")
+        for u in range(n_users):
+            n_ev = data.draw(st.integers(1, 15), label=f"n{u}")
+            offs = sorted(data.draw(st.lists(
+                st.integers(0, 10000), min_size=n_ev, max_size=n_ev,
+                unique=True), label=f"o{u}"))
+            ts = [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=o)
+                  for o in offs]
+            per_user[u] = ts
+            rows += [(u, t) for t in ts]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {(r.user_id, r.ts): r.session_id
+               for r in session_ids(df, float(gap_s)).collect()}
+        for u, ts in per_user.items():
+            sid = 0
+            prev = None
+            for t in ts:
+                if prev is None or (t - prev).total_seconds() >= gap_s:
+                    sid += 1
+                prev = t
+                assert got[(u, t)] == sid, (u, t)
