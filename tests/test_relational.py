@@ -494,3 +494,57 @@ class TestRetention:
         from physioview_spark.operators.sessions import retention_cohorts
         with _pt.raises(ValueError):
             retention_cohorts(spark.range(1), period="fortnight")
+
+
+class TestSessionFunnelComposition:
+    def test_funnel_within_sessions(self, spark):
+        """session_ids composes as a funnel key: key_cols=[user,
+        session] restarts the funnel per session, so a purchase in
+        session 1 cannot complete a signup from session 2."""
+        import datetime as dt
+
+        from physioview_spark.operators.sessions import (
+            funnel_steps, session_ids,
+        )
+        t = lambda m: (dt.datetime(2024, 1, 1)
+                       + dt.timedelta(minutes=m))
+        rows = [
+            # session 1: signup then purchase (complete)
+            (1, t(0), "signup"), (1, t(5), "purchase"),
+            # >30 min gap -> session 2: purchase only (incomplete: the
+            # session-2 funnel never saw a signup)
+            (1, t(60), "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+        sess = session_ids(df, 1800.0)
+        out = {(r.user_id, r.session_id): r.steps_completed
+               for r in funnel_steps(
+                   sess, ["signup", "purchase"],
+                   key_cols=["user_id", "session_id"]).collect()}
+        assert out[(1, 1)] == 2
+        assert out[(1, 2)] == 0
+
+    def test_retention_python_reference(self, spark):
+        """retention_cohorts vs a brute-force python reference on a
+        hand-built activity pattern with gaps."""
+        import datetime as dt
+
+        from physioview_spark.operators.sessions import retention_cohorts
+        rows = []
+        # user 0: weeks 0,1,3; user 1: weeks 0,2; user 2: week 1 only
+        base = dt.datetime(2024, 1, 1)  # a Monday
+        for u, weeks in [(0, [0, 1, 3]), (1, [0, 2]), (2, [1])]:
+            for wk in weeks:
+                rows.append((u, base + dt.timedelta(weeks=wk, hours=u)))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {(r.cohort.date(), r.period_n): r.n_active
+               for r in retention_cohorts(df, period="week").collect()}
+        w = lambda k: (base + dt.timedelta(weeks=k)).date()
+        assert got == {
+            (w(0), 0): 2,  # users 0,1 cohorted week 0
+            (w(0), 1): 1,  # user 0 active week 1
+            (w(0), 2): 1,  # user 1 active week 2
+            (w(0), 3): 1,  # user 0 active week 3
+            (w(1), 0): 1,  # user 2 cohorted week 1
+        }
