@@ -34,12 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # before your change), record round+1 so the pre-edit green cannot
 # satisfy the entry.
 _CHANGED_IN_ROUND = {
-    # (r06/r07 entries all attested green at their rounds — pruned.)
-    # r08 edits
-    "embedding_label_centroids": 8,  # declared output flattened to
-                                     # (label, n_vecs, idx, value) rows
-    "embedding_quantize_int8": 8,    # flattened to (vec_id, q_scale,
-                                     # idx, code) rows
+    # (r06-r08 entries all attested green at their rounds — pruned.
+    # r09 additions events_funnel / events_retention /
+    # doc_weighted_sample are never-verified, so the derived ordering
+    # already serves them at the head without an entry here.)
 }
 
 

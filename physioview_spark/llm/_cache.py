@@ -16,9 +16,20 @@ so :func:`release_pinned` can drop every operator-internal block AFTER
 the caller has consumed the results — the precise version of the
 bench's blanket ``clearCache`` (which also evicts caller-owned caches).
 Call it between repeated invocations, or rely on session teardown.
+
+For deterministic scoping, :func:`pinned_frames` wraps a block so that
+everything pinned INSIDE it is released on exit — long-lived sessions
+that invoke pin-internally operators in a loop get bounded storage
+without having to know which operators pin::
+
+    with pinned_frames():
+        result = dedup_delta(new, corpus).collect()
+    # operator-internal persists are gone here; `result` is plain rows
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -34,12 +45,9 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_pinned() -> int:
-    """Unpersist every operator-internal frame pinned since the last
-    release. Safe while results are still lazily held — Spark just
-    recomputes on next use. Returns the number of frames released."""
+def _release_from(start: int) -> int:
     n = 0
-    while _PINNED:
+    while len(_PINNED) > start:
         df = _PINNED.pop()
         try:
             df.unpersist()
@@ -47,3 +55,25 @@ def release_pinned() -> int:
         except Exception:
             pass  # session already stopped; nothing to release
     return n
+
+
+def release_pinned() -> int:
+    """Unpersist every operator-internal frame pinned since the last
+    release. Safe while results are still lazily held — Spark just
+    recomputes on next use. Returns the number of frames released."""
+    return _release_from(0)
+
+
+@contextmanager
+def pinned_frames():
+    """Scope operator-internal persists to a block: frames pinned
+    inside are unpersisted on exit (normal or exceptional), frames
+    pinned BEFORE entry are left alone. CONSUME results inside the
+    block (collect/write) — a lazy DataFrame escaping the scope simply
+    recomputes its pinned inputs on next use (correct, just unpinned).
+    Re-entrant: nested scopes release only their own pins."""
+    start = len(_PINNED)
+    try:
+        yield
+    finally:
+        _release_from(start)

@@ -67,6 +67,13 @@ __all__ = [
 # = 128 MiB dense, ~110M keys at 1% FPP.
 _MAX_LOCAL_BITS = 1 << 30
 
+# The jvm probe gear round-trips the bitmap through a Python int list
+# into a one-row local-relation plan node; past ~1 MiB of words that
+# transient list + plan-attached literal dominates, and the numpy
+# TorrentBroadcast of the pandas gear is the right transport. 2**23
+# bits = 128 Ki words = 1 MiB dense.
+_JVM_PROBE_MAX_BITS = 1 << 23
+
 
 def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     """Standard sizing: ``m = -n ln p / (ln 2)^2`` bits rounded up to a
@@ -141,7 +148,7 @@ def bloom_probe(
     num_bits: int,
     num_hashes: int,
     keep: str = "maybe",
-    gear: str = "jvm",
+    gear: str = "auto",
 ) -> DataFrame:
     """Filter ``df`` to rows the Bloom filter says MAY be members
     (``keep="maybe"``) or are DEFINITELY not (``keep="definitely_not"``).
@@ -149,7 +156,12 @@ def bloom_probe(
     as a candidate set, never as confirmed members.
 
     Zero-shuffle either way; the gears differ in where the bit test
-    runs:
+    runs. ``"auto"`` (default) picks jvm up to ``_JVM_PROBE_MAX_BITS``
+    (2^23 bits = 1 MiB dense) and pandas above — the jvm gear ships the
+    bitmap as a Python int list inside a one-row local relation, which
+    at the 2^30-bit cap would mean a 16.7M-element list and a GB-scale
+    transient plan literal; large bitmaps belong on the numpy
+    TorrentBroadcast path.
 
     * ``"jvm"`` (default) — the bitmap ships as a ONE-ROW
       ``array<bigint>`` broadcast (the pq.py LUT pattern: a broadcast
@@ -167,8 +179,10 @@ def bloom_probe(
     """
     if keep not in ("maybe", "definitely_not"):
         raise ValueError(f"keep must be 'maybe' or 'definitely_not', got {keep!r}")
-    if gear not in ("jvm", "pandas"):
-        raise ValueError(f"gear must be 'jvm' or 'pandas', got {gear!r}")
+    if gear not in ("auto", "jvm", "pandas"):
+        raise ValueError(f"gear must be 'auto', 'jvm' or 'pandas', got {gear!r}")
+    if gear == "auto":
+        gear = "jvm" if num_bits <= _JVM_PROBE_MAX_BITS else "pandas"
     spark = df.sparkSession
     if gear == "jvm":
         words = [int(x) for x in bitmap.view(np.int64)]

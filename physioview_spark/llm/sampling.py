@@ -516,11 +516,17 @@ def weighted_sample(
     Method: Efraimidis-Spirakis A-Res keys (public algorithm, 2006) —
     each row draws ``u in (0, 1]`` and ranks by ``u^(1/w)`` descending;
     the top ``quota`` is exactly a weighted sample without replacement.
+    The ranking uses the numerically equivalent ``ln(u)/w`` (log is
+    monotonic on ``(0, 1]``, so the descending order is identical):
+    ``pow(u, 1/w)`` saturates to exactly 1.0 in double precision once
+    ``w >~ 1e16``, collapsing all heavy rows into an id tie-break,
+    while ``ln(u)/w`` stays distinct at any weight magnitude.
     ``u`` derives from ``md5(seed|id)`` (the :func:`sample_order`
     construction), so the sample is a pure function of (corpus, seed)
-    and the whole expression has an exact ANSI-SQL twin. Rows with
-    NULL or non-positive weight are excluded (they cannot carry
-    sampling mass).
+    and the whole expression has an exact ANSI-SQL twin
+    (``ln(u)/w`` — see the ``doc_weighted_sample`` declared oracle).
+    Rows with NULL or non-positive weight are excluded (they cannot
+    carry sampling mass).
 
     Scale shape: with ``strata_cols``, per-stratum ``row_number`` with
     the ``rank <= quota`` filter rewriting to WindowGroupLimit (partial
@@ -536,7 +542,9 @@ def weighted_sample(
         / F.lit(float(1 << 60))
     )
     w = F.col(weight_col).cast("double")
-    key = F.pow(u, F.lit(1.0) / w)
+    # ln(u)/w, not pow(u, 1/w): same descending order (log monotonic),
+    # immune to the w >~ 1e16 saturation where every key rounds to 1.0
+    key = F.log(u) / w
     eligible = df.where(w.isNotNull() & (w > 0)) \
         .withColumn("__wkey", key)
     if strata_cols:
@@ -550,6 +558,10 @@ def weighted_sample(
     out = (
         eligible.orderBy(F.desc("__wkey"), F.col(id_col))
         .limit(quota)
+        # partition-less row_number is the classic single-partition
+        # killer on an unbounded input; here it ranks AFTER the
+        # TakeOrderedAndProject limit, so its input is exactly `quota`
+        # rows regardless of corpus size
         .withColumn(
             rank_col,
             F.row_number().over(

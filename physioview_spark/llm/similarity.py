@@ -929,6 +929,18 @@ def semantic_dedup_delta(
         scoring = "pandas" if len(centroids) * len(centroids[0]) > 1024 \
             else "expr"
     if scoring == "pandas":
+        # the applyInPandas output schema carries the id column, so it
+        # must be derived from the INPUT id type (a hardcoded `long`
+        # would fail at runtime — or silently coerce — for string ids
+        # reached implicitly via scoring='auto' on large codebooks)
+        id_sql_type = vn.schema[id_col].dataType.simpleString()
+        if id_sql_type not in ("tinyint", "smallint", "int", "bigint",
+                               "string"):
+            raise ValueError(
+                f"scoring='pandas' supports integral or string id "
+                f"columns; {id_col!r} is {id_sql_type} — use "
+                f"scoring='expr' or cast the id")
+        id_is_int = id_sql_type != "string"
         thr = float(threshold)
         union = (
             vn.select(F.col(id_col).alias("__id"),
@@ -961,6 +973,9 @@ def semantic_dedup_delta(
             ci = np.where(~is_new)[0]
             ci = ci[np.argsort(ids[ci], kind="stable")]  # ties -> low id
             nid_sorted = ni[np.argsort(ids[ni], kind="stable")]
+            # numpy scalar -> python value; string ids arrive as a
+            # plain object array and pass through unchanged
+            py = lambda v: v.item() if hasattr(v, "item") else v
             out = []
             for i in nid_sorted:
                 c_mid = c_sim = b_mid = b_sim = None
@@ -971,7 +986,7 @@ def semantic_dedup_delta(
                     if ok.any():
                         mx = sims[ok].max()
                         j = ci[int(np.argmax(sims == mx))]
-                        c_mid, c_sim = int(ids[j]), float(mx)
+                        c_mid, c_sim = py(ids[j]), float(mx)
                 lower = nid_sorted[ids[nid_sorted] < ids[i]]
                 if len(lower):
                     sims = S[i, lower]
@@ -980,25 +995,28 @@ def semantic_dedup_delta(
                     if ok.any():
                         mx = sims[ok].max()
                         j = lower[int(np.argmax(sims == mx))]
-                        b_mid, b_sim = int(ids[j]), float(mx)
-                out.append((int(ids[i]), c_mid, c_sim, b_mid, b_sim))
+                        b_mid, b_sim = py(ids[j]), float(mx)
+                out.append((py(ids[i]), c_mid, c_sim, b_mid, b_sim))
             res = pd.DataFrame(
                 out, columns=["__nid", "__c_mid", "__c_sim",
                               "__b_mid", "__b_sim"])
             # nullable extension dtypes: a missing match must arrive
             # as SQL null (NaN in a plain float64 column is NOT null
-            # to Spark, and would poison the downstream coalesce)
-            res["__nid"] = res["__nid"].astype("int64")
-            res["__c_mid"] = res["__c_mid"].astype("Int64")
-            res["__b_mid"] = res["__b_mid"].astype("Int64")
+            # to Spark, and would poison the downstream coalesce).
+            # String ids stay object-typed (None IS null there).
+            if id_is_int:
+                res["__nid"] = res["__nid"].astype("int64")
+                res["__c_mid"] = res["__c_mid"].astype("Int64")
+                res["__b_mid"] = res["__b_mid"].astype("Int64")
             res["__c_sim"] = res["__c_sim"].astype("Float64")
             res["__b_sim"] = res["__b_sim"].astype("Float64")
             return res
 
         best = union.groupBy("bucket").applyInPandas(
             _bucket_best,
-            schema="__nid long, __c_mid long, __c_sim double, "
-                   "__b_mid long, __b_sim double")
+            schema=f"__nid {id_sql_type}, __c_mid {id_sql_type}, "
+                   f"__c_sim double, __b_mid {id_sql_type}, "
+                   f"__b_sim double")
         joined = vn.select(F.col(id_col).alias("__nid")) \
             .join(best, "__nid", "left")
     elif scoring == "expr":

@@ -101,6 +101,7 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     key_cols: list[str] | None = None,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: per key, the classic greedy match of
     ``steps`` — step i+1 counts only at the EARLIEST event of that type
@@ -117,18 +118,31 @@ def funnel_steps(
     correlated subqueries — a join per step at corpus scale).
 
     Skew note: a bot key with millions of step events makes one fat
-    row, not a hot shuffle partition; cap upstream (e.g. per-key event
-    limits) if that is a live threat in the corpus.
+    row, not a hot shuffle partition; ``max_events_per_key`` bounds
+    that row by slicing each per-(key, step) array to its FIRST
+    ``max_events_per_key`` timestamps after the sort (the LSH
+    ``max_bucket_size`` pattern). The greedy chain only ever consumes
+    the earliest post-predecessor event, so any cap at least as large
+    as a key's true per-step match depth yields identical results
+    (parity-tested); an aggressive cap can only under-report funnel
+    depth for keys whose matches lie past the cap, never invent one.
+    Alternatively cap upstream with per-key event limits.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if max_events_per_key is not None and max_events_per_key <= 0:
+        raise ValueError(
+            f"max_events_per_key must be positive, got {max_events_per_key}")
     keys = key_cols if key_cols is not None else ["user_id"]
-    aggs = [
-        F.sort_array(F.collect_list(
+
+    def arr(s: str):
+        a = F.sort_array(F.collect_list(
             F.when(F.col(type_col) == F.lit(s), F.col(ts_col))))
-        .alias(f"__a{i}")
-        for i, s in enumerate(steps)
-    ]
+        if max_events_per_key is not None:
+            a = F.slice(a, 1, max_events_per_key)
+        return a
+
+    aggs = [arr(s).alias(f"__a{i}") for i, s in enumerate(steps)]
     g = df.groupBy(*keys).agg(*aggs)
     # greedy chain: t0 = first step-0 event; t_{i} = first step-i event
     # strictly after t_{i-1}

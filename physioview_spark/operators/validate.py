@@ -113,24 +113,32 @@ def profile(
         f.name for f in df.schema.fields
         if not f.dataType.simpleString().startswith("map")
     }
+    # exact-name resolution: a raw string through F.col/F.expr reads a
+    # dot as a nested-field path and a backtick breaks the parse; quote
+    # with doubled backticks so any physical column name profiles
+    def qcol(c: str) -> Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.coalesce(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(qcol(c).isNull(), 1).otherwise(0)), F.lit(0)
         ).alias(f"__nn_{c}"))
-        aggs.append(F.approx_count_distinct(c, rsd=distinct_rsd)
+        aggs.append(F.approx_count_distinct(qcol(c), rsd=distinct_rsd)
                     .alias(f"__nd_{c}"))
         if c in orderable:
-            aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
+            aggs.append(F.min(qcol(c)).cast("string").alias(f"__mn_{c}"))
+            aggs.append(F.max(qcol(c)).cast("string").alias(f"__mx_{c}"))
         if c in numeric:
             # cast: avg/stddev over decimals yield decimal.Decimal,
             # which the double output schema rejects
-            aggs.append(F.avg(c).cast("double").alias(f"__av_{c}"))
-            aggs.append(F.stddev(c).cast("double").alias(f"__sd_{c}"))
+            aggs.append(F.avg(qcol(c)).cast("double").alias(f"__av_{c}"))
+            aggs.append(F.stddev(qcol(c)).cast("double")
+                        .alias(f"__sd_{c}"))
+            esc = c.replace("`", "``")
             for q, ql in zip(quantiles, qlabels):
                 aggs.append(
-                    F.expr(f"approx_percentile(`{c}`, {q})")
+                    F.expr(f"approx_percentile(`{esc}`, {q})")
                     .cast("double").alias(f"__{ql}_{c}"))
     wide = df.agg(*aggs).collect()[0].asDict()
     spark = df.sparkSession
@@ -167,25 +175,33 @@ def skew_report(
     format): ``(column, key_str, cnt, share, rank)``; NULL keys report
     as key_str NULL with their true count.
 
-    Spark-first shape: ONE ``GROUPING SETS ((c1), (c2), ...)``
-    aggregate computes every column's frequency table in a single pass
-    and a single shuffle (vs one groupBy job per column);
-    ``grouping(c)`` flags — not NULL-ness, which a NULL key would fake
-    — identify which set each row belongs to. The per-column top-k
-    filter rewrites to WindowGroupLimit, so only ~top keys per column
-    per mapper cross the final exchange.
+    Spark-first shape: ONE ``GROUPING SETS ((c1), (c2), ..., ())``
+    aggregate computes every column's frequency table AND the grand
+    total in a single pass and a single shuffle (vs one groupBy job
+    per column plus a separate ``count()`` scan for the share
+    denominator); ``grouping(c)`` flags — not NULL-ness, which a NULL
+    key would fake — identify which set each row belongs to. The
+    per-column top-k filter rewrites to WindowGroupLimit, so only ~top
+    keys per column per mapper cross the final exchange. The
+    grand-total row rides through that same window (it is rank 1 of
+    its own NULL-column partition) and is attached to every output row
+    by a second window over the ALREADY-BOUNDED top-k rows (at most
+    ``len(columns) * top + 1``) — one lineage, one scan, no separate
+    ``count()`` job (a split-branch design re-scans: the branch
+    filters push through the aggregate into the Expand, so the two
+    branches cannot share the exchange).
     """
     if not columns:
         raise ValueError("columns must be non-empty")
-    n_rows = df.count()
-    g = df.groupingSets([[c] for c in columns], *columns).agg(
+    g = df.groupingSets([[c] for c in columns] + [[]], *columns).agg(
         F.count(F.lit(1)).alias("cnt"),
         *[F.grouping(c).alias(f"__g_{c}") for c in columns],
     )
     # every grouping-sets row belongs to exactly ONE single-column set
-    # (its grouping flag is 0); a CASE projection recovers which — one
-    # lineage, one Expand, rather than a union of per-column filters
-    # that would re-expand the aggregate per branch
+    # (its grouping flag is 0) — except the grand-total row, where all
+    # flags are 1; a CASE projection recovers which — one lineage, one
+    # Expand, rather than a union of per-column filters that would
+    # re-expand the aggregate per branch
     col_expr = None
     key_expr = None
     for c in columns:
@@ -199,13 +215,23 @@ def skew_report(
                    key_expr.alias("key_str"), F.col("cnt"))
     w = Window.partitionBy("column").orderBy(
         F.desc("cnt"), F.asc_nulls_last("key_str"))
+    # the total row survives the top-k filter as rank 1 of the
+    # NULL-column partition; this window's input is therefore bounded
+    # by len(columns) * top + 1 rows, so the partition-less max is safe
+    wall = Window.partitionBy()
     return (
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top)
         .withColumn(
+            "__n_rows",
+            F.max(F.when(F.col("column").isNull(), F.col("cnt")))
+            .over(wall))
+        .where(F.col("column").isNotNull())
+        .withColumn(
             "share",
-            F.when(F.lit(n_rows) > 0,
-                   F.round(F.col("cnt") / F.lit(float(n_rows)), 6))
+            F.when(F.col("__n_rows") > 0,
+                   F.round(F.col("cnt")
+                           / F.col("__n_rows").cast("double"), 6))
             .otherwise(F.lit(None).cast("double")))
         .select("column", "key_str", "cnt", "share", "rank")
     )

@@ -33,22 +33,45 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-@q("doc_token_stats", """
-SELECT source,
-       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
-       ROUND(AVG(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)), 4) AS avg_tokens,
-       CAST(MAX(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens
-FROM documents GROUP BY source
+# (doc_token_stats retired r09 — superseded by doc_bpe_token_stats,
+# which exercises the same token_count path plus the BPE encoder;
+# evicted to keep the declared window budget serving the new r09
+# gates. VERDICT r08 item 2.)
+
+
+@q("doc_weighted_sample", """
+WITH t AS (
+  SELECT doc_id, lang,
+         ln((('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT + 1.0)
+            / 1152921504606846976.0)
+         / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY k DESC, doc_id) AS rn
+  FROM t)
+SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank
+FROM r WHERE rn <= 25
 """)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace), aggregated by source."""
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (llm/sampling.py
+    weighted_sample; first driver-gated r09 per VERDICT item 3):
+    Efraimidis-Spirakis A-Res keyed by ln(u)/w with u from
+    md5(seed|doc_id) and w = n_chars, top 25 per lang stratum. The
+    per-stratum rank <= quota filter rewrites to WindowGroupLimit
+    (partial per-mapper limits before the exchange); the u and key
+    arithmetic is IEEE-identical in DuckDB (same hex-prefix integer,
+    same double ops), so the oracle reproduces the exact sample."""
     docs = read(spark, sf_dir, "documents")
-    counted = text.token_count(docs)
-    return counted.groupBy("source").agg(
-        F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("avg_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
-    )
+    out = sampling.weighted_sample(
+        docs.withColumn("__w", F.col("n_chars").cast("double")),
+        "__w", 25, strata_cols=["lang"], id_col="doc_id", seed=42)
+    return out.select(
+        "doc_id", "lang",
+        F.col("sample_rank").cast("int").alias("sample_rank"))
 
 
 @q("doc_quality_scores", """

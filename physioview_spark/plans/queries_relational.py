@@ -426,29 +426,11 @@ def auc_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("global_summary", """
-SELECT COUNT(DISTINCT user_id) AS n_users,
-       COUNT(*) AS n_events,
-       ROUND(AVG(value), 4) AS mean_value,
-       ROUND(MEDIAN(value), 4) AS median_value,
-       ROUND(STDDEV_SAMP(value), 4) AS sd_value,
-       ROUND(QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25), 4) AS iqr_value
-FROM events
-""")
-def global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9/A13 whole-table rollup incl. exact median and IQR (quartile
-    deviation input for the CBD test)."""
-    ev = read(spark, sf_dir, "events")
-    return ev.agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("mean_value"),
-        F.round(F.median("value"), 4).alias("median_value"),
-        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-        F.round(
-            F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25)), 4
-        ).alias("iqr_value"),
-    )
+# (global_summary retired r09 — a strict subset of pricing_summary's
+# shape, evicted to keep the declared window budget serving the new
+# events_funnel/events_retention/doc_weighted_sample gates; its A9/A13
+# rollup semantics stay attested by cardiac_summary_rollup and the
+# IQR path inside eda_rolling_features. VERDICT r08 item 2.)
 
 
 @q("json_props_extract", """
@@ -1557,4 +1539,84 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_s(F.max("ts")).cast("long").alias("last_epoch"),
             F.count(F.lit(1)).alias("n_events"),
         )
+    )
+
+
+@q("events_funnel", """
+WITH g AS (
+  SELECT user_id,
+         list_sort(list(ts) FILTER (event_type = 'signup'))   AS a0,
+         list_sort(list(ts) FILTER (event_type = 'purchase')) AS a1,
+         list_sort(list(ts) FILTER (event_type = 'error'))    AS a2
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT user_id, a0[1] AS t1, list_filter(a1, x -> x > a0[1])[1] AS t2
+  FROM g
+), s2 AS (
+  SELECT g.user_id, t1, t2, list_filter(a2, x -> x > t2)[1] AS t3
+  FROM g JOIN s ON g.user_id = s.user_id)
+SELECT user_id,
+       COALESCE(CAST(floor(epoch(t1)) AS BIGINT), -1) AS step_1_epoch,
+       COALESCE(CAST(floor(epoch(t2)) AS BIGINT), -1) AS step_2_epoch,
+       COALESCE(CAST(floor(epoch(t3)) AS BIGINT), -1) AS step_3_epoch,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS steps_completed
+FROM s2
+""")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (operators/sessions.py funnel_steps;
+    beyond-reference events analytics, first driver-gated r09 per
+    VERDICT item 2): greedy signup -> purchase -> error match per
+    user. ONE groupBy shuffle collecting per-step sorted timestamp
+    arrays, then pure JVM array algebra (filter/get) for the chain —
+    no per-step self-joins (the textbook SQL funnel is k-1 correlated
+    subqueries, a join per step at corpus scale). The oracle mirrors
+    the array construction in DuckDB list functions. Matched
+    timestamps project as epoch seconds coalesced to -1 so the
+    declared output stays scalar-only and null-free."""
+    from physioview_spark.operators.sessions import funnel_steps
+
+    ev = read(spark, sf_dir, "events")
+    out = funnel_steps(ev, ["signup", "purchase", "error"])
+    return out.select(
+        "user_id",
+        *[F.coalesce(epoch_s(F.col(f"step_{i}_ts")).cast("long"),
+                     F.lit(-1)).alias(f"step_{i}_epoch")
+          for i in (1, 2, 3)],
+        F.col("steps_completed").cast("int").alias("steps_completed"),
+    )
+
+
+@q("events_retention", """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+), tagged AS (
+  SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort
+  FROM act)
+SELECT CAST(floor(epoch(cohort)) AS BIGINT) AS cohort_epoch,
+       CAST(CAST(date_diff('day', cohort, p) AS DOUBLE) / 7 AS INT)
+           AS period_n,
+       COUNT(*) AS n_active
+FROM tagged GROUP BY 1, 2
+""")
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/sessions.py
+    retention_cohorts; first driver-gated r09 per VERDICT item 2):
+    users cohorted by the week of their first event, one row per
+    (cohort, weeks-since) with the distinct active count. One groupBy
+    on (user, week) for the activity dedup, one per-user window min
+    for the cohort on the same key partitioning, and a final bounded
+    cohorts x periods aggregate — no user-level join back. Cohort
+    weeks project as epoch seconds (tz-proof; Spark and DuckDB both
+    truncate weeks to Monday)."""
+    from physioview_spark.operators.sessions import retention_cohorts
+
+    ev = read(spark, sf_dir, "events")
+    out = retention_cohorts(ev, period="week")
+    return out.select(
+        epoch_s(F.col("cohort")).cast("long").alias("cohort_epoch"),
+        F.col("period_n").cast("int").alias("period_n"),
+        F.col("n_active"),
     )

@@ -560,6 +560,22 @@ class TestProfile:
         with _pt.raises(ValueError):
             profile(df, quantiles=(0.99, 0.999, 0.9990))
 
+    def test_hostile_column_names(self, spark):
+        """r09 advisor fix: names are resolved with escaped backtick
+        quoting, so a dotted name profiles as the physical column (not
+        a nested-field path) and a backtick in the name cannot break
+        the approx_percentile expr parse."""
+        from physioview_spark.operators.validate import profile
+        df = spark.range(5).selectExpr(
+            "cast(id as double) as `a.b`", "id as `we``ird`")
+        rows = {r.column: r for r in profile(df).collect()}
+        assert set(rows) == {"a.b", "we`ird"}
+        assert rows["a.b"].n_rows == 5 and rows["a.b"].n_nulls == 0
+        assert abs(rows["a.b"].mean - 2.0) < 1e-9
+        assert rows["a.b"].q50 == 2.0
+        assert rows["we`ird"].min_str == "0"
+        assert rows["we`ird"].max_str == "4"
+
 
 class TestSkewReport:
     def test_matches_duckdb_and_null_keys(self, spark):
@@ -594,7 +610,9 @@ class TestSkewReport:
     def test_single_pass_plan(self, spark):
         """One grouping-sets aggregate, not one shuffle per column: the
         plan has exactly one Expand node feeding one aggregate exchange
-        (plus the top-k window exchange)."""
+        (plus the top-k window exchange). r09: the share denominator is
+        a grand-total grouping set riding the SAME pass — exactly one
+        scan of the input, no separate count() job."""
         from physioview_spark.operators.validate import skew_report
         df = spark.range(100).selectExpr(
             "id % 3 as a", "id % 5 as b", "id % 7 as c")
@@ -602,6 +620,7 @@ class TestSkewReport:
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Expand") == 1
         assert "WindowGroupLimit" in plan
+        assert plan.count("Range (0, 100") == 1  # input scanned once
 
     def test_empty_columns_raises(self, spark):
         import pytest as _pt

@@ -1609,7 +1609,37 @@ def test_release_cached_frames_drops_operator_persists(spark):
     assert out.count() == n_rows
 
 
-class TestDedupDeltaPrefilter:
+def test_pinned_frames_scope(spark):
+    """r09 advisor fix: the context-manager API releases
+    operator-internal persists deterministically on exit — including
+    on exception — and only the frames pinned INSIDE the scope
+    (pre-existing pins survive; nested scopes release their own)."""
+    import pytest as _pt
+
+    from physioview_spark.llm import _cache, pinned_frames
+    from physioview_spark.llm import text as T
+
+    _cache.release_pinned()  # clean registry
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry")],
+        "doc_id long, text string")
+    outer = _cache.pin(df.select("doc_id"))
+    outer.count()
+    with pinned_frames():
+        out = T.tfidf_topk(df, k=5, top_vocab=100)
+        n_rows = out.count()
+        assert n_rows > 0
+        assert len(_cache._PINNED) > 1  # operator pinned inside
+    # scope released its own pins; the outer pin is untouched
+    assert _cache._PINNED == [outer]
+    assert outer.storageLevel.useMemory
+    assert out.count() == n_rows  # lazy escapee recomputes fine
+    with _pt.raises(RuntimeError):
+        with pinned_frames():
+            _cache.pin(df.select("text")).count()
+            raise RuntimeError("boom")
+    assert _cache._PINNED == [outer]  # released on exception too
+    assert _cache.release_pinned() == 1
     def test_prefilter_parity_and_plan(self, spark, docs):
         """prefilter=True (broadcast semi-join runtime filters on every
         corpus-side table) must be bit-identical to the plain shuffle
@@ -1744,6 +1774,33 @@ class TestBloomFilter:
         with pytest.raises(ValueError):
             bloom.bloom_to_bitmap(spark.range(0).selectExpr(
                 "id as word_idx", "id as bits"), 1 << 40)
+
+    def test_auto_gear_selection(self, spark, docs):
+        """r09 advisor fix: the default gear is 'auto' — jvm up to
+        _JVM_PROBE_MAX_BITS (the one-row local-relation transport is a
+        plan-attached Python list, GBs of driver memory at the 2^30
+        cap), pandas (numpy TorrentBroadcast) above."""
+        import numpy as np
+
+        from physioview_spark.llm import bloom
+        m_small, k = bloom.bloom_parameters(100, 0.01)
+        words = bloom.bloom_build(docs.select("text"), ["text"],
+                                  m_small, k)
+        small = bloom.bloom_to_bitmap(words, m_small)
+        plan = bloom.bloom_probe(docs, ["text"], small, m_small, k,
+                                 gear="auto") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan  # jvm gear chosen
+        assert "ArrowEvalPython" not in plan
+        m_big = bloom._JVM_PROBE_MAX_BITS + 64
+        big = np.zeros(m_big // 64, dtype=np.uint64)
+        plan = bloom.bloom_probe(docs, ["text"], big, m_big, k) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan  # pandas gear auto-selected
+        assert "BroadcastNestedLoopJoin" not in plan
+        with pytest.raises(ValueError, match="gear"):
+            bloom.bloom_probe(docs, ["text"], small, m_small, k,
+                              gear="spark")
 
     def test_probe_plans_zero_shuffle(self, spark, docs):
         """Both in-row gears exist to avoid shuffling the probed frame:
@@ -1995,6 +2052,36 @@ class TestSemanticDedupDelta:
         # cap applies identically through the pandas gear
         assert run(scoring="pandas", max_bucket_size=0) == \
             run(max_bucket_size=0)
+
+    def test_pandas_gear_string_ids_and_dtype_guard(self, spark):
+        """r09 advisor fix: the pandas gear's applyInPandas schema is
+        derived from the INPUT id type, so string ids work identically
+        to the expr gear (scoring='auto' can reach the pandas gear
+        implicitly on large codebooks); unsupported id types fail with
+        a clear driver-side error instead of inside an executor."""
+        import pytest as _pt
+
+        from physioview_spark.llm import similarity
+
+        new, corpus, cents = self._frames(spark)
+        sid = F.format_string("id%03d", F.col("vec_id"))
+        news = new.withColumn("vec_id", sid)
+        corps = corpus.withColumn("vec_id", sid)
+        a = sorted(map(tuple, similarity.semantic_dedup_delta(
+            news, corps, cents, threshold=0.95,
+            scoring="expr").collect()))
+        b = sorted(map(tuple, similarity.semantic_dedup_delta(
+            news, corps, cents, threshold=0.95,
+            scoring="pandas").collect()))
+        assert a == b and len(a) == 6
+        assert any(r[1] == "drop_corpus_dup" and r[2] == "id000"
+                   for r in a)
+        newd = new.withColumn("vec_id", F.col("vec_id").cast("double"))
+        with _pt.raises(ValueError, match="integral or string"):
+            similarity.semantic_dedup_delta(
+                newd, corpus.withColumn(
+                    "vec_id", F.col("vec_id").cast("double")),
+                cents, scoring="pandas")
 
 
 class TestProductQuantization:
@@ -2367,6 +2454,33 @@ class TestWeightedSample:
 
         want = sorted(sorted(range(60), key=lambda i: (-key(i), i))[:10])
         assert got == want
+
+    def test_huge_weights_no_saturation(self, spark):
+        """r09 advisor fix: the ranking key is ln(u)/w (same descending
+        order as the textbook u^(1/w) — log is monotonic), because
+        pow saturates to exactly 1.0 in double precision for
+        w >~ 1e16, collapsing selection into the id tie-break. The
+        selection must follow the A-Res order, not ascending ids."""
+        import hashlib
+        import math
+
+        from physioview_spark.llm import sampling
+        weights = [1e18 if i % 2 == 0 else 1e17 for i in range(40)]
+        got = [(r.doc_id, r.sample_rank) for r in sampling.weighted_sample(
+            self._df(spark, weights), "w", 8, seed=5).collect()]
+
+        def key(i):
+            h = hashlib.md5(f"5|{i}".encode()).hexdigest()
+            u = (int(h[:15], 16) + 1.0) / float(1 << 60)
+            return math.log(u) / weights[i]
+
+        order = sorted(range(40), key=lambda i: (-key(i), i))[:8]
+        assert [d for d, _ in sorted(got, key=lambda t: t[1])] == order
+        # a saturated key (all 1.0) would have degraded to the id
+        # tie-break — the lowest 8 ids — which is NOT the A-Res order
+        assert sorted(order) != list(range(8))
+        # sanity: pow really does saturate at these weights
+        assert 0.5 ** (1.0 / 1e18) == 1.0
 
     def test_heavier_weights_sampled_more(self, spark):
         """Statistical sanity: weight-10 docs (half the corpus) should

@@ -448,6 +448,46 @@ class TestFunnel:
         from physioview_spark.operators.sessions import funnel_steps
         with _pt.raises(ValueError):
             funnel_steps(spark.range(1), [])
+        with _pt.raises(ValueError):
+            funnel_steps(spark.range(1), ["a"], max_events_per_key=0)
+
+    def test_max_events_per_key_cap(self, spark, sf_dir):
+        """r09 (VERDICT item 5): the bot-key guard — per-(key, step)
+        arrays are sliced to their earliest max_events_per_key
+        timestamps. A cap at least as deep as any key's true per-step
+        match depth is a pure no-op (greedy matching only consumes
+        earliest events); an aggressive cap can only LOWER a key's
+        funnel depth, never raise it or invent a timestamp."""
+        import datetime as dt
+
+        from physioview_spark.operators.sessions import funnel_steps
+        from physioview_spark.plans.common import read
+        ev = read(spark, sf_dir, "events")
+        steps = ["signup", "purchase", "error"]
+        uncapped = sorted(map(tuple, funnel_steps(ev, steps).collect()))
+        generous = sorted(map(tuple, funnel_steps(
+            ev, steps, max_events_per_key=10_000).collect()))
+        assert uncapped == generous
+        # aggressive cap: monotone degradation only
+        base = {t[0]: t for t in uncapped}
+        for t in funnel_steps(ev, steps, max_events_per_key=1).collect():
+            b = base[t.user_id]
+            assert t.steps_completed <= b[-1]
+            for i in range(1, len(steps) + 1):
+                got = getattr(t, f"step_{i}_ts")
+                assert got is None or isinstance(got, dt.datetime)
+        # hand case: cap=1 keeps only the earliest purchase, which
+        # precedes the signup -> chain breaks at step 2
+        t0 = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        df = spark.createDataFrame(
+            [(1, t0(1), "purchase"), (1, t0(2), "signup"),
+             (1, t0(3), "purchase")],
+            "user_id long, ts timestamp, event_type string")
+        r = funnel_steps(df, ["signup", "purchase"],
+                         max_events_per_key=1).collect()[0]
+        assert r.steps_completed == 1 and r.step_2_ts is None
+        r2 = funnel_steps(df, ["signup", "purchase"]).collect()[0]
+        assert r2.steps_completed == 2 and r2.step_2_ts == t0(3)
 
 
 class TestRetention:

@@ -10,6 +10,7 @@ Usage:
 
     python tools/bench_cohort.py [--subjects 5 50] [--duration 3600]
                                  [--fs 256] [--runs 1]
+    python tools/bench_cohort.py --long [--long-hours 24] [--long-fs 1024]
 
 Synthesis is DISTRIBUTED (mapInPandas, one task per subject — never a
 driver-side row list: 50 subjects x 1 h x 256 Hz is 46M rows) and
@@ -19,6 +20,19 @@ seconds per cohort size, the subjects-ratio, per-subject ratio, and
 samples/sec throughput for both annotation gears (groupBy exchange vs
 the assume_partitioned shuffle-free path over file-per-subject
 layout).
+
+``--long`` measures the OTHER SURVEY §6 axis — one very long recording
+instead of many subjects: a single ~24 h @ 1024 Hz ECG (~88.5 M
+samples) through ``apply_kernel_chunked`` (zero-phase band-pass,
+(1 subject x chunks) parallelism) and a 24 h @ 32 Hz EDA through
+``decompose_eda_chunked`` (cvxEDA QP per halo-chunk). Parity at scale
+is asserted INSIDE the run: the chunked ECG output is recomputed at
+half the chunk length — every chunk boundary moves — and the two
+grids must agree (max |diff| over an exact full join) to filter-
+transient precision; at a reduced duration where one applyInPandas
+group still fits, chunked-vs-whole is asserted directly. cvx chunk
+halving is compared as RMS-vs-signal-RMS (the QP re-estimates drift
+per chunk; the unit-test 0.05 RMS bound is the contract).
 """
 
 from __future__ import annotations
@@ -106,15 +120,200 @@ def _timed(fn) -> float:
     return round(time.time() - t0, 3)
 
 
+def build_long_recording(spark, fs: float, n_samples: int, out_dir: str,
+                         signal: str) -> None:
+    """ONE subject, synthesized in ~4M-sample segments on the executors
+    (a single synth call for 88M samples would pin one Python worker
+    with ~GB-scale temporaries; the parquet both gears read is
+    identical regardless of synthesis segmentation)."""
+    seg = 1 << 22
+    n_segs = -(-n_samples // seg)
+    base = spark.range(n_segs).select(F.col("id").alias("seg"))
+
+    def gen(batches):
+        from physioview_spark.testing import synth_ecg
+        for pdf in batches:
+            for s in pdf["seg"]:
+                s = int(s)
+                lo, hi = s * seg, min(n_samples, (s + 1) * seg)
+                m = hi - lo
+                if signal == "ecg":
+                    x, _ = synth_ecg(fs=fs, duration=m / fs, seed=1000 + s)
+                    x = np.asarray(x, dtype=float)[:m]
+                    if len(x) < m:
+                        x = np.pad(x, (0, m - len(x)), mode="edge")
+                else:  # EDA-shaped: positive drift + SCR-ish bumps
+                    rng = np.random.RandomState(2000 + s)
+                    t = np.arange(lo, hi) / fs
+                    x = (2.0 + 0.3 * np.sin(2 * np.pi * t / 600.0)
+                         + 0.05 * rng.randn(m))
+                    bumps = np.zeros(m)
+                    for b in rng.randint(0, max(m - 1, 1), size=max(m // int(60 * fs), 1)):
+                        L = min(int(8 * fs), m - b)
+                        bumps[b:b + L] += 0.4 * np.exp(-np.arange(L) / (2 * fs))
+                    x = np.maximum(x + bumps, 0.01)
+                yield pd.DataFrame({
+                    "subject_id": "s0000",
+                    "sample_idx": np.arange(lo, hi, dtype=np.int64),
+                    "v": x,
+                })
+
+    (base.repartition(n_segs, "seg")
+     .mapInPandas(gen, "subject_id string, sample_idx long, v double")
+     .write.mode("overwrite").parquet(out_dir))
+
+
+def _max_abs_diff(a, b) -> float:
+    """Exact full-join comparison of two (sample_idx, col) frames —
+    distributed, no driver materialization of 88M rows."""
+    j = (a.select("sample_idx", F.col(a.columns[-1]).alias("__x"))
+         .join(b.select("sample_idx", F.col(b.columns[-1]).alias("__y")),
+               "sample_idx"))
+    row = j.agg(F.max(F.abs(F.col("__x") - F.col("__y"))).alias("d"),
+                F.count(F.lit(1)).alias("n")).collect()[0]
+    return float(row.d), int(row.n)
+
+
+def long_recording(spark, hours: float, fs_ecg: float,
+                   whole_hours: float) -> dict:
+    from physioview_spark.functions.spark_kernels import (
+        apply_kernel, apply_kernel_chunked, decompose_eda_chunked,
+    )
+
+    out: dict = {}
+    # ---- ECG axis: 24 h @ 1024 Hz through the halo-chunked filter ----
+    n = int(hours * 3600 * fs_ecg)
+    d = f"{WORK}/long_ecg_{n}"
+    if not os.path.exists(d):
+        t0 = time.time()
+        build_long_recording(spark, fs_ecg, n, d, "ecg")
+        print(f"built long ecg ({n} samples) in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
+    def ecg_filter(fs):
+        from physioview_spark.functions.filters import ECGFilters
+        flt = ECGFilters(fs)
+        return lambda x: flt.filter_signal(x)
+
+    chunk_len, halo = 1 << 22, 1 << 14   # 4.2M-sample chunks, 16 s halo
+    df = spark.read.parquet(d)
+
+    def run_chunked(cl):
+        return apply_kernel_chunked(df, ecg_filter(fs_ecg), "v", "filt",
+                                    chunk_len=cl, halo=halo)
+
+    # timed: full consume of the produced column (never bare count() —
+    # Catalyst would prune an unconsumed projection)
+    consume = lambda fr: fr.agg(F.sum(F.abs("filt"))).collect()
+    wall = _timed(lambda: consume(run_chunked(chunk_len)))  # cold
+    out["ecg"] = {
+        "n_samples": n, "fs": fs_ecg, "chunk_len": chunk_len,
+        "halo": halo, "n_chunks": -(-n // chunk_len),
+        "wall_s": wall, "samples_per_sec": round(n / wall),
+    }
+    # parity at scale: halve the chunk length — every boundary moves —
+    # and the grids must agree to filter-transient precision. Each
+    # chunking is EXECUTED ONCE (written, then joined from parquet;
+    # a direct join of the two lazy kernels would re-run both filters)
+    pa, pb = f"{WORK}/long_ecg_{n}_c1", f"{WORK}/long_ecg_{n}_c2"
+    run_chunked(chunk_len).select("sample_idx", "filt") \
+        .write.mode("overwrite").parquet(pa)
+    run_chunked(chunk_len // 2).select("sample_idx", "filt") \
+        .write.mode("overwrite").parquet(pb)
+    dmax, nj = _max_abs_diff(spark.read.parquet(pa),
+                             spark.read.parquet(pb))
+    assert nj == n, (nj, n)
+    assert dmax < 1e-6, dmax
+    out["ecg"]["halved_chunks_max_abs_diff"] = dmax
+
+    # chunked vs WHOLE recording where one group still fits
+    nw = int(whole_hours * 3600 * fs_ecg)
+    dw = f"{WORK}/long_ecg_whole_{nw}"
+    if not os.path.exists(dw):
+        build_long_recording(spark, fs_ecg, nw, dw, "ecg")
+    dfw = spark.read.parquet(dw)
+    whole = apply_kernel(dfw, ecg_filter(fs_ecg), "v", "filt")
+    chunkw = apply_kernel_chunked(dfw, ecg_filter(fs_ecg), "v", "filt",
+                                  chunk_len=chunk_len, halo=halo)
+    consume(whole)
+    spark.catalog.clearCache()
+    wall_whole = _timed(lambda: consume(whole))
+    spark.catalog.clearCache()
+    wall_chunk = _timed(lambda: consume(chunkw))
+    dmax, nj = _max_abs_diff(whole, chunkw)
+    assert nj == nw and dmax < 1e-6, (nj, nw, dmax)
+    out["ecg_whole_vs_chunked"] = {
+        "n_samples": nw, "whole_wall_s": wall_whole,
+        "chunked_wall_s": wall_chunk, "max_abs_diff": dmax,
+    }
+
+    # ---- EDA axis: 24 h @ 32 Hz through halo-chunked cvxEDA ----
+    fs_eda = 32.0
+    ne = int(hours * 3600 * fs_eda)
+    de = f"{WORK}/long_eda_{ne}"
+    if not os.path.exists(de):
+        build_long_recording(spark, fs_eda, ne, de, "eda")
+    dfe = spark.read.parquet(de)
+
+    def run_eda(chunk_seconds):
+        return decompose_eda_chunked(
+            dfe, fs_eda, value_col="v", chunk_seconds=chunk_seconds,
+            halo_seconds=60.0)
+
+    # cvx is minutes-per-pass at this scale: each chunking runs exactly
+    # ONCE — the timed region is the full decompose + parquet sink, the
+    # parity join reads the sinks back
+    pe1, pe2 = f"{WORK}/long_eda_{ne}_c1", f"{WORK}/long_eda_{ne}_c2"
+    wall = _timed(lambda: run_eda(1200.0)
+                  .select("sample_idx", "phasic", "tonic")
+                  .write.mode("overwrite").parquet(pe1))
+    run_eda(600.0).select("sample_idx", "phasic") \
+        .write.mode("overwrite").parquet(pe2)
+    # chunk-halving agreement: the QP re-estimates drift per chunk, so
+    # the contract is the unit tests' RMS bound, not bit equality
+    j = (spark.read.parquet(pe1)
+         .select("sample_idx", F.col("phasic").alias("__a"))
+         .join(spark.read.parquet(pe2)
+               .select("sample_idx", F.col("phasic").alias("__b")),
+               "sample_idx"))
+    r = j.agg(
+        F.sqrt(F.avg(F.pow(F.col("__a") - F.col("__b"), 2))).alias("rms_d"),
+        F.sqrt(F.avg(F.pow(F.col("__a"), 2))).alias("rms_a"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    assert int(r.n) == ne
+    rel = float(r.rms_d) / max(float(r.rms_a), 1e-12)
+    assert rel < 0.05, rel  # the tests/test_detectors.py contract
+    out["eda_cvx"] = {
+        "n_samples": ne, "fs": fs_eda, "chunk_seconds": 1200.0,
+        "halo_seconds": 60.0, "n_chunks": -(-ne // int(1200 * fs_eda)),
+        "wall_s": wall, "samples_per_sec": round(ne / wall),
+        "halved_chunks_rel_rms": round(rel, 5),
+    }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--subjects", type=int, nargs="+", default=[5, 50])
     ap.add_argument("--duration", type=float, default=3600.0)
     ap.add_argument("--fs", type=float, default=256.0)
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--long", action="store_true",
+                    help="single ~24h recording axis instead of cohort")
+    ap.add_argument("--long-hours", type=float, default=24.0)
+    ap.add_argument("--long-fs", type=float, default=1024.0)
+    ap.add_argument("--whole-hours", type=float, default=2.0,
+                    help="duration for the chunked-vs-whole parity leg")
     args = ap.parse_args()
 
     spark = get_spark(extra_conf={"spark.driver.memory": "16g"})
+    if args.long:
+        print(json.dumps({
+            "axis": "long_recording", "hours": args.long_hours,
+            "results": long_recording(spark, args.long_hours,
+                                      args.long_fs, args.whole_hours),
+        }))
+        return
     results: dict[str, dict] = {}
     for n in args.subjects:
         d = f"{WORK}/n{n}"
