@@ -33,7 +33,7 @@ HEADLINE = [
 ]
 SMALL_OUTPUT = {
     "pricing_summary", "top_revenue_nations", "order_priority_counts",
-    "global_summary", "event_type_pivot", "harmonic_mean_hr",
+    "event_type_pivot", "harmonic_mean_hr",
 }
 
 

@@ -193,9 +193,21 @@ def skew_report(
     """
     if not columns:
         raise ValueError("columns must be non-empty")
-    g = df.groupingSets([[c] for c in columns] + [[]], *columns).agg(
+
+    # exact-name resolution (same contract as profile()): quote with
+    # doubled backticks so dotted names stay physical columns; grouping
+    # flags alias by POSITION so a hostile name can't corrupt the
+    # helper-column lookups either
+    def qcol(c: str) -> Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    g = df.groupingSets(
+        [[qcol(c)] for c in columns] + [[]],
+        *[qcol(c) for c in columns],
+    ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        *[F.grouping(c).alias(f"__g_{c}") for c in columns],
+        *[F.grouping(qcol(c)).alias(f"__g_{i}")
+          for i, c in enumerate(columns)],
     )
     # every grouping-sets row belongs to exactly ONE single-column set
     # (its grouping flag is 0) — except the grand-total row, where all
@@ -204,13 +216,13 @@ def skew_report(
     # re-expand the aggregate per branch
     col_expr = None
     key_expr = None
-    for c in columns:
-        is_set = F.col(f"__g_{c}") == 0
+    for i, c in enumerate(columns):
+        is_set = F.col(f"__g_{i}") == 0
         col_expr = (F.when(is_set, F.lit(c)) if col_expr is None
                     else col_expr.when(is_set, F.lit(c)))
-        key_expr = (F.when(is_set, F.col(c).cast("string"))
+        key_expr = (F.when(is_set, qcol(c).cast("string"))
                     if key_expr is None
-                    else key_expr.when(is_set, F.col(c).cast("string")))
+                    else key_expr.when(is_set, qcol(c).cast("string")))
     out = g.select(col_expr.alias("column"),
                    key_expr.alias("key_str"), F.col("cnt"))
     w = Window.partitionBy("column").orderBy(

@@ -628,3 +628,18 @@ class TestSkewReport:
         from physioview_spark.operators.validate import skew_report
         with _pt.raises(ValueError):
             skew_report(spark.range(1), [])
+
+    def test_hostile_column_names(self, spark):
+        """Same exact-name contract as profile(): dotted/backticked
+        physical names group as themselves, and the positional grouping
+        flags keep the set-recovery CASE safe."""
+        from physioview_spark.operators.validate import skew_report
+        df = spark.range(10).selectExpr(
+            "id % 2 as `a.b`", "id % 5 as `we``ird`")
+        got = {(r.column, r.key_str): (r.cnt, r.share)
+               for r in skew_report(df, ["a.b", "we`ird"], top=2)
+               .collect()}
+        assert got[("a.b", "0")] == (5, 0.5)
+        assert got[("a.b", "1")] == (5, 0.5)
+        assert all(c in ("a.b", "we`ird") for c, _ in got)
+        assert sum(1 for c, _ in got if c == "we`ird") == 2
