@@ -207,7 +207,16 @@ def decompose_eda_chunked(
     and the per-chunk drift re-estimate is absorbed by the spline — so
     boundary effects decay well inside the default 60 s halo
     (parity-tested against the whole-signal solve in
-    tests/test_detectors.py)."""
+    tests/test_detectors.py).
+
+    Straggler note, measured at 24 h @ 32 Hz (PLANS.md "Long-recording
+    axis"): per-chunk ADMM/CG iteration count varies ~100x with signal
+    content, so cohort wall time is bounded by the SLOWEST chunk, not
+    the mean — 2 of 72 default-size chunks dominated a 46-minute run.
+    ``chunk_seconds`` is the knob that bounds the per-chunk worst case
+    (the skew is compute inside one Python call, so AQE cannot split
+    it); halving it costs proportionally more halo overlap but caps
+    the tail."""
     from physioview_spark.functions.kernels_eda import decompose_eda
 
     def kern(x: np.ndarray):

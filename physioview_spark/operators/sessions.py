@@ -180,12 +180,16 @@ def retention_cohorts(
     itself), ``n_active`` the distinct users from that cohort active
     then.
 
-    Scale shape: one groupBy on ``(key, period)`` (activity dedup, one
-    row per user-period), one window min per key for the cohort (the
-    same exchange the dedup already partitioned by key would feed),
-    and a final bounded aggregate on ``(cohort, period_n)`` — a
-    cohorts x periods grid, tiny by construction. No user-level join
-    back, no distinct-count over the corpus.
+    Scale shape (3 exchanges, only the FIRST corpus-width): the
+    ``(key, period)`` activity dedup shuffles the corpus once with
+    map-side partial aggregation (each mapper sends unique user-period
+    pairs, not raw events); the per-key cohort window then re-exchanges
+    only the DEDUPLICATED user-period rows (hash(key, period) does not
+    satisfy the window's partitionBy(key), so this exchange is real —
+    but its input is already one row per user-period); the final
+    ``(cohort, period_n)`` aggregate is a cohorts x periods grid, tiny
+    by construction. No user-level join back, no distinct-count over
+    the corpus.
 
     ``period``: ``day``, ``week`` or ``month`` (months use
     ``months_between`` on the truncated starts; days/weeks are day

@@ -159,6 +159,21 @@ def run_delta_fixed(prefilter: bool | str):
     return run
 
 
+def _consumed_query(name: str, *agg_cols: str):
+    """Scale-measure a declared query through a consuming aggregate:
+    timing bare .count() on window/agg-shaped outputs lets Catalyst
+    prune the very expressions under test (the r08 epoch_shards
+    lesson), so every produced column of interest is folded into the
+    result."""
+    def run(spark, sf_dir: str, mult: int):
+        from physioview_spark.plans import queries_llm, queries_relational
+        q = {**queries_relational.QUERIES, **queries_llm.QUERIES}[name]
+        out = q(spark, sf_dir)
+        return out.agg(F.count(F.lit(1)),
+                       *[F.sum(F.col(c)) for c in agg_cols])
+    return run
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -179,6 +194,14 @@ def main() -> None:
         ("delta_fixed_shuffle", run_delta_fixed(False)),
         ("delta_fixed_bloom", run_delta_fixed("bloom")),
         ("delta_grow_bloom", run_delta_grow_bloom),
+        # r09 driver gates — consumed aggregates so the funnel chain /
+        # rank window / retention grid cannot be pruned by the timer
+        ("events_funnel", _consumed_query(
+            "events_funnel", "steps_completed", "step_2_epoch")),
+        ("events_retention", _consumed_query(
+            "events_retention", "n_active", "period_n")),
+        ("doc_weighted_sample", _consumed_query(
+            "doc_weighted_sample", "sample_rank")),
     )
     if args.targets is not None:
         bad = set(args.targets) - set(names) - {l for l, _ in labeled}
