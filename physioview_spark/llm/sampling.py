@@ -498,6 +498,106 @@ def epoch_shards(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic multi-way dataset split (train/val/test): adds
+    ``out_col`` assigning each row to a named band by hashing
+    ``key_col`` — a pure function of (key, seed), so the split is
+    stable across runs, partitionings, engines, and corpus growth
+    (a new row never moves an old row between splits, unlike
+    ``randomSplit``, which is per-partition-seeded and reshuffles
+    membership whenever the input partitioning changes).
+
+    Rows with EQUAL keys always land in the same split — pass a group
+    key (session id, near-dup cluster id) to keep correlated rows on
+    one side; :func:`leakage_safe_split` wires the near-dup case.
+
+    ``fractions`` maps split name -> fraction (non-negative, summing
+    to 1); bands are laid out in dict order over the md5-derived
+    ``u in (0, 1]`` (the :func:`sample_order` construction, so the
+    assignment has an exact ANSI-SQL twin).
+
+    Scale shape: a pure projection — zero shuffle, zero Python; the
+    split column fuses into whole-stage codegen and writes prune by
+    it when used as a partition column.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    vals = list(fractions.values())
+    if any(v < 0 for v in vals) or abs(sum(vals) - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must be non-negative and sum to 1, got {fractions}")
+    u = (
+        (F.conv(F.substring(sample_order(key_col, seed), 1, 15), 16, 10)
+         .cast("double") + F.lit(1.0))
+        / F.lit(float(1 << 60))
+    )
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        expr = (F.when(u <= F.lit(cum), F.lit(name)) if expr is None
+                else expr.when(u <= F.lit(cum), F.lit(name)))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that near-duplicates cannot straddle — the
+    standard leakage guard for training corpora: a document and its
+    near-copies must land on the SAME side, or the held-out split
+    leaks training text and evaluation numbers inflate.
+
+    The split key is the near-dup CLUSTER id rather than the document
+    id: ``clusters`` is any ``(id_col, cluster_col)`` frame — e.g.
+    :func:`physioview_spark.llm.dedup.cluster_decisions` output from
+    ANY pair producer (MinHash-LSH, SimHash, semantic pairs);
+    documents absent from it hash their own id (consistent with
+    cluster_decisions' singleton convention, where a singleton's
+    cluster id IS its id). Pass ``clusters=None`` when ``df`` already
+    carries ``cluster_col``.
+
+    Scale shape: one equi-join on the id (broadcast it when the pair
+    graph is small — near-dup cluster tables are usually a small
+    fraction of the corpus; wrap with ``F.broadcast`` at the call
+    site), then the zero-shuffle hash projection of
+    :func:`hash_split`.
+    """
+    if clusters is None:
+        keyed = df.withColumn(
+            "__skey",
+            F.coalesce(F.col(cluster_col).cast("string"),
+                       F.col(id_col).cast("string")))
+    else:
+        c = clusters.select(
+            F.col(id_col), F.col(cluster_col).alias("__cid"))
+        keyed = (
+            df.join(c, id_col, "left")
+            .withColumn(
+                "__skey",
+                F.coalesce(F.col("__cid").cast("string"),
+                           F.col(id_col).cast("string")))
+            .drop("__cid")
+        )
+    return hash_split(keyed, fractions, key_col="__skey", seed=seed,
+                      out_col=out_col).drop("__skey")
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

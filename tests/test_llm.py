@@ -2519,3 +2519,100 @@ class TestWeightedSample:
             strata_cols=["s"]) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan_s
+
+
+class TestHashSplit:
+    """llm/sampling.hash_split / leakage_safe_split — deterministic
+    dataset splits with the near-dup leakage guard."""
+
+    FR = {"train": 0.5, "val": 0.25, "test": 0.25}  # exact binary cums
+
+    def test_matches_duckdb_and_partition_invariance(self, spark, sf_dir):
+        import duckdb
+
+        from physioview_spark.llm import sampling
+        from physioview_spark.plans.common import read
+        d = read(spark, sf_dir, "documents")
+        got = {r.doc_id: r.split for r in sampling.hash_split(
+            d, self.FR).select("doc_id", "split").collect()}
+        want = dict(duckdb.sql(f"""
+            SELECT doc_id,
+                   CASE WHEN u <= 0.5 THEN 'train'
+                        WHEN u <= 0.75 THEN 'val'
+                        ELSE 'test' END
+            FROM (SELECT doc_id,
+                   (('0x' || substring(md5('42|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+                   / 1152921504606846976.0 AS u
+                  FROM '{sf_dir}/documents.parquet')""").fetchall())
+        assert got == want and len(got) > 0
+        # pure function of (key, seed): identical under repartitioning
+        # (randomSplit, the thing this replaces, is not)
+        rep = {r.doc_id: r.split for r in sampling.hash_split(
+            d.repartition(7), self.FR).select("doc_id", "split")
+            .collect()}
+        assert rep == got
+        from collections import Counter
+        c = Counter(got.values())
+        n = len(got)
+        assert abs(c["train"] / n - 0.5) < 0.08
+        assert abs((c["val"] + c["test"]) / n - 0.5) < 0.08
+
+    def test_equal_keys_same_split_and_zero_shuffle(self, spark):
+        from physioview_spark.llm import sampling
+        df = spark.range(2000).selectExpr(
+            "id as doc_id", "id % 100 as grp")
+        out = sampling.hash_split(df, self.FR, key_col="grp")
+        assert (out.groupBy("grp")
+                .agg(F.count_distinct("split").alias("k"))
+                .where(F.col("k") > 1).count()) == 0
+        plan = sampling.hash_split(df, self.FR) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection
+
+    def test_validation(self, spark):
+        from physioview_spark.llm import sampling
+        df = spark.range(1).selectExpr("id as doc_id")
+        with pytest.raises(ValueError):
+            sampling.hash_split(df, {})
+        with pytest.raises(ValueError):
+            sampling.hash_split(df, {"a": 0.5, "b": 0.6})
+        with pytest.raises(ValueError):
+            sampling.hash_split(df, {"a": 1.5, "b": -0.5})
+
+    def test_leakage_safe_no_straddled_pairs(self, spark, docs):
+        """The guard's whole point: every near-dup pair lands on one
+        side. The plain doc-id split DOES straddle a pair on this
+        fixture (asserted, so the test would catch a vacuous guard)."""
+        from physioview_spark.llm import dedup, sampling
+        pairs = dedup.minhash_lsh_candidates(
+            docs, k=3, num_hashes=8, band_size=2)
+        assert pairs.count() > 0
+        clusters = dedup.cluster_decisions(pairs, docs)
+        fr = {"train": 0.5, "val": 0.5}
+
+        def straddled(split_df):
+            sp = split_df.select("doc_id", "split")
+            a = sp.selectExpr("doc_id as id_a", "split as sa")
+            b = sp.selectExpr("doc_id as id_b", "split as sb")
+            return (pairs.join(a, "id_a").join(b, "id_b")
+                    .where(F.col("sa") != F.col("sb")).count())
+
+        assert straddled(sampling.leakage_safe_split(
+            docs, fr, clusters=clusters)) == 0
+        # seed 3: doc 0 and its near-copies 1/3 hash apart by doc id
+        assert straddled(sampling.hash_split(docs, fr, seed=3)) > 0
+        # df already carrying the cluster column (clusters=None path)
+        carried = docs.join(
+            clusters.select("doc_id", "cluster_id"), "doc_id")
+        assert straddled(sampling.leakage_safe_split(
+            carried, fr, clusters=None)) == 0
+        # split assignment equals hashing the cluster id directly
+        direct = {r.doc_id: r.split for r in sampling.hash_split(
+            carried.withColumn(
+                "__k", F.col("cluster_id").cast("string")),
+            fr, key_col="__k").select("doc_id", "split").collect()}
+        viaop = {r.doc_id: r.split for r in sampling.leakage_safe_split(
+            docs, fr, clusters=clusters).select("doc_id", "split")
+            .collect()}
+        assert direct == viaop
