@@ -255,6 +255,53 @@ def mixture_sample(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.3,
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """Temperature-resampled domain mixture (the multilingual-LLM
+    language-balancing knob, Conneau et al. 2020 / mT5 — public
+    method): from the corpus's OWN domain masses ``m_d``, target
+    shares ``w_d = m_d^alpha / sum_d m_d^alpha``. ``alpha=1``
+    reproduces the natural mixture, ``alpha=0`` is uniform;
+    intermediate values up-sample tail domains (low-resource
+    languages, rare sources) without flattening the head. The result
+    feeds :func:`mixture_sample` directly::
+
+        w = temperature_weights(docs, "lang", alpha=0.3)
+        balanced = mixture_sample(docs, "lang", w)
+
+    ``weight_col`` switches the mass from row count to an integral
+    column sum (token counts — the usual definition). NULL domains
+    and zero-mass domains are excluded (they cannot carry shares;
+    mixture_sample's string target-table contract excludes NULL keys
+    anyway).
+
+    Scale shape: ONE map-side-combinable per-domain aggregate whose
+    output is bounded by the distinct domain count — domains are
+    codebook-bounded by contract (languages, sources), never
+    corpus-cardinality — collected driver-side like the other
+    codebook collects.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    mass = (F.count(F.lit(1)) if weight_col is None
+            else F.sum(F.col(weight_col).cast("long"))).alias("__m")
+    rows = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(domain_col).agg(mass)
+        .where(F.col("__m") > 0)
+        .collect()
+    )
+    if not rows:
+        return {}
+    powered = {str(r[domain_col]): float(r["__m"]) ** alpha for r in rows}
+    z = sum(powered.values())
+    return {d: p / z for d, p in sorted(powered.items())}
+
+
 # Rough chars-per-whitespace-token ratio used only to SIZE the packing
 # grid (never to compute offsets): English prose runs ~5-6 chars/token
 # including the separator; erring low just adds shards.

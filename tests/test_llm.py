@@ -2521,6 +2521,79 @@ class TestWeightedSample:
         assert "WindowGroupLimit" in plan_s
 
 
+class TestTemperatureWeights:
+    """llm/sampling.temperature_weights — p^alpha domain balancing."""
+
+    def _df(self, spark):
+        rows = ([(i, "en", 10) for i in range(80)]
+                + [(100 + i, "de", 10) for i in range(16)]
+                + [(200 + i, "sw", 10) for i in range(4)])
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_tokens long")
+
+    def test_matches_python_reference_and_limits(self, spark):
+        from physioview_spark.llm import sampling
+        df = self._df(spark)
+        w = sampling.temperature_weights(df, "lang", alpha=0.5)
+        z = 80 ** 0.5 + 16 ** 0.5 + 4 ** 0.5
+        assert abs(w["en"] - 80 ** 0.5 / z) < 1e-12
+        assert abs(w["sw"] - 4 ** 0.5 / z) < 1e-12
+        assert abs(sum(w.values()) - 1.0) < 1e-12
+        # alpha=1 reproduces the natural mixture; alpha=0 is uniform
+        nat = sampling.temperature_weights(df, "lang", alpha=1.0)
+        assert abs(nat["en"] - 0.8) < 1e-12
+        uni = sampling.temperature_weights(df, "lang", alpha=0.0)
+        assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
+        # tail share strictly grows as alpha falls
+        assert uni["sw"] > w["sw"] > nat["sw"]
+        with pytest.raises(ValueError):
+            sampling.temperature_weights(df, "lang", alpha=-0.1)
+
+    def test_token_mass_nulls_and_mixture_composition(self, spark):
+        from physioview_spark.llm import sampling
+        df = self._df(spark)
+        # token mass = 10x row mass here -> identical shares
+        wt = sampling.temperature_weights(
+            df, "lang", alpha=0.5, weight_col="n_tokens")
+        wr = sampling.temperature_weights(df, "lang", alpha=0.5)
+        assert all(abs(wt[k] - wr[k]) < 1e-12 for k in wr)
+        # NULL domains are excluded, not a dict key
+        withnull = df.unionByName(spark.createDataFrame(
+            [(999, None, 10)], "doc_id long, lang string, n_tokens long"))
+        assert set(sampling.temperature_weights(
+            withnull, "lang", 0.5)) == {"en", "de", "sw"}
+        assert sampling.temperature_weights(
+            df.where("lang = 'xx'"), "lang") == {}
+        # feeds mixture_sample: output composition matches the
+        # temperature target exactly at the water-filling optimum
+        out = sampling.mixture_sample(df, "lang", wr)
+        got = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+        # sw (the binding tail domain) keeps everything
+        assert got["sw"] == 4
+        t = 4 / wr["sw"]
+        for lang in ("en", "de"):
+            # Bernoulli hash gate: expected T*w_d with binomial noise
+            # (std ~3.7 at n=80) — bound at ~3 std, not exactness
+            assert abs(got[lang] - t * wr[lang]) <= 11
+
+    def test_single_bounded_aggregate(self, spark):
+        """One aggregate over one scan — a per-domain fan-out
+        (filter+count per domain) would cost >= n_domains jobs; the
+        single groupBy stays O(1) in domains (AQE materializes the
+        shuffle stage as its own job, hence <= 4, not == 1)."""
+        from physioview_spark.llm import sampling
+        df = spark.range(5000).selectExpr(
+            "id as doc_id", "concat('d', id % 20) as lang")
+        tracker = df.sparkSession.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        w = sampling.temperature_weights(df, "lang", 0.3)
+        assert len(w) == 20
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after - before <= 4
+
+
 class TestHashSplit:
     """llm/sampling.hash_split / leakage_safe_split — deterministic
     dataset splits with the near-dup leakage guard."""
