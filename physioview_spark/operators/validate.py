@@ -164,6 +164,73 @@ def profile(
         f"mean double, stddev double, {qcols}")
 
 
+def profile_diff(
+    before: DataFrame,
+    after: DataFrame,
+    null_rate_tol: float = 0.01,
+    distinct_rel_tol: float = 0.2,
+    mean_sd_tol: float = 0.5,
+) -> DataFrame:
+    """Drift report between two :func:`profile` outputs — the
+    snapshot-over-snapshot regression guard for a recurring pipeline
+    (yesterday's corpus vs today's): one row per column with the
+    before/after shape deltas and a ``flags`` summary of which moved
+    beyond tolerance.
+
+    Deltas per column: ``null_rate_delta`` (absolute),
+    ``distinct_rel_delta`` (relative to before's HLL estimate),
+    ``mean_shift_sds`` (mean movement in units of before's stddev —
+    the scale-free location drift), plus dtype change and
+    appeared/vanished columns (full outer join on column name).
+    ``flags`` is a comma-joined summary ('' = no drift) so the report
+    stays scalar-typed and one ``where(flags != '')`` isolates the
+    regressions.
+
+    Scale shape: both inputs are already profile() outputs — bounded
+    by COLUMN count, never rows — so this is a tiny driver-light
+    outer join; the corpus cost was paid by the two single-scan
+    profiles."""
+    b = before.select(
+        "column", F.col("dtype").alias("__bdt"),
+        (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)))
+        .alias("__bnull"),
+        F.col("n_distinct_approx").alias("__bnd"),
+        F.col("mean").alias("__bmean"), F.col("stddev").alias("__bsd"))
+    a = after.select(
+        "column", F.col("dtype").alias("__adt"),
+        (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)))
+        .alias("__anull"),
+        F.col("n_distinct_approx").alias("__and"),
+        F.col("mean").alias("__amean"))
+    j = b.join(a, "column", "full_outer")
+    null_delta = F.round(F.col("__anull") - F.col("__bnull"), 6)
+    dist_delta = F.round(
+        (F.col("__and") - F.col("__bnd"))
+        / F.greatest(F.col("__bnd"), F.lit(1)).cast("double"), 6)
+    mean_shift = F.round(
+        (F.col("__amean") - F.col("__bmean"))
+        / F.when(F.col("__bsd") > 0, F.col("__bsd")), 6)
+    flags = F.array_join(F.array_compact(F.array(
+        F.when(F.col("__bdt").isNull(), F.lit("appeared")),
+        F.when(F.col("__adt").isNull(), F.lit("vanished")),
+        F.when(F.col("__bdt").isNotNull() & F.col("__adt").isNotNull()
+               & (F.col("__bdt") != F.col("__adt")),
+               F.lit("dtype_changed")),
+        F.when(F.abs(null_delta) > null_rate_tol, F.lit("null_rate")),
+        F.when(F.abs(dist_delta) > distinct_rel_tol, F.lit("distinct")),
+        F.when(F.abs(mean_shift) > mean_sd_tol, F.lit("mean_shift")),
+    )), ",")
+    return j.select(
+        "column",
+        F.col("__bdt").alias("dtype_before"),
+        F.col("__adt").alias("dtype_after"),
+        null_delta.alias("null_rate_delta"),
+        dist_delta.alias("distinct_rel_delta"),
+        mean_shift.alias("mean_shift_sds"),
+        flags.alias("flags"),
+    )
+
+
 def skew_report(
     df: DataFrame,
     columns: list[str],

@@ -577,6 +577,51 @@ class TestProfile:
         assert rows["we`ird"].max_str == "4"
 
 
+class TestProfileDiff:
+    """operators/validate.profile_diff — snapshot drift flags."""
+
+    def test_flags_and_deltas(self, spark):
+        from physioview_spark.operators.validate import (
+            profile, profile_diff,
+        )
+        before = spark.range(100).selectExpr(
+            "cast(id as double) as v",            # mean 49.5, sd ~29
+            "id as stable",
+            "cast(id as string) as gone")
+        after = spark.range(100).selectExpr(
+            "cast(id + 100 as double) as v",      # mean shifts by ~3.4 sd
+            "id as stable",
+            "cast(null as double) as fresh")      # appeared, all-null
+        d = {r.column: r for r in profile_diff(
+            profile(before), profile(after)).collect()}
+        assert d["stable"].flags == ""
+        assert "mean_shift" in d["v"].flags
+        assert abs(d["v"].mean_shift_sds - 100 / 29.011492) < 0.1
+        assert d["gone"].flags == "vanished"
+        assert d["gone"].dtype_after is None
+        assert d["fresh"].flags == "appeared"
+        # no baseline -> no delta flags for an appeared column
+        assert d["fresh"].null_rate_delta is None
+
+    def test_dtype_change_and_null_rate(self, spark):
+        from physioview_spark.operators.validate import (
+            profile, profile_diff,
+        )
+        before = spark.range(100).selectExpr("id as x")
+        after = spark.range(100).selectExpr(
+            "case when id < 10 then null else cast(id as double) end as x")
+        row = profile_diff(profile(before), profile(after)).collect()[0]
+        assert "dtype_changed" in row.flags
+        assert "null_rate" in row.flags
+        assert abs(row.null_rate_delta - 0.1) < 1e-9
+        # tolerances are honored: widening them clears the flags
+        loose = profile_diff(
+            profile(before.selectExpr("cast(x as double) as x")),
+            profile(after), null_rate_tol=0.5).collect()[0]
+        assert "null_rate" not in loose.flags
+        assert "dtype_changed" not in loose.flags
+
+
 class TestSkewReport:
     def test_matches_duckdb_and_null_keys(self, spark):
         import duckdb
