@@ -690,8 +690,9 @@ class TestWeightedSampleProperties:
     @given(st.data())
     def test_weight_scale_invariance(self, spark, data):
         """Multiplying every weight by a constant c > 0 must not change
-        the selected set or its order: rank key u^(1/(cw)) is the
-        monotone transform x -> x^(1/c) of u^(1/w)."""
+        the selected set or its order: rank key ln(u)/(cw) is the
+        ordering-preserving scaling (1/c) of ln(u)/w (and the classic
+        u^(1/(cw)) form it replaced is its monotone transform)."""
         from physioview_spark.llm.sampling import weighted_sample
         n = data.draw(st.integers(5, 40), label="n")
         seed = data.draw(st.integers(0, 3), label="seed")
@@ -706,6 +707,37 @@ class TestWeightedSampleProperties:
         b = [(r.doc_id, r.sample_rank) for r in weighted_sample(
             df2, "w", 7, seed=seed).orderBy("sample_rank").collect()]
         assert a == b
+
+
+class TestHashSplitProperties:
+    """hash_split invariants over random band layouts."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_total_partition_and_subset_stability(self, spark, data):
+        """Every row lands in exactly one named band, and a row's
+        assignment is a pure function of (key, seed) — splitting any
+        SUBSET agrees with the full corpus (the anti-randomSplit
+        property: corpus growth or filtering never moves a row
+        between train and val)."""
+        from physioview_spark.llm.sampling import hash_split
+        n = data.draw(st.integers(20, 200), label="n")
+        seed = data.draw(st.integers(0, 5), label="seed")
+        k = data.draw(st.integers(1, 4), label="k")
+        raw = [data.draw(st.integers(1, 10), label=f"f{i}")
+               for i in range(k)]
+        fr = {f"s{i}": raw[i] / sum(raw) for i in range(k)}
+        fr[f"s{k - 1}"] = 1.0 - sum(list(fr.values())[:-1])
+        df = spark.createDataFrame(
+            [(i,) for i in range(n)], "doc_id long")
+        out = hash_split(df, fr, seed=seed).collect()
+        assert len(out) == n
+        assert {r.split for r in out} <= set(fr)
+        full = {r.doc_id: r.split for r in out}
+        sub = {r.doc_id: r.split for r in hash_split(
+            df.where("doc_id % 2 = 0"), fr, seed=seed).collect()}
+        assert all(full[i] == s for i, s in sub.items())
 
 
 class TestSessionizationProperties:
