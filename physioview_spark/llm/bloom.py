@@ -9,7 +9,8 @@ from-scratch Bloom filter expressed entirely in DataFrame operators:
   ``bit_or`` aggregate into a SPARSE word table ``(word_idx: long,
   bits: long)`` of at most ``m/64`` rows. One shuffle, map-side
   combinable, output bounded by the filter size — not the key count.
-* **probe (jvm gear, default)** — the word table densifies into a
+* **probe (jvm gear, auto-default up to 2^23 bits)** — the word table
+  densifies into a
   bitmap shipped as a ONE-ROW ``array<bigint>`` broadcast, and
   membership is pure JVM ``element_at``/``shiftright`` arithmetic in
   codegen over the same JVM-computed position columns. Zero shuffle,
@@ -163,7 +164,8 @@ def bloom_probe(
     transient plan literal; large bitmaps belong on the numpy
     TorrentBroadcast path.
 
-    * ``"jvm"`` (default) — the bitmap ships as a ONE-ROW
+    * ``"jvm"`` (auto's pick for small bitmaps) — the bitmap ships as
+      a ONE-ROW
       ``array<bigint>`` broadcast (the pq.py LUT pattern: a broadcast
       nested-loop join against a single row), and membership is pure
       JVM ``element_at``/``shiftright`` arithmetic inside codegen. No

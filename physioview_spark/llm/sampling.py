@@ -260,6 +260,7 @@ def temperature_weights(
     domain_col: str,
     alpha: float = 0.3,
     weight_col: str | None = None,
+    max_domains: int = 10_000,
 ) -> dict[str, float]:
     """Temperature-resampled domain mixture (the multilingual-LLM
     language-balancing knob, Conneau et al. 2020 / mT5 — public
@@ -282,19 +283,31 @@ def temperature_weights(
     Scale shape: ONE map-side-combinable per-domain aggregate whose
     output is bounded by the distinct domain count — domains are
     codebook-bounded by contract (languages, sources), never
-    corpus-cardinality — collected driver-side like the other
-    codebook collects.
+    corpus-cardinality. ``max_domains`` enforces that contract: the
+    driver collects at most ``max_domains + 1`` rows (a LIMIT above
+    the aggregate, so the excess never ships) and raises if the cap
+    is exceeded — a hostile ``domain_col`` (raw URLs, doc ids) fails
+    loudly instead of flooding the driver.
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if max_domains < 1:
+        raise ValueError(f"max_domains must be >= 1, got {max_domains}")
     mass = (F.count(F.lit(1)) if weight_col is None
             else F.sum(F.col(weight_col).cast("long"))).alias("__m")
     rows = (
         df.where(F.col(domain_col).isNotNull())
         .groupBy(domain_col).agg(mass)
         .where(F.col("__m") > 0)
+        .limit(max_domains + 1)
         .collect()
     )
+    if len(rows) > max_domains:
+        raise ValueError(
+            f"temperature_weights: {domain_col!r} has more than "
+            f"{max_domains} distinct domains — not a codebook-bounded "
+            f"domain column (raw URL/id?); raise max_domains only if "
+            f"the cardinality is genuinely intended")
     if not rows:
         return {}
     powered = {str(r[domain_col]): float(r["__m"]) ** alpha for r in rows}

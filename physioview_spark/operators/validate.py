@@ -219,6 +219,14 @@ def profile_diff(
         F.when(F.abs(null_delta) > null_rate_tol, F.lit("null_rate")),
         F.when(F.abs(dist_delta) > distinct_rel_tol, F.lit("distinct")),
         F.when(F.abs(mean_shift) > mean_sd_tol, F.lit("mean_shift")),
+        # mean_shift_sds is NULL when before-stddev is 0/NULL (constant
+        # or all-null numeric column), so a location drift there would
+        # otherwise pass silently — flag it unscaled instead.
+        F.when((F.col("__bsd").isNull() | (F.col("__bsd") <= 0))
+               & F.col("__bmean").isNotNull()
+               & F.col("__amean").isNotNull()
+               & (F.col("__amean") != F.col("__bmean")),
+               F.lit("mean_shift_unscaled")),
     )), ",")
     return j.select(
         "column",

@@ -621,6 +621,25 @@ class TestProfileDiff:
         assert "null_rate" not in loose.flags
         assert "dtype_changed" not in loose.flags
 
+    def test_constant_column_drift_flagged_unscaled(self, spark):
+        """r09 advisor: mean_shift_sds is NULL when before-stddev is 0
+        (constant column), so a location drift there used to pass the
+        gate silently — it must now raise mean_shift_unscaled.
+        A constant column that did NOT move stays unflagged."""
+        from physioview_spark.operators.validate import (
+            profile, profile_diff,
+        )
+        before = spark.range(100).selectExpr(
+            "cast(7 as double) as c", "cast(1 as double) as same")
+        after = spark.range(100).selectExpr(
+            "cast(9 as double) as c", "cast(1 as double) as same")
+        d = {r.column: r for r in profile_diff(
+            profile(before), profile(after)).collect()}
+        assert d["c"].mean_shift_sds is None  # still unscalable...
+        assert "mean_shift_unscaled" in d["c"].flags  # ...but flagged
+        assert "mean_shift" not in d["same"].flags
+        assert d["same"].flags == ""
+
 
 class TestSkewReport:
     def test_matches_duckdb_and_null_keys(self, spark):

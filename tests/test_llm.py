@@ -1640,6 +1640,12 @@ def test_pinned_frames_scope(spark):
             raise RuntimeError("boom")
     assert _cache._PINNED == [outer]  # released on exception too
     assert _cache.release_pinned() == 1
+
+
+class TestDedupDeltaPrefilter:
+    """dedup_delta's prefilter gears (exact broadcast semi-join, bloom)
+    must be prune-only: bit-identical decisions to the plain plan."""
+
     def test_prefilter_parity_and_plan(self, spark, docs):
         """prefilter=True (broadcast semi-join runtime filters on every
         corpus-side table) must be bit-identical to the plain shuffle
@@ -2592,6 +2598,23 @@ class TestTemperatureWeights:
         assert len(w) == 20
         after = len(tracker.getJobIdsForGroup(None) or [])
         assert after - before <= 4
+
+    def test_max_domains_guard(self, spark):
+        """r09 verdict nit: a hostile domain_col (raw URL/id) must fail
+        loudly instead of collecting unbounded rows to the driver. The
+        LIMIT sits above the aggregate, so only max_domains+1 rows can
+        ever ship."""
+        from physioview_spark.llm import sampling
+        df = spark.range(500).selectExpr(
+            "id as doc_id", "concat('u', id) as url")
+        with pytest.raises(ValueError, match="distinct domains"):
+            sampling.temperature_weights(df, "url", 0.3, max_domains=100)
+        # at-the-cap cardinality passes; weights intact
+        w = sampling.temperature_weights(df, "url", 0.3, max_domains=500)
+        assert len(w) == 500
+        assert abs(sum(w.values()) - 1.0) < 1e-9
+        with pytest.raises(ValueError):
+            sampling.temperature_weights(df, "url", 0.3, max_domains=0)
 
 
 class TestHashSplit:

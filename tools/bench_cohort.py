@@ -163,7 +163,7 @@ def build_long_recording(spark, fs: float, n_samples: int, out_dir: str,
      .write.mode("overwrite").parquet(out_dir))
 
 
-def _max_abs_diff(a, b) -> float:
+def _max_abs_diff(a, b) -> "tuple[float, int]":
     """Exact full-join comparison of two (sample_idx, col) frames —
     distributed, no driver materialization of 88M rows."""
     j = (a.select("sample_idx", F.col(a.columns[-1]).alias("__x"))
