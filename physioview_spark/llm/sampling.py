@@ -310,9 +310,14 @@ def temperature_weights(
             f"the cardinality is genuinely intended")
     if not rows:
         return {}
-    powered = {str(r[domain_col]): float(r["__m"]) ** alpha for r in rows}
+    # sorted-key accumulation: float addition is order-sensitive, and
+    # collect order is not deterministic — summing in sorted domain
+    # order makes the weights a pure function of (corpus, alpha), and
+    # gives the normalizer an exact SQL twin (SUM(p ORDER BY domain))
+    powered = dict(sorted(
+        (str(r[domain_col]), float(r["__m"]) ** alpha) for r in rows))
     z = sum(powered.values())
-    return {d: p / z for d, p in sorted(powered.items())}
+    return {d: p / z for d, p in powered.items()}
 
 
 # Rough chars-per-whitespace-token ratio used only to SIZE the packing

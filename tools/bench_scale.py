@@ -184,7 +184,7 @@ def main() -> None:
     args = ap.parse_args()
 
     names = ["sqa_missing_segments", "doc_trigram_typicality",
-             "doc_strip_boilerplate", "doc_curation_pipeline",
+             "doc_strip_boilerplate", "doc_curation_pipeline_v3",
              "doc_passage_dedup", "doc_mixture_sample",
              "doc_dedup_delta"]
     labeled = (

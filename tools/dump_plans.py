@@ -16,7 +16,8 @@ DEFAULT = [
     "pricing_summary", "top_revenue_nations", "asof_latest_order",
     "rolling_event_counts", "dedup_keep_first", "embedding_cosine_topk",
     "order_value_interp", "doc_stratified_sample", "asof_tolerance_match",
-    "doc_pack_sequences", "doc_curation_pipeline",
+    "doc_pack_sequences", "doc_curation_pipeline_v3",
+    "doc_hash_split", "doc_temperature_mixture",
 ]
 
 
