@@ -38,6 +38,12 @@ _CHANGED_IN_ROUND = {
     # r09 additions events_funnel / events_retention /
     # doc_weighted_sample are never-verified, so the derived ordering
     # already serves them at the head without an entry here.)
+    # r10: cvxeda.py gained the max_matvecs straggler ceiling (VERDICT
+    # r09 item 2). The default (uncapped) iterate sequence is
+    # bit-for-bit unchanged (asserted by
+    # test_matvec_ceiling_flags_capped_solve), but kernel_eda_scr is
+    # the one declared query transiting the edited bytes — re-attest.
+    "kernel_eda_scr": 10,
 }
 
 

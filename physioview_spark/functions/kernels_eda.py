@@ -79,19 +79,45 @@ def _running_min_open(x: np.ndarray, w: int) -> np.ndarray:
     return sliding_max(floor, w)
 
 
-def decompose_eda(eda: np.ndarray, fs: float, method: str = "cvx"):
+def decompose_eda(
+    eda: np.ndarray,
+    fs: float,
+    method: str = "cvx",
+    max_matvecs: int | None = None,
+    return_info: bool = False,
+):
     """Split EDA into (phasic, tonic).
 
     ``method='cvx'`` (default, reference parity): the cvxEDA QP solved by
     the ADMM+CG port (functions/cvxeda.py; reference:
     pipeline/EDA.py:417-449, 520-688). ``method='fast'``: the documented
     low-pass/opening approximation. Signals too short for the QP model
-    fall back to the approximation."""
+    fall back to the approximation.
+
+    ``max_matvecs`` caps the QP's deterministic work budget (CG operator
+    applications — the straggler ceiling, see
+    :func:`physioview_spark.functions.cvxeda.cvxeda_decompose`); ``None``
+    preserves the historical uncapped iterate sequence bit-for-bit.
+    ``return_info=True`` returns ``(phasic, tonic, info)`` where ``info``
+    carries ``capped`` (bool — budget exhausted, THE quarantine flag),
+    ``converged`` (formal ADMM stopping test; tight tolerances mean a
+    natural max_iter exit commonly reports False while well inside the
+    parity contracts), ``rel_residual`` (float, <= 1.0 iff converged)
+    and ``matvecs`` (work spent) so callers can FLAG a capped solve
+    instead of silently trusting it. The non-QP paths (``'fast'``,
+    short-signal fallback) are closed-form — their info is trivially
+    ``capped=False, converged=True, rel_residual=0.0, matvecs=0``."""
     x = np.asarray(eda, dtype=float)
     if method == "cvx" and len(x) >= 8:
         from physioview_spark.functions.cvxeda import cvxeda_decompose
 
-        res = cvxeda_decompose(x, fs)
+        res = cvxeda_decompose(x, fs, max_matvecs=max_matvecs)
+        if return_info:
+            info = {"capped": res["capped"],
+                    "converged": res["converged"],
+                    "rel_residual": res["rel_residual"],
+                    "matvecs": res["matvecs"]}
+            return res["phasic"], res["tonic"], info
         return res["phasic"], res["tonic"]
     w = max(int(8 * fs), 3)
     base = _running_min_open(x, w)
@@ -99,6 +125,9 @@ def decompose_eda(eda: np.ndarray, fs: float, method: str = "cvx"):
     b, a = butter(2, cutoff / (fs / 2), "lowpass")
     tonic = filtfilt_fft(b, a, base)
     phasic = np.maximum(x - tonic, 0.0)
+    if return_info:
+        return phasic, tonic, {"capped": False, "converged": True,
+                               "rel_residual": 0.0, "matvecs": 0}
     return phasic, tonic
 
 

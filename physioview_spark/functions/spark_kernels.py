@@ -195,6 +195,8 @@ def decompose_eda_chunked(
     chunk_seconds: float = 1200.0,
     halo_seconds: float = 60.0,
     method: str = "cvx",
+    max_matvecs: int | None = None,
+    diagnostics: bool | None = None,
 ) -> DataFrame:
     """K17 at scale: cvxEDA decomposition of arbitrarily long recordings
     through the halo-chunked applier — adds ``phasic``/``tonic``.
@@ -216,14 +218,50 @@ def decompose_eda_chunked(
     ``chunk_seconds`` is the knob that bounds the per-chunk worst case
     (the skew is compute inside one Python call, so AQE cannot split
     it); halving it costs proportionally more halo overlap but caps
-    the tail."""
+    the tail.
+
+    ``max_matvecs`` (VERDICT r09 item 2) is the DIRECT straggler
+    ceiling: a deterministic per-chunk work budget in CG operator
+    applications (each costs the same O(n) on a fixed-length chunk, so
+    the cap bounds worst-chunk wall at ~``max_matvecs/median_matvecs``
+    x the median chunk, host-independently — a wall-clock ceiling
+    would make results machine-dependent). A chunk that exhausts the
+    budget returns its best ADMM iterate and is FLAGGED, never
+    silently wrong: with ``diagnostics`` on (default whenever a cap or
+    non-None ``diagnostics`` is given) every output row carries
+    ``cvx_capped`` (1.0 = budget exhausted — the quarantine flag),
+    ``cvx_rel_residual`` (max scale-free primal/dual residual ratio at
+    exit; <= 1.0 iff the formal stopping test passed) and
+    ``cvx_matvecs`` — constant within a chunk, so downstream quality
+    gates can quarantine or re-solve exactly the capped chunks
+    (``WHERE cvx_capped = 1``). Calibration on the SURVEY §6 24 h @
+    32 Hz leg: median chunk ~1.5-4k matvecs, stragglers ~100x that;
+    ``max_matvecs=12_000`` bounds the tail at ~3x the median-chunk
+    wall with chunk-halving phasic parity still inside the 0.05 RMS
+    contract (PLANS.md round 10)."""
     from physioview_spark.functions.kernels_eda import decompose_eda
 
+    if diagnostics is None:
+        diagnostics = max_matvecs is not None
+    out_cols = ["phasic", "tonic"]
+    if diagnostics:
+        out_cols += ["cvx_capped", "cvx_rel_residual", "cvx_matvecs"]
+
     def kern(x: np.ndarray):
-        return decompose_eda(x, fs, method=method)
+        if not diagnostics:
+            return decompose_eda(x, fs, method=method,
+                                 max_matvecs=max_matvecs)
+        phasic, tonic, info = decompose_eda(
+            x, fs, method=method, max_matvecs=max_matvecs,
+            return_info=True)
+        n = len(x)
+        return (phasic, tonic,
+                np.full(n, 1.0 if info["capped"] else 0.0),
+                np.full(n, float(info["rel_residual"])),
+                np.full(n, float(info["matvecs"])))
 
     return apply_kernel_chunked(
-        df, kern, value_col, ["phasic", "tonic"],
+        df, kern, value_col, out_cols,
         chunk_len=int(chunk_seconds * fs), halo=int(halo_seconds * fs),
         by=by,
     )

@@ -219,3 +219,109 @@ class TestCvxEda:
             assert np.isfinite(res["tonic"]).all()
             ph, to = decompose_eda(y, 4.0)  # default cvx path
             assert len(ph) == n and len(to) == n
+
+    def test_matvec_ceiling_flags_capped_solve(self):
+        """VERDICT r09 item 2: the straggler ceiling. A solve that
+        exhausts ``max_matvecs`` must return its best iterate FLAGGED
+        (capped=True) — never a silently wrong answer — with the work
+        overshoot bounded by a single capped CG call; an ample budget
+        must reproduce the uncapped iterate sequence bit-for-bit (the
+        default-path guarantee)."""
+        from physioview_spark.functions.cvxeda import cvxeda_decompose
+
+        y, _, _ = self._ground_truth(seed=7)
+
+        free = cvxeda_decompose(y, fs=4.0)
+        assert free["capped"] is False  # no budget -> never capped
+        assert free["matvecs"] > 0
+        assert np.isfinite(free["rel_residual"])
+        # tight-tolerance contract: rel_residual <= 1 iff converged
+        assert (free["rel_residual"] <= 1.0) == free["converged"]
+
+        # ample budget == uncapped, bit-for-bit (same CG caps apply)
+        ample = cvxeda_decompose(y, fs=4.0, max_matvecs=10**9)
+        assert ample["capped"] is False
+        assert np.array_equal(ample["phasic"], free["phasic"])
+        assert np.array_equal(ample["tonic"], free["tonic"])
+        assert ample["matvecs"] == free["matvecs"]
+
+        budget = max(10, free["matvecs"] // 20)
+        capped = cvxeda_decompose(y, fs=4.0, max_matvecs=budget)
+        assert capped["capped"] is True
+        assert capped["converged"] is False
+        # overshoot bound: each CG call is clipped to the remaining
+        # budget, so at most one extra matvec past the ceiling
+        assert capped["matvecs"] <= budget + 1
+        assert len(capped["phasic"]) == len(y)
+        assert np.isfinite(capped["phasic"]).all()
+
+    def test_decompose_eda_info_paths(self):
+        """return_info on every gear: the QP path surfaces the solver's
+        own verdict; the closed-form fast/short paths are trivially
+        uncapped with zero QP work."""
+        from physioview_spark.functions.kernels_eda import decompose_eda
+
+        y, _, _ = self._ground_truth(seed=9)
+        ph, to, info = decompose_eda(y, 4.0, return_info=True)
+        assert info["capped"] is False and info["matvecs"] > 0
+        assert np.isfinite(info["rel_residual"])
+
+        _, _, fast = decompose_eda(y, 4.0, method="fast",
+                                   return_info=True)
+        assert fast == {"capped": False, "converged": True,
+                        "rel_residual": 0.0, "matvecs": 0}
+        _, _, short = decompose_eda(np.array([1.0, 1.1, 1.2]), 4.0,
+                                    return_info=True)
+        assert short["capped"] is False and short["matvecs"] == 0
+
+    def test_chunked_diagnostics_columns(self, spark):
+        """decompose_eda_chunked with a ceiling emits per-row
+        cvx_capped / cvx_rel_residual / cvx_matvecs (constant within
+        a chunk) so a capped chunk is relationally quarantinable; an
+        ample ceiling leaves every chunk uncapped and the
+        phasic/tonic values identical to the uncapped plan."""
+        import pandas as pd
+
+        from physioview_spark.functions.spark_kernels import (
+            decompose_eda_chunked,
+        )
+
+        rng = np.random.default_rng(13)
+        fs, seconds = 4.0, 2400.0
+        n = int(fs * seconds)
+        t = np.arange(n) / fs
+        y = (2.0 + 0.3 * np.sin(2 * np.pi * t / 900.0)
+             + 0.005 * rng.standard_normal(n))
+        df = spark.createDataFrame(pd.DataFrame({
+            "subject_id": np.repeat("s0", n),
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "eda": y,
+        }))
+
+        plain = decompose_eda_chunked(df, fs=fs, chunk_seconds=1200.0,
+                                      halo_seconds=60.0)
+        assert "cvx_capped" not in plain.columns  # default unchanged
+
+        starved = (decompose_eda_chunked(
+            df, fs=fs, chunk_seconds=1200.0, halo_seconds=60.0,
+            max_matvecs=10)
+            .orderBy("sample_idx").toPandas())
+        assert len(starved) == n
+        assert set(starved["cvx_capped"]) == {1.0}
+        assert (starved["cvx_rel_residual"] > 1.0).all()
+        assert (starved["cvx_matvecs"] <= 11).all()
+
+        ample = (decompose_eda_chunked(
+            df, fs=fs, chunk_seconds=1200.0, halo_seconds=60.0,
+            max_matvecs=10**9)
+            .orderBy("sample_idx").toPandas())
+        free = (plain.orderBy("sample_idx").toPandas())
+        assert set(ample["cvx_capped"]) == {0.0}
+        assert np.isfinite(ample["cvx_rel_residual"]).all()
+        assert np.array_equal(ample["phasic"].to_numpy(),
+                              free["phasic"].to_numpy())
+        # flags are chunk-constant: one distinct matvec count per chunk
+        per_chunk = (ample.assign(chunk=ample["sample_idx"]
+                                  // int(1200 * fs))
+                     .groupby("chunk")["cvx_matvecs"].nunique())
+        assert (per_chunk == 1).all()
