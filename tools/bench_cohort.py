@@ -175,12 +175,16 @@ def _max_abs_diff(a, b) -> "tuple[float, int]":
 
 
 def long_recording(spark, hours: float, fs_ecg: float,
-                   whole_hours: float) -> dict:
+                   whole_hours: float, eda_only: bool = False,
+                   eda_max_matvecs: int | None = None) -> dict:
     from physioview_spark.functions.spark_kernels import (
         apply_kernel, apply_kernel_chunked, decompose_eda_chunked,
     )
 
     out: dict = {}
+    if eda_only:
+        return _long_eda(spark, hours, decompose_eda_chunked, out,
+                         eda_max_matvecs)
     # ---- ECG axis: 24 h @ 1024 Hz through the halo-chunked filter ----
     n = int(hours * 3600 * fs_ecg)
     d = f"{WORK}/long_ecg_{n}"
@@ -247,6 +251,12 @@ def long_recording(spark, hours: float, fs_ecg: float,
         "chunked_wall_s": wall_chunk, "max_abs_diff": dmax,
     }
 
+    return _long_eda(spark, hours, decompose_eda_chunked, out,
+                     eda_max_matvecs)
+
+
+def _long_eda(spark, hours: float, decompose_eda_chunked, out: dict,
+              max_matvecs: int | None) -> dict:
     # ---- EDA axis: 24 h @ 32 Hz through halo-chunked cvxEDA ----
     fs_eda = 32.0
     ne = int(hours * 3600 * fs_eda)
@@ -258,14 +268,18 @@ def long_recording(spark, hours: float, fs_ecg: float,
     def run_eda(chunk_seconds):
         return decompose_eda_chunked(
             dfe, fs_eda, value_col="v", chunk_seconds=chunk_seconds,
-            halo_seconds=60.0)
+            halo_seconds=60.0, max_matvecs=max_matvecs)
 
+    diag_cols = (["cvx_capped", "cvx_matvecs"]
+                 if max_matvecs is not None else [])
     # cvx is minutes-per-pass at this scale: each chunking runs exactly
     # ONCE — the timed region is the full decompose + parquet sink, the
     # parity join reads the sinks back
-    pe1, pe2 = f"{WORK}/long_eda_{ne}_c1", f"{WORK}/long_eda_{ne}_c2"
+    tag = "" if max_matvecs is None else f"_mv{max_matvecs}"
+    pe1 = f"{WORK}/long_eda_{ne}_c1{tag}"
+    pe2 = f"{WORK}/long_eda_{ne}_c2{tag}"
     wall = _timed(lambda: run_eda(1200.0)
-                  .select("sample_idx", "phasic", "tonic")
+                  .select("sample_idx", "phasic", "tonic", *diag_cols)
                   .write.mode("overwrite").parquet(pe1))
     run_eda(600.0).select("sample_idx", "phasic") \
         .write.mode("overwrite").parquet(pe2)
@@ -289,6 +303,30 @@ def long_recording(spark, hours: float, fs_ecg: float,
         "wall_s": wall, "samples_per_sec": round(ne / wall),
         "halved_chunks_rel_rms": round(rel, 5),
     }
+    if max_matvecs is not None:
+        # per-chunk work distribution from the diagnostic columns —
+        # matvecs is the deterministic wall proxy (fixed chunk length),
+        # so max/median is the straggler-bound the ceiling enforces
+        stats = (spark.read.parquet(pe1)
+                 .groupBy((F.col("sample_idx")
+                           / int(1200 * fs_eda)).cast("long")
+                          .alias("__chunk"))
+                 .agg(F.first("cvx_matvecs").alias("mv"),
+                      F.first("cvx_capped").alias("capped"))
+                 .agg(F.expr("median(mv)").alias("med"),
+                      F.max("mv").alias("mx"), F.min("mv").alias("mn"),
+                      F.sum("capped").alias("n_capped"),
+                      F.count(F.lit(1)).alias("n_chunks"))
+                 .collect()[0])
+        out["eda_cvx"].update({
+            "max_matvecs": max_matvecs,
+            "chunk_matvecs_median": float(stats.med),
+            "chunk_matvecs_max": float(stats.mx),
+            "chunk_matvecs_min": float(stats.mn),
+            "worst_over_median": round(float(stats.mx)
+                                       / max(float(stats.med), 1.0), 3),
+            "n_capped_chunks": int(stats.n_capped),
+        })
     return out
 
 
@@ -304,6 +342,10 @@ def main() -> None:
     ap.add_argument("--long-fs", type=float, default=1024.0)
     ap.add_argument("--whole-hours", type=float, default=2.0,
                     help="duration for the chunked-vs-whole parity leg")
+    ap.add_argument("--eda-only", action="store_true",
+                    help="with --long: skip the ECG axis")
+    ap.add_argument("--eda-max-matvecs", type=int, default=None,
+                    help="straggler ceiling for the cvxEDA leg")
     args = ap.parse_args()
 
     spark = get_spark(extra_conf={"spark.driver.memory": "16g"})
@@ -311,7 +353,9 @@ def main() -> None:
         print(json.dumps({
             "axis": "long_recording", "hours": args.long_hours,
             "results": long_recording(spark, args.long_hours,
-                                      args.long_fs, args.whole_hours),
+                                      args.long_fs, args.whole_hours,
+                                      eda_only=args.eda_only,
+                                      eda_max_matvecs=args.eda_max_matvecs),
         }))
         return
     results: dict[str, dict] = {}

@@ -186,7 +186,12 @@ def main() -> None:
     names = ["sqa_missing_segments", "doc_trigram_typicality",
              "doc_strip_boilerplate", "doc_curation_pipeline_v3",
              "doc_passage_dedup", "doc_mixture_sample",
-             "doc_dedup_delta"]
+             "doc_dedup_delta",
+             # r10 (VERDICT r09 item 6): the banded-dedup family at
+             # x100 — the one family whose shuffle mass should clear
+             # the local job floor. .count() cannot prune these: the
+             # pair/cluster cardinality IS the banding joins' output.
+             "doc_minhash_lsh_candidates", "doc_dup_clusters"]
     labeled = (
         ("semantic_dedup_ksqrtN", run_semantic_dedup),
         ("knn_graph_plogN", run_knn_graph),
