@@ -19,6 +19,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from physioview_spark.functions import kernels_cardiac as kc
@@ -197,6 +198,7 @@ def decompose_eda_chunked(
     method: str = "cvx",
     max_matvecs: int | None = None,
     diagnostics: bool | None = None,
+    group_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """K17 at scale: cvxEDA decomposition of arbitrarily long recordings
     through the halo-chunked applier — adds ``phasic``/``tonic``.
@@ -211,34 +213,43 @@ def decompose_eda_chunked(
     (parity-tested against the whole-signal solve in
     tests/test_detectors.py).
 
-    Straggler note, measured at 24 h @ 32 Hz (PLANS.md "Long-recording
-    axis"): per-chunk ADMM/CG iteration count varies ~100x with signal
-    content, so cohort wall time is bounded by the SLOWEST chunk, not
-    the mean — 2 of 72 default-size chunks dominated a 46-minute run.
-    ``chunk_seconds`` is the knob that bounds the per-chunk worst case
-    (the skew is compute inside one Python call, so AQE cannot split
-    it); halving it costs proportionally more halo overlap but caps
-    the tail.
+    Straggler note (measured at 24 h @ 32 Hz, PLANS.md round 10): the
+    r09 hypothesis that per-chunk ADMM iteration count varies ~100x
+    with signal content was FALSIFIED by the ``cvx_matvecs``
+    diagnostics — on the SURVEY §6 bench signal every chunk exhausts
+    the same max_iter work (64,880 matvecs). The 2-of-72 "straggler
+    chunks" that dominated the r09 46-minute run were task-placement
+    skew: the groupBy exchange is byte-tiny (~300 KB/chunk) so AQE
+    coalesced 72 multi-minute groups into 23-24 tasks, and whichever
+    task drew 4-5 serial chunks set the wall. ``group_partitions``
+    (default ``"auto"``) fixes the actual cause: it counts chunk
+    groups with one column-pruned aggregate (noise next to minutes of
+    ADMM per chunk) and spreads them over 2x-count REPARTITION_BY_NUM
+    partitions, which AQE never coalesces, bounding worst task at 1-2
+    chunks. Pass an int to pin the count, or ``None`` to keep the raw
+    groupBy exchange (the pre-r10 behavior).
 
-    ``max_matvecs`` (VERDICT r09 item 2) is the DIRECT straggler
-    ceiling: a deterministic per-chunk work budget in CG operator
-    applications (each costs the same O(n) on a fixed-length chunk, so
-    the cap bounds worst-chunk wall at ~``max_matvecs/median_matvecs``
-    x the median chunk, host-independently — a wall-clock ceiling
-    would make results machine-dependent). A chunk that exhausts the
-    budget returns its best ADMM iterate and is FLAGGED, never
-    silently wrong: with ``diagnostics`` on (default whenever a cap or
-    non-None ``diagnostics`` is given) every output row carries
-    ``cvx_capped`` (1.0 = budget exhausted — the quarantine flag),
-    ``cvx_rel_residual`` (max scale-free primal/dual residual ratio at
-    exit; <= 1.0 iff the formal stopping test passed) and
+    ``max_matvecs`` (VERDICT r09 item 2) is the per-chunk work
+    GUARDRAIL: a deterministic budget in CG operator applications
+    (each costs the same O(n log n) on a fixed-length chunk — a
+    wall-clock ceiling would make results machine-dependent). A chunk
+    that exhausts the budget returns its best ADMM iterate FLAGGED,
+    never silently wrong: with ``diagnostics`` on (default whenever a
+    cap or non-None ``diagnostics`` is given) every output row
+    carries ``cvx_capped`` (1.0 = budget exhausted — the quarantine
+    flag), ``cvx_rel_residual`` (max scale-free primal/dual residual
+    ratio at exit; <= 1.0 iff the formal stopping test passed) and
     ``cvx_matvecs`` — constant within a chunk, so downstream quality
     gates can quarantine or re-solve exactly the capped chunks
-    (``WHERE cvx_capped = 1``). Calibration on the SURVEY §6 24 h @
-    32 Hz leg: median chunk ~1.5-4k matvecs, stragglers ~100x that;
-    ``max_matvecs=12_000`` bounds the tail at ~3x the median-chunk
-    wall with chunk-halving phasic parity still inside the 0.05 RMS
-    contract (PLANS.md round 10)."""
+    (``WHERE cvx_capped = 1``). Do NOT run capped for wall time on a
+    healthy signal: work is uniform there, so a cap truncates every
+    chunk's optimization equally and the saved wall is paid in
+    solution quality (measured cap-vs-parity curve in PLANS.md round
+    10 — chunk-halving phasic parity degrades from 0.044 uncapped to
+    0.135 at max_matvecs=12_000 on the 24 h leg). The cap earns its
+    keep against genuinely pathological chunks a production corpus
+    may contain, where it converts an unbounded solve into a flagged,
+    bounded one."""
     from physioview_spark.functions.kernels_eda import decompose_eda
 
     if diagnostics is None:
@@ -260,10 +271,25 @@ def decompose_eda_chunked(
                 np.full(n, float(info["rel_residual"])),
                 np.full(n, float(info["matvecs"])))
 
+    chunk_len = int(chunk_seconds * fs)
+    if group_partitions == "auto":
+        # One column-pruned aggregate: total chunk-group count =
+        # sum over subjects of ceil((max_idx + 1) / chunk_len). Costs
+        # one scan of (by, sample_idx) — noise next to minutes of ADMM
+        # per chunk — and makes the spread exact, not guessed.
+        n_groups = (
+            df.groupBy(by)
+            .agg(F.max("sample_idx").alias("__mx"))
+            .agg(F.sum(F.floor(F.col("__mx") / chunk_len) + 1)
+                 .alias("__g"))
+            .first()["__g"]
+        )
+        group_partitions = max(2 * int(n_groups or 1), 1)
+
     return apply_kernel_chunked(
         df, kern, value_col, out_cols,
-        chunk_len=int(chunk_seconds * fs), halo=int(halo_seconds * fs),
-        by=by,
+        chunk_len=chunk_len, halo=int(halo_seconds * fs),
+        by=by, group_partitions=group_partitions,
     )
 
 
@@ -411,6 +437,7 @@ def apply_kernel_chunked(
     chunk_len: int = 1 << 22,
     halo: int = 1 << 14,
     by: str = "subject_id",
+    group_partitions: int | None = None,
 ) -> DataFrame:
     """Halo-chunked kernel application for recordings too long for one
     task (SURVEY §7.4: a 24 h @ 1024 Hz recording is ~88 M samples — one
@@ -427,7 +454,23 @@ def apply_kernel_chunked(
 
     ``out_col`` may be a list, for kernels returning one array per output
     (tuple/list in the same order) — e.g. a phasic/tonic decomposition.
-    """
+
+    ``group_partitions`` spreads chunk-groups across that many shuffle
+    partitions via an explicit ``repartition(n, keys)``. This exists
+    because the default ``groupBy`` exchange is ENSURE_REQUIREMENTS —
+    AQE's byte-based partition coalescing applies, and a cvx-style
+    kernel's groups are byte-TINY but compute-HUGE (a 1200 s EDA chunk
+    is ~300 KB of Arrow yet minutes of ADMM), so AQE packs several
+    multi-minute groups into one task and the cohort wall becomes
+    whichever task drew the most groups (measured: 72 chunks coalesced
+    into 23-24 tasks, 3-5 serial chunks each — PLANS.md round 10). An
+    explicit numbered repartition is REPARTITION_BY_NUM, which AQE
+    never coalesces, and its hash partitioning satisfies the groupBy's
+    clustering requirement so NO second exchange is added (plan-
+    asserted in tests). Set it to ~2x the expected group count so the
+    balls-in-bins max load stays at 1-2 groups/task; leave ``None``
+    for byte-heavy fast kernels (the filter family), where AQE's
+    byte-based packing is the right call."""
     from pyspark.sql import functions as F
 
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
@@ -450,6 +493,9 @@ def apply_kernel_chunked(
         df.withColumn("__chunk", F.explode(chunk_sets))
         .where(F.col("__chunk") >= 0)
     )
+    if group_partitions is not None:
+        exploded = exploded.repartition(
+            group_partitions, F.col(by), F.col("__chunk"))
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         chunk = key[1]

@@ -264,6 +264,65 @@ class TestHaloChunkedKernels:
             .orderBy("sample_idx").toPandas()["ma"].to_numpy())
         np.testing.assert_allclose(out, moving_average(x, 33), atol=1e-12)
 
+    def test_group_spreading_plan_and_parity(self, spark):
+        """group_partitions defeats AQE's byte-based coalescing for
+        compute-heavy, byte-light chunk groups (the measured r09 cvx
+        straggler cause — PLANS.md round 10): the explicit repartition
+        must be the ONLY exchange (its hash clustering satisfies the
+        groupBy, so EnsureRequirements adds no second shuffle), carry
+        the REPARTITION_BY_NUM origin AQE never coalesces, spread
+        groups at 1-2 per task, and leave values bit-identical to the
+        default path."""
+        from pyspark.sql import functions as F
+
+        from physioview_spark.functions.spark_kernels import (
+            apply_kernel_chunked, decompose_eda_chunked,
+        )
+
+        n = 20_000
+        pdf = pd.DataFrame({
+            "subject_id": "s0",
+            "sample_idx": np.arange(n, dtype=np.int64),
+            "eda": 2.0 + 0.1 * np.sin(np.arange(n) / 500.0),
+        })
+        df = spark.createDataFrame(pdf)
+
+        spread = apply_kernel_chunked(
+            df, lambda a: a * 2, "eda", "y",
+            chunk_len=2000, halo=100, group_partitions=20)
+        plan = spread._jdf.queryExecution().executedPlan().toString()
+        exch = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert len(exch) == 1, plan
+        assert "REPARTITION_BY_NUM" in exch[0]
+        assert ", 20)" in exch[0]  # explicit count survives planning
+
+        loads = (spread.withColumn("p", F.spark_partition_id())
+                 .groupBy("p")
+                 .agg(F.countDistinct(
+                     (F.col("sample_idx") / 2000).cast("long"))
+                     .alias("g"))
+                 .toPandas())
+        assert loads["g"].max() <= 2  # 10 groups over 20 partitions
+
+        default = apply_kernel_chunked(
+            df, lambda a: a * 2, "eda", "y", chunk_len=2000, halo=100)
+        a = spread.orderBy("sample_idx").toPandas()["y"].to_numpy()
+        b = default.orderBy("sample_idx").toPandas()["y"].to_numpy()
+        assert np.array_equal(a, b)
+
+        # decompose_eda_chunked default "auto": one counting aggregate
+        # then the same single-exchange spread plan
+        d = decompose_eda_chunked(
+            df, fs=4.0, value_col="eda", chunk_seconds=500.0,
+            halo_seconds=25.0, method="fast")
+        plan2 = d._jdf.queryExecution().executedPlan().toString()
+        exch2 = [ln for ln in plan2.splitlines() if "Exchange" in ln]
+        assert len(exch2) == 1, plan2
+        assert "REPARTITION_BY_NUM" in exch2[0]
+        # 10 chunks of 2000 samples -> auto = 2x10 partitions
+        assert ", 20)" in exch2[0]
+        assert d.count() == n
+
 
 class TestPartitionedFastPath:
     def test_fast_path_equals_grouped(self, spark, tmp_path):
