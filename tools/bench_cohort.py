@@ -296,7 +296,12 @@ def _long_eda(spark, hours: float, decompose_eda_chunked, out: dict,
         F.count(F.lit(1)).alias("n")).collect()[0]
     assert int(r.n) == ne
     rel = float(r.rms_d) / max(float(r.rms_a), 1e-12)
-    assert rel < 0.05, rel  # the tests/test_detectors.py contract
+    if max_matvecs is None:
+        assert rel < 0.05, rel  # the tests/test_detectors.py contract
+    # capped runs REPORT rel instead of asserting: the ceiling is a
+    # quality trade by design (PLANS.md round 10 measured 0.135 at cap
+    # 12k) and the tool's job is to put that number on the record, not
+    # to die before printing its own matvec diagnostics
     out["eda_cvx"] = {
         "n_samples": ne, "fs": fs_eda, "chunk_seconds": 1200.0,
         "halo_seconds": 60.0, "n_chunks": -(-ne // int(1200 * fs_eda)),
