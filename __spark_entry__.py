@@ -34,16 +34,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # before your change), record round+1 so the pre-edit green cannot
 # satisfy the entry.
 _CHANGED_IN_ROUND = {
-    # (r06-r08 entries all attested green at their rounds — pruned.
-    # r09 additions events_funnel / events_retention /
-    # doc_weighted_sample are never-verified, so the derived ordering
-    # already serves them at the head without an entry here.)
-    # r10: cvxeda.py gained the max_matvecs straggler ceiling (VERDICT
-    # r09 item 2). The default (uncapped) iterate sequence is
-    # bit-for-bit unchanged (asserted by
-    # test_matvec_ceiling_flags_capped_solve), but kernel_eda_scr is
-    # the one declared query transiting the edited bytes — re-attest.
-    "kernel_eda_scr": 10,
+    # (r06-r10 entries all attested green at their rounds — pruned;
+    # the r10 `kernel_eda_scr: 10` entry went inert when
+    # CORRECTNESS_r10.json recorded its pass.)
+    # r11 advisor fixes (ADVICE.md r10):
+    # - cvxeda.py gained a max_matvecs >= 1 guard; the accepted-budget
+    #   iterate sequence is untouched, but kernel_eda_scr transits the
+    #   edited bytes — re-attest (same discipline as r10).
+    # - llm/text.py token_count now clamps NULL-text counts to 0
+    #   (legacy sizeOfNull -1 divergence); identical output on the
+    #   NULL-free sf corpora, but three declared green queries transit
+    #   it — re-attest all three.
+    "kernel_eda_scr": 11,
+    "doc_temperature_mixture": 11,
+    "doc_mixture_sample": 11,
+    "doc_curation_pipeline_v3": 11,
 }
 
 

@@ -226,6 +226,13 @@ def cvxeda_decompose(
     ``rel_residual`` (max of the scale-free primal/dual residual
     ratios at exit; <= 1.0 iff converged) and ``matvecs`` (work
     actually spent)."""
+    if max_matvecs is not None and max_matvecs < 1:
+        # A non-positive budget would break out before the first CG call
+        # and hand back the zero initialization as the "best iterate" —
+        # flagged capped, but never a real iterate. Reject it up front
+        # (mirrors the max_domains >= 1 guard in sampling.temperature_weights).
+        raise ValueError(
+            f"max_matvecs must be >= 1 or None (uncapped), got {max_matvecs}")
     y = np.asarray(signal, dtype=float)
     n = len(y)
     if n < 8:

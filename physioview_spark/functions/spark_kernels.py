@@ -227,7 +227,10 @@ def decompose_eda_chunked(
     ADMM per chunk) and spreads them over 2x-count REPARTITION_BY_NUM
     partitions, which AQE never coalesces, bounding worst task at 1-2
     chunks. Pass an int to pin the count, or ``None`` to keep the raw
-    groupBy exchange (the pre-r10 behavior).
+    groupBy exchange (the pre-r10 behavior). ``"auto"`` resolves to
+    ``None`` for ``method != "cvx"``: the fast smoother is byte-bound,
+    so it keeps the AQE-coalesced exchange and skips the counting job
+    (r10 advisor finding).
 
     ``max_matvecs`` (VERDICT r09 item 2) is the per-chunk work
     GUARDRAIL: a deterministic budget in CG operator applications
@@ -272,11 +275,21 @@ def decompose_eda_chunked(
                 np.full(n, float(info["matvecs"])))
 
     chunk_len = int(chunk_seconds * fs)
+    if group_partitions == "auto" and method != "cvx":
+        # The spread exists for compute-heavy/byte-tiny cvx chunks; the
+        # fast smoother is byte-bound, where apply_kernel_chunked's own
+        # guidance says to keep the AQE-coalesced exchange. Resolving
+        # "auto" to None here also avoids the eager counting job (the
+        # aggregate below runs at plan-build time and re-scans the
+        # input lineage) for the gear that never needed it.
+        group_partitions = None
     if group_partitions == "auto":
         # One column-pruned aggregate: total chunk-group count =
-        # sum over subjects of ceil((max_idx + 1) / chunk_len). Costs
-        # one scan of (by, sample_idx) — noise next to minutes of ADMM
-        # per chunk — and makes the spread exact, not guessed.
+        # sum over subjects of ceil((max_idx + 1) / chunk_len). NOTE:
+        # this runs EAGERLY at plan-build time and scans the input
+        # lineage a second time (uncached) — acceptable because it is
+        # column-pruned to (by, sample_idx) and costs noise next to
+        # minutes of ADMM per chunk; pass an int to skip it.
         n_groups = (
             df.groupBy(by)
             .agg(F.max("sample_idx").alias("__mx"))

@@ -31,7 +31,14 @@ def tokens(col: Column | str) -> Column:
 
 def token_count(df: DataFrame, text_col: str = "text",
                 out_col: str = "n_tokens") -> DataFrame:
-    return df.withColumn(out_col, F.size(tokens(text_col)).cast("long"))
+    # Clamp: F.size on a NULL text's (null) token array yields -1 under
+    # legacy sizeOfNull, which would SUM into domain token masses
+    # (temperature_weights) while a SQL oracle's CASE-NULL is excluded
+    # from SUM. 0 tokens for NULL text keeps both sides identical
+    # (same convention as pack_sequences / materialize_packed).
+    return df.withColumn(
+        out_col,
+        F.greatest(F.size(tokens(text_col)), F.lit(0)).cast("long"))
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -221,11 +221,17 @@ def profile_diff(
         F.when(F.abs(mean_shift) > mean_sd_tol, F.lit("mean_shift")),
         # mean_shift_sds is NULL when before-stddev is 0/NULL (constant
         # or all-null numeric column), so a location drift there would
-        # otherwise pass silently — flag it unscaled instead.
+        # otherwise pass silently — flag it unscaled instead. The
+        # comparison carries a tiny tolerance (1e-9 relative with a
+        # 1e-12 absolute floor): a zero-stddev column can still show
+        # ULP-level mean scatter from aggregation order on a
+        # near-constant column, which is noise, not drift.
         F.when((F.col("__bsd").isNull() | (F.col("__bsd") <= 0))
                & F.col("__bmean").isNotNull()
                & F.col("__amean").isNotNull()
-               & (F.col("__amean") != F.col("__bmean")),
+               & (F.abs(F.col("__amean") - F.col("__bmean"))
+                  > F.greatest(F.abs(F.col("__bmean")) * 1e-9,
+                               F.lit(1e-12))),
                F.lit("mean_shift_unscaled")),
     )), ",")
     return j.select(
@@ -322,3 +328,32 @@ def skew_report(
             .otherwise(F.lit(None).cast("double")))
         .select("column", "key_str", "cnt", "share", "rank")
     )
+
+
+def cvx_solver_rules(
+    max_rel_residual: float | None = None,
+) -> dict[str, Column]:
+    """Expectation recipe for the cvxEDA chunked-solver diagnostics
+    columns (``decompose_eda_chunked(..., max_matvecs=...)`` emits
+    ``cvx_capped`` / ``cvx_rel_residual`` / ``cvx_matvecs`` per row) —
+    closes the quarantine loop on the straggler ceiling (VERDICT r10
+    item 6): a chunk that exhausted its deterministic work budget is
+    FLAGGED by the solver, and this recipe is the downstream consumer
+    that actually routes those rows out of the analytic frame.
+
+    Use with :func:`quarantine` (rejected rows carry the failed rule
+    names, so a capped chunk arrives with reason ``cvx_not_capped``)
+    or :func:`validate` (one-row violation counts — the cheap health
+    probe before deciding whether a re-solve pass is needed).
+
+    ``max_rel_residual`` optionally adds a ``cvx_rel_residual_ok``
+    rule. Leave it ``None`` unless you know your tolerance: under the
+    deliberately tight ADMM stopping test (functions/cvxeda.py) a
+    healthy natural max_iter exit commonly reports rel_residual > 1
+    while the iterate is well inside every downstream parity contract,
+    so a naive ``<= 1.0`` threshold would quarantine good chunks."""
+    rules: dict[str, Column] = {"cvx_not_capped": F.col("cvx_capped") == 0}
+    if max_rel_residual is not None:
+        rules["cvx_rel_residual_ok"] = (
+            F.col("cvx_rel_residual") <= max_rel_residual)
+    return rules

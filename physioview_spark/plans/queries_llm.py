@@ -245,22 +245,90 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "lang_pred")
 
 
-@q("doc_fingerprints", """
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-), sh AS (
-  SELECT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
-              ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
-  FROM toks, LATERAL (
-    SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
+# (doc_fingerprints retired r11 — the MinHash fingerprint surface is
+# already attested via doc_minhash_signatures and the winnowing family
+# via doc_winnow_fingerprints; slot funds the doc_profile_drift gate.
+# VERDICT r10 item 4.)
+
+
+@q("doc_profile_drift", """
+WITH b AS (
+  SELECT count(*) AS n,
+         avg(doc_id) AS m_id, stddev_samp(doc_id) AS s_id,
+         avg(n_chars) AS m_nc, stddev_samp(n_chars) AS s_nc
+  FROM documents
+), a AS (
+  SELECT count(*) AS n,
+         avg(doc_id) AS m_id,
+         avg(CAST(n_chars AS DOUBLE)) AS m_nc,
+         sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS nn_lang
+  FROM documents WHERE n_chars >= 300
 )
-SELECT doc_id, MIN(md5(shingle)) AS fingerprint
-FROM sh GROUP BY doc_id
+SELECT 'doc_id' AS column, 'bigint' AS dtype_before,
+       'bigint' AS dtype_after,
+       round(0.0, 6) AS null_rate_delta,
+       round((a.m_id - b.m_id) / b.s_id, 6) AS mean_shift_sds,
+       CASE WHEN abs(round((a.m_id - b.m_id) / b.s_id, 6)) > 0.5
+            THEN 'mean_shift' ELSE '' END AS flags
+FROM b, a
+UNION ALL
+SELECT 'lang', 'string', 'string',
+       round(CAST(a.nn_lang AS DOUBLE) / a.n, 6),
+       CAST(NULL AS DOUBLE),
+       CASE WHEN abs(round(CAST(a.nn_lang AS DOUBLE) / a.n, 6)) > 0.01
+            THEN 'null_rate' ELSE '' END
+FROM b, a
+UNION ALL
+SELECT 'n_chars', 'bigint', 'double',
+       round(0.0, 6),
+       round((a.m_nc - b.m_nc) / b.s_nc, 6),
+       concat_ws(',', 'dtype_changed',
+                 CASE WHEN abs(round((a.m_nc - b.m_nc) / b.s_nc, 6)) > 0.5
+                      THEN 'mean_shift' END)
+FROM b, a
+UNION ALL
+SELECT 'new_metric', CAST(NULL AS VARCHAR), 'double',
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 'appeared'
+UNION ALL
+SELECT 'old_metric', 'double', CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 'vanished'
 """)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot drift gate (operators/validate.py
+    profile -> profile_diff; first driver-gated r11 per VERDICT r10
+    item 4): profile the documents corpus and a degraded re-snapshot —
+    a quality filter (n_chars >= 300, decisive ~1.7 sd location shift
+    on n_chars), deterministic NULL injection on lang (doc_id % 10),
+    a bigint->double dtype change, and one appeared + one vanished
+    column — then diff the two profiles. Exercises every flag class
+    except `distinct`: the distinct delta rides Spark's HLL++ sketch,
+    which no SQL engine reproduces bit-for-bit, so the gate disables
+    that tolerance (distinct_rel_tol=1e18) and drops the column from
+    the projection; distinct-drift stays pytest-gated
+    (tests/test_corrections_ops.py::TestProfileDiff). Both profiles
+    are single-scan wide aggregates; the diff is a column-count-bounded
+    outer join — corpus cost is two scans regardless of width."""
+    from physioview_spark.operators.validate import profile, profile_diff
+
     docs = read(spark, sf_dir, "documents")
-    return text.fingerprint(docs).select("doc_id", "fingerprint")
+    before = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.lit(1.0).alias("old_metric"))
+    after = (
+        docs.where(F.col("n_chars") >= 300)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 != 0, F.col("lang")).alias("lang"),
+            F.col("n_chars").cast("double").alias("n_chars"),
+            F.lit(1.0).alias("new_metric"))
+    )
+    rep = profile_diff(profile(before), profile(after),
+                       distinct_rel_tol=1e18)
+    return (
+        rep.select("column", "dtype_before", "dtype_after",
+                   "null_rate_delta", "mean_shift_sds", "flags")
+        .orderBy("column")
+    )
 
 
 @q("doc_simhash_near_dups", """

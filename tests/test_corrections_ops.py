@@ -310,18 +310,30 @@ class TestHaloChunkedKernels:
         b = default.orderBy("sample_idx").toPandas()["y"].to_numpy()
         assert np.array_equal(a, b)
 
-        # decompose_eda_chunked default "auto": one counting aggregate
-        # then the same single-exchange spread plan
+        # decompose_eda_chunked default "auto" is method-gated (r10
+        # advisor): the cvx gear gets the counting aggregate + the
+        # single-exchange REPARTITION_BY_NUM spread (plan-assert only —
+        # building the plan never runs the ADMM), while the byte-bound
+        # fast smoother resolves "auto" to None and keeps the raw
+        # AQE-coalescible groupBy exchange, skipping the eager count.
         d = decompose_eda_chunked(
             df, fs=4.0, value_col="eda", chunk_seconds=500.0,
-            halo_seconds=25.0, method="fast")
+            halo_seconds=25.0, method="cvx")
         plan2 = d._jdf.queryExecution().executedPlan().toString()
         exch2 = [ln for ln in plan2.splitlines() if "Exchange" in ln]
         assert len(exch2) == 1, plan2
         assert "REPARTITION_BY_NUM" in exch2[0]
         # 10 chunks of 2000 samples -> auto = 2x10 partitions
         assert ", 20)" in exch2[0]
-        assert d.count() == n
+
+        dfast = decompose_eda_chunked(
+            df, fs=4.0, value_col="eda", chunk_seconds=500.0,
+            halo_seconds=25.0, method="fast")
+        plan3 = dfast._jdf.queryExecution().executedPlan().toString()
+        exch3 = [ln for ln in plan3.splitlines() if "Exchange" in ln]
+        assert len(exch3) == 1, plan3
+        assert "REPARTITION_BY_NUM" not in exch3[0]
+        assert dfast.count() == n
 
 
 class TestPartitionedFastPath:
@@ -698,6 +710,28 @@ class TestProfileDiff:
         assert "mean_shift_unscaled" in d["c"].flags  # ...but flagged
         assert "mean_shift" not in d["same"].flags
         assert d["same"].flags == ""
+
+    def test_constant_column_ulp_noise_not_flagged(self, spark):
+        """r10 advisor: the unscaled comparison carries a tiny epsilon
+        so ULP-level mean scatter (aggregation-order noise on a
+        near-constant column) is NOT drift; a shift just past the
+        relative tolerance still is."""
+        from physioview_spark.operators.validate import (
+            profile, profile_diff,
+        )
+        base = 7.0
+        before = spark.range(100).selectExpr(
+            f"cast({base!r} as double) as c")
+        # one ULP of 7.0 is ~8.9e-16 — far inside the 1e-9 rel tol
+        after_ulp = spark.range(100).selectExpr(
+            f"cast({base + 8.9e-16!r} as double) as c")
+        d = profile_diff(profile(before), profile(after_ulp)).collect()[0]
+        assert "mean_shift_unscaled" not in d.flags
+        # a 1e-6 relative shift clears the 1e-9 tolerance -> flagged
+        after_real = spark.range(100).selectExpr(
+            f"cast({base * (1 + 1e-6)!r} as double) as c")
+        d2 = profile_diff(profile(before), profile(after_real)).collect()[0]
+        assert "mean_shift_unscaled" in d2.flags
 
 
 class TestSkewReport:

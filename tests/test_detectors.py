@@ -245,6 +245,13 @@ class TestCvxEda:
         assert np.array_equal(ample["tonic"], free["tonic"])
         assert ample["matvecs"] == free["matvecs"]
 
+        # r10 advisor: a budget < 1 would break before any CG runs and
+        # return the zero initialization as a "best iterate" — reject
+        with pytest.raises(ValueError, match="max_matvecs"):
+            cvxeda_decompose(y, fs=4.0, max_matvecs=0)
+        with pytest.raises(ValueError, match="max_matvecs"):
+            cvxeda_decompose(y, fs=4.0, max_matvecs=-5)
+
         budget = max(10, free["matvecs"] // 20)
         capped = cvxeda_decompose(y, fs=4.0, max_matvecs=budget)
         assert capped["capped"] is True
@@ -325,3 +332,59 @@ class TestCvxEda:
                                   // int(1200 * fs))
                      .groupby("chunk")["cvx_matvecs"].nunique())
         assert (per_chunk == 1).all()
+
+    def test_capped_chunk_lands_in_quarantine(self, spark):
+        """VERDICT r10 item 6 — close the loop on the straggler
+        ceiling: a chunk that exhausted max_matvecs (cvx_capped = 1)
+        must land in the quarantine frame with its reason via the
+        cvx_solver_rules recipe, while uncapped chunks pass through
+        the valid frame untouched."""
+        import pandas as pd
+
+        from physioview_spark.functions.spark_kernels import (
+            decompose_eda_chunked,
+        )
+        from physioview_spark.operators.validate import (
+            cvx_solver_rules, quarantine, validate,
+        )
+
+        rng = np.random.default_rng(29)
+        fs, seconds = 4.0, 300.0
+        n = int(fs * seconds)
+        t = np.arange(n) / fs
+
+        def frame(subject):
+            y = (2.0 + 0.3 * np.sin(2 * np.pi * t / 120.0)
+                 + 0.005 * rng.standard_normal(n))
+            return pd.DataFrame({
+                "subject_id": np.repeat(subject, n),
+                "sample_idx": np.arange(n, dtype=np.int64),
+                "eda": y,
+            })
+
+        starved = decompose_eda_chunked(
+            spark.createDataFrame(frame("s_bad")), fs=fs,
+            chunk_seconds=600.0, halo_seconds=30.0, max_matvecs=10)
+        healthy = decompose_eda_chunked(
+            spark.createDataFrame(frame("s_ok")), fs=fs,
+            chunk_seconds=600.0, halo_seconds=30.0, max_matvecs=10**9)
+        diag = starved.unionByName(healthy)
+
+        valid, rejected = quarantine(diag, cvx_solver_rules())
+        vpdf = valid.toPandas()
+        rpdf = rejected.toPandas()
+        assert set(vpdf["subject_id"]) == {"s_ok"}
+        assert len(vpdf) == n
+        assert set(rpdf["subject_id"]) == {"s_bad"}
+        assert len(rpdf) == n
+        assert all(v == ["cvx_not_capped"] for v in rpdf["violations"])
+        # the one-row health probe counts the same rows, no shuffle
+        rep = validate(diag, cvx_solver_rules()).collect()[0]
+        assert rep.n_rows == 2 * n
+        assert rep.cvx_not_capped_violations == n
+        # opt-in residual rule: the starved iterate's residual is far
+        # from the stopping test, so it fails both rules
+        _, rej2 = quarantine(starved, cvx_solver_rules(
+            max_rel_residual=1.0))
+        reasons = set(map(tuple, rej2.toPandas()["violations"]))
+        assert reasons == {("cvx_not_capped", "cvx_rel_residual_ok")}

@@ -93,6 +93,19 @@ def test_token_count_and_fingerprint(spark, docs):
     assert fp[0] != fp[2]
 
 
+def test_token_count_null_and_empty_text(spark):
+    """r10 advisor: NULL text must count as 0 tokens, not the legacy
+    sizeOfNull -1 — a -1 would SUM into the domain token masses feeding
+    temperature_weights while a SQL oracle's CASE-NULL is excluded from
+    SUM (latent doc_temperature_mixture divergence). Empty/whitespace
+    text already counted 0; NULL now matches."""
+    df = spark.createDataFrame(
+        [(0, "three word doc"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens for r in text.token_count(df).collect()}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 0}
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(5)
