@@ -213,7 +213,8 @@ def decompose_eda_chunked(
     (parity-tested against the whole-signal solve in
     tests/test_detectors.py).
 
-    Straggler note (measured at 24 h @ 32 Hz, PLANS.md round 10): the
+    Straggler note (measured at 24 h @ 32 Hz; PLANS.md "cvxEDA
+    straggler receipt (rounds 10-11)"): the
     r09 hypothesis that per-chunk ADMM iteration count varies ~100x
     with signal content was FALSIFIED by the ``cvx_matvecs``
     diagnostics — on the SURVEY §6 bench signal every chunk exhausts
@@ -247,8 +248,8 @@ def decompose_eda_chunked(
     (``WHERE cvx_capped = 1``). Do NOT run capped for wall time on a
     healthy signal: work is uniform there, so a cap truncates every
     chunk's optimization equally and the saved wall is paid in
-    solution quality (measured cap-vs-parity curve in PLANS.md round
-    10 — chunk-halving phasic parity degrades from 0.044 uncapped to
+    solution quality (measured cap-vs-parity curve in PLANS.md
+    "cvxEDA straggler receipt" — chunk-halving phasic parity degrades from 0.044 uncapped to
     0.135 at max_matvecs=12_000 on the 24 h leg). The cap earns its
     keep against genuinely pathological chunks a production corpus
     may contain, where it converts an unbounded solve into a flagged,
@@ -476,7 +477,8 @@ def apply_kernel_chunked(
     is ~300 KB of Arrow yet minutes of ADMM), so AQE packs several
     multi-minute groups into one task and the cohort wall becomes
     whichever task drew the most groups (measured: 72 chunks coalesced
-    into 23-24 tasks, 3-5 serial chunks each — PLANS.md round 10). An
+    into 23-24 tasks, 3-5 serial chunks each — PLANS.md "cvxEDA
+    straggler receipt (rounds 10-11)"). An
     explicit numbered repartition is REPARTITION_BY_NUM, which AQE
     never coalesces, and its hash partitioning satisfies the groupBy's
     clustering requirement so NO second exchange is added (plan-

@@ -266,20 +266,28 @@ def _long_eda(spark, hours: float, decompose_eda_chunked, out: dict,
     dfe = spark.read.parquet(de)
 
     def run_eda(chunk_seconds):
+        # diagnostics always on: the straggler receipt needs per-chunk
+        # cvx_matvecs (the deterministic wall proxy) even for the
+        # default uncapped run — three constant doubles per row, noise
+        # next to the QP itself
         return decompose_eda_chunked(
             dfe, fs_eda, value_col="v", chunk_seconds=chunk_seconds,
-            halo_seconds=60.0, max_matvecs=max_matvecs)
+            halo_seconds=60.0, max_matvecs=max_matvecs,
+            diagnostics=True)
 
-    diag_cols = (["cvx_capped", "cvx_matvecs"]
-                 if max_matvecs is not None else [])
+    diag_cols = ["cvx_capped", "cvx_matvecs"]
     # cvx is minutes-per-pass at this scale: each chunking runs exactly
     # ONCE — the timed region is the full decompose + parquet sink, the
     # parity join reads the sinks back
     tag = "" if max_matvecs is None else f"_mv{max_matvecs}"
     pe1 = f"{WORK}/long_eda_{ne}_c1{tag}"
     pe2 = f"{WORK}/long_eda_{ne}_c2{tag}"
+    # task_pid rides the sink so the receipt can reconstruct which
+    # task computed each chunk (the group_partitions spread claim):
+    # spark_partition_id after applyInPandas is the computing task
     wall = _timed(lambda: run_eda(1200.0)
                   .select("sample_idx", "phasic", "tonic", *diag_cols)
+                  .withColumn("task_pid", F.spark_partition_id())
                   .write.mode("overwrite").parquet(pe1))
     run_eda(600.0).select("sample_idx", "phasic") \
         .write.mode("overwrite").parquet(pe2)
@@ -299,7 +307,8 @@ def _long_eda(spark, hours: float, decompose_eda_chunked, out: dict,
     if max_matvecs is None:
         assert rel < 0.05, rel  # the tests/test_detectors.py contract
     # capped runs REPORT rel instead of asserting: the ceiling is a
-    # quality trade by design (PLANS.md round 10 measured 0.135 at cap
+    # quality trade by design (PLANS.md "cvxEDA straggler receipt"
+    # measured 0.135 at cap
     # 12k) and the tool's job is to put that number on the record, not
     # to die before printing its own matvec diagnostics
     out["eda_cvx"] = {
@@ -308,30 +317,48 @@ def _long_eda(spark, hours: float, decompose_eda_chunked, out: dict,
         "wall_s": wall, "samples_per_sec": round(ne / wall),
         "halved_chunks_rel_rms": round(rel, 5),
     }
-    if max_matvecs is not None:
-        # per-chunk work distribution from the diagnostic columns —
-        # matvecs is the deterministic wall proxy (fixed chunk length),
-        # so max/median is the straggler-bound the ceiling enforces
-        stats = (spark.read.parquet(pe1)
-                 .groupBy((F.col("sample_idx")
-                           / int(1200 * fs_eda)).cast("long")
-                          .alias("__chunk"))
-                 .agg(F.first("cvx_matvecs").alias("mv"),
-                      F.first("cvx_capped").alias("capped"))
-                 .agg(F.expr("median(mv)").alias("med"),
-                      F.max("mv").alias("mx"), F.min("mv").alias("mn"),
-                      F.sum("capped").alias("n_capped"),
-                      F.count(F.lit(1)).alias("n_chunks"))
-                 .collect()[0])
-        out["eda_cvx"].update({
-            "max_matvecs": max_matvecs,
-            "chunk_matvecs_median": float(stats.med),
-            "chunk_matvecs_max": float(stats.mx),
-            "chunk_matvecs_min": float(stats.mn),
-            "worst_over_median": round(float(stats.mx)
-                                       / max(float(stats.med), 1.0), 3),
-            "n_capped_chunks": int(stats.n_capped),
-        })
+    # per-chunk work distribution from the diagnostic columns —
+    # matvecs is the deterministic wall proxy (fixed chunk length,
+    # fixed O(n log n) cost per matvec), so max/median over chunks is
+    # the work-uniformity receipt and max/median over TASKS is the
+    # straggler bound the group_partitions spread enforces
+    chunks = (spark.read.parquet(pe1)
+              .groupBy((F.col("sample_idx")
+                        / int(1200 * fs_eda)).cast("long")
+                       .alias("__chunk"))
+              .agg(F.first("cvx_matvecs").alias("mv"),
+                   F.first("cvx_capped").alias("capped"),
+                   F.first("task_pid").alias("pid")))
+    stats = (chunks
+             .agg(F.expr("median(mv)").alias("med"),
+                  F.max("mv").alias("mx"), F.min("mv").alias("mn"),
+                  F.sum("capped").alias("n_capped"),
+                  F.count(F.lit(1)).alias("n_chunks"))
+             .collect()[0])
+    tasks = (chunks.groupBy("pid")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("mv").alias("mv_sum"))
+             .agg(F.max("n").alias("mx_n"),
+                  F.expr("median(n)").alias("med_n"),
+                  F.max("mv_sum").alias("mx_mv"),
+                  F.expr("median(mv_sum)").alias("med_mv"),
+                  F.count(F.lit(1)).alias("n_tasks"))
+             .collect()[0])
+    out["eda_cvx"].update({
+        "max_matvecs": max_matvecs,
+        "n_chunks_observed": int(stats.n_chunks),
+        "chunk_matvecs_median": float(stats.med),
+        "chunk_matvecs_max": float(stats.mx),
+        "chunk_matvecs_min": float(stats.mn),
+        "worst_over_median": round(float(stats.mx)
+                                   / max(float(stats.med), 1.0), 3),
+        "n_capped_chunks": int(stats.n_capped),
+        "n_tasks_with_chunks": int(tasks.n_tasks),
+        "chunks_per_task_max": int(tasks.mx_n),
+        "chunks_per_task_median": float(tasks.med_n),
+        "worst_task_over_median_work": round(
+            float(tasks.mx_mv) / max(float(tasks.med_mv), 1.0), 3),
+    })
     return out
 
 

@@ -105,7 +105,65 @@ def run_semantic_dedup(spark, sf_dir: str, mult: int):
     cents_rows = (emb.where(F.col("vec_id") % stride == 0)
                   .orderBy("vec_id").select("embedding").collect())
     cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
-    return similarity.semantic_dedup(emb, cents, threshold=0.95)
+    # pinned pandas scoring at every scale: auto switches gears on the
+    # k*dim threshold (expr at x1's k=8, pandas past ~x3), and a gear
+    # switch inside the x1-vs-xN ratio would measure the switch, not
+    # the operator's scaling
+    return similarity.semantic_dedup(emb, cents, threshold=0.95,
+                                     scoring="pandas")
+
+
+def run_near_dup_pairs(spark, sf_dir: str, mult: int):
+    """embedding_near_dups with hyperplanes grown ~log2(N) — the same
+    per-bucket-size contract as knn_graph: p planes per band gives 2^p
+    buckets, so constant bucket occupancy (and so linear candidate-pair
+    mass) requires p ~ log2(N / target_bucket). The matmul gear keeps
+    the grown plane set out of the plan as literal arrays (the
+    assign_ivf_bucket auto-gear rule: >~1k literal floats costs MB-scale
+    task binaries + codegen seconds)."""
+    from math import ceil, log2
+
+    from physioview_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()  # parquet-metadata count, cheap
+    planes = max(3, ceil(log2(max(n, 80) / 40)))
+    return similarity.embedding_near_dups(
+        emb, threshold=0.35, n_planes=planes, dim=64, n_bands=4,
+        method="matmul")
+
+
+def run_ann_ivfpq(spark, sf_dir: str, mult: int):
+    """ivfpq_topk with the coarse codebook grown ~sqrt(N) (the FAISS
+    IVF sizing rule; same arithmetic as run_semantic_dedup) and the PQ
+    codebooks held at 8 codes x 8 subspaces (PQ storage is per-VECTOR,
+    not per-corpus — code count buys quantization quality, not scale).
+    The timed region is index build (encode_pq + bucket assign, the
+    honest O(N) term) plus a fixed 10-query probe whose scored mass
+    grows only as N * n_probe / n_cells ~ sqrt(N)."""
+    from math import sqrt
+
+    from physioview_spark.llm import pq, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_cells = max(8, round(8 * sqrt(mult)))
+    stride = max(1, (2000 * mult) // n_cells)
+    seed_rows = (emb.where(F.col("vec_id") % stride == 0)
+                 .orderBy("vec_id").select("embedding").collect())
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    d = len(seeds[0]) // 8
+    pq_seeds = seeds[:8]  # fixed 8-code PQ books at every scale
+    codebooks = [[s[j * d:(j + 1) * d] for s in pq_seeds]
+                 for j in range(8)]
+    # pin the pandas matmul gear at BOTH scales: auto would run expr at
+    # x1 (8x64 literal floats) and pandas at x100 (>1024), and a gear
+    # switch inside the ratio measures the switch, not the scaling
+    codes = pq.encode_pq(emb, codebooks, method="pandas").withColumn(
+        "bucket", similarity.assign_ivf_bucket(
+            F.col("embedding"), seeds, method="pandas"))
+    return pq.ivfpq_topk(
+        codes, emb.where(F.col("vec_id") < 10), seeds, codebooks,
+        k=5, n_probe=3)
 
 
 def run_knn_graph(spark, sf_dir: str, mult: int):
@@ -194,6 +252,12 @@ def main() -> None:
              "doc_minhash_lsh_candidates", "doc_dup_clusters"]
     labeled = (
         ("semantic_dedup_ksqrtN", run_semantic_dedup),
+        # r11 (VERDICT r10 item 5): the vector/ANN family at x100 —
+        # the banded TEXT dedup family cleared the job floor r10; these
+        # put the embedding legs' scaling on the record with the same
+        # grown-index contracts (planes ~ log2 N, cells ~ sqrt N)
+        ("near_dup_pairs_plogN", run_near_dup_pairs),
+        ("ann_ivfpq_csqrtN", run_ann_ivfpq),
         ("knn_graph_plogN", run_knn_graph),
         ("delta_fixed_prefilter", run_delta_fixed(True)),
         ("delta_fixed_shuffle", run_delta_fixed(False)),
