@@ -1,6 +1,6 @@
 """Sources & sinks: generic CSV (S6/S7), EDF/Actiwave (S1/S2),
 Empatica E4 ZIP (S3-S5), Beat Editor JSON (S13/S14 + Q5), staged
-parquet sinks (S11)."""
+parquet sinks (S11), Excel/Zip summary export (S12)."""
 
 from physioview_spark.sources.csv import (
     infer_unix_unit, load_signal_csv, write_stage,
@@ -16,6 +16,7 @@ from physioview_spark.sources.beat_editor import (
     EDIT_SCHEMA, process_beat_edits, read_beat_edits,
     write_beat_editor_json,
 )
+from physioview_spark.sources.export import export_excel, export_zip
 from physioview_spark.sources.jsonl import (
     DOCUMENTS_SCHEMA, load_jsonl, write_jsonl,
 )
@@ -28,4 +29,5 @@ __all__ = [
     "EDIT_SCHEMA", "process_beat_edits", "read_beat_edits",
     "write_beat_editor_json",
     "DOCUMENTS_SCHEMA", "load_jsonl", "write_jsonl",
+    "export_excel", "export_zip",
 ]

@@ -694,3 +694,125 @@ class TestSizedWrite:
         n = write_sized(spark.range(100_000), p2, target_mb=1,
                         max_partitions=4)
         assert n <= 4
+
+
+class TestExportS12:
+    """sources/export.py — S12 Excel/Zip summary export (reference
+    dashboard/utils.py:374-420, 688-776) on stdlib zip/SpreadsheetML.
+    Verification reads the artifacts back with zipfile + ElementTree —
+    the same structure any SpreadsheetML consumer parses."""
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+    def _sheet_cells(self, zf, idx):
+        import xml.etree.ElementTree as ET
+        root = ET.fromstring(zf.read(f"xl/worksheets/sheet{idx}.xml"))
+        rows = []
+        for row in root.iter(f"{self.NS}row"):
+            vals = []
+            for c in row.iter(f"{self.NS}c"):
+                t = c.attrib.get("t")
+                if t == "inlineStr":
+                    vals.append(c.find(f"{self.NS}is/{self.NS}t").text)
+                else:
+                    v = c.find(f"{self.NS}v")
+                    vals.append(None if v is None else v.text)
+            rows.append(vals)
+        return rows
+
+    def _sheet_names(self, zf):
+        import xml.etree.ElementTree as ET
+        root = ET.fromstring(zf.read("xl/workbook.xml"))
+        return [s.attrib["name"] for s in root.iter(f"{self.NS}sheet")]
+
+    def test_excel_roundtrip_types_and_summary(self, spark, tmp_path):
+        import zipfile
+
+        from physioview_spark.sources import export_excel
+        sqa = spark.createDataFrame(
+            [(1, 60.5, "ok & <fine>"), (2, None, None)],
+            "segment int, mean_hr double, note string")
+        ibi = spark.createDataFrame([(0, 800.0), (1, 812.5)],
+                                    "beat int, ibi_ms double")
+        path = str(tmp_path / "out.xlsx")
+        sheets = export_excel({"SQA": sqa, "IBI": ibi}, path,
+                              summary={"Device": "E4", "Segments": "2"})
+        assert sheets == ["Quality Summary", "SQA", "IBI"]
+        with zipfile.ZipFile(path) as zf:
+            # package structure a consumer requires
+            names = set(zf.namelist())
+            assert {"[Content_Types].xml", "_rels/.rels",
+                    "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+                    "xl/worksheets/sheet1.xml"} <= names
+            assert self._sheet_names(zf) == sheets
+            qs = self._sheet_cells(zf, 1)
+            assert qs == [["Metric", "Value"], ["Device", "E4"],
+                          ["Segments", "2"]]
+            cells = self._sheet_cells(zf, 2)
+            assert cells[0] == ["segment", "mean_hr", "note"]
+            # numbers stay numeric cells; XML-special text escapes;
+            # NULLs become empty cells
+            assert cells[1] == ["1", "60.5", "ok & <fine>"]
+            assert cells[2] == ["2", None, None]
+            assert self._sheet_cells(zf, 3)[1:] == [["0", "800.0"],
+                                                    ["1", "812.5"]]
+
+    def test_excel_sheet_split_and_name_rules(self, spark, tmp_path):
+        import zipfile
+
+        import pytest as _pt
+
+        from physioview_spark.sources import export_excel
+        df = spark.range(7).selectExpr("id")
+        path = str(tmp_path / "split.xlsx")
+        # 7 rows at max_rows=3 -> 3 sheets; a 34-char name with
+        # forbidden chars truncates to 31 WITH the suffix intact
+        sheets = export_excel(
+            {"a/very:long*name[for]a_sqa_summary": df}, path, max_rows=3)
+        assert [s[-2:] for s in sheets] == ["_1", "_2", "_3"]
+        assert all(len(s) <= 31 for s in sheets)
+        assert all("/" not in s and ":" not in s for s in sheets)
+        with zipfile.ZipFile(path) as zf:
+            counts = [len(self._sheet_cells(zf, i)) - 1 for i in (1, 2, 3)]
+            assert counts == [3, 3, 1]
+            got = [v for i in (1, 2, 3)
+                   for row in self._sheet_cells(zf, i)[1:] for v in row]
+            assert got == [str(i) for i in range(7)]
+        # an exact-boundary frame does NOT grow a suffix
+        path2 = str(tmp_path / "exact.xlsx")
+        assert export_excel({"t": spark.range(3)}, path2,
+                            max_rows=3) == ["t"]
+        # truncation collisions fail loudly, not as a corrupt workbook
+        long_a = "x" * 40 + "a"
+        long_b = "x" * 40 + "b"
+        with _pt.raises(ValueError, match="duplicate sheet name"):
+            export_excel({long_a: df, long_b: df},
+                         str(tmp_path / "dup.xlsx"))
+        with _pt.raises(ValueError, match="max_rows"):
+            export_excel({"t": df}, str(tmp_path / "bad.xlsx"),
+                         max_rows=0)
+
+    def test_zip_roundtrip_pandas_readable(self, spark, tmp_path):
+        """The zip members must be real CSVs: read back with pandas
+        (quoting, embedded commas/newlines, empty fields)."""
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        from physioview_spark.sources import export_zip
+        df = spark.createDataFrame(
+            [(1, 'with, comma', 'quote " inside'),
+             (2, 'line\nbreak', None)],
+            "k int, a string, b string")
+        path = str(tmp_path / "out.zip")
+        members = export_zip({"SQA": df, "IBI": spark.range(2)}, path)
+        assert members == ["SQA.csv", "IBI.csv"]
+        with zipfile.ZipFile(path) as zf:
+            back = pd.read_csv(io.BytesIO(zf.read("SQA.csv")))
+            assert list(back.columns) == ["k", "a", "b"]
+            assert back["a"].tolist() == ["with, comma", "line\nbreak"]
+            assert back["b"][0] == 'quote " inside'
+            assert pd.isna(back["b"][1])
+            assert pd.read_csv(
+                io.BytesIO(zf.read("IBI.csv")))["id"].tolist() == [0, 1]
