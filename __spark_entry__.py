@@ -49,6 +49,18 @@ _CHANGED_IN_ROUND = {
     "doc_temperature_mixture": 11,
     "doc_mixture_sample": 11,
     "doc_curation_pipeline_v3": 11,
+    # - llm/dedup.py hamming_banded_pairs gained the blocks=(b, q)
+    #   generalized-pigeonhole scale gear. The default (blocks=None)
+    #   plan is expression-identical (the new code is a separate
+    #   branch), but five declared green queries transit the edited
+    #   bytes — all are r09-tier and already inside the r11 window, so
+    #   these entries reorder within the window without displacing
+    #   anything.
+    "doc_simhash_near_dups": 11,
+    "multimodal_image_near_dups": 11,
+    "multimodal_audio_near_dups": 11,
+    "multimodal_video_near_dups": 11,
+    "multimodal_image_dedup_decisions": 11,
 }
 
 

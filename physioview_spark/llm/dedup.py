@@ -381,30 +381,95 @@ def hamming_banded_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    blocks: tuple[int, int] | None = None,
 ) -> DataFrame:
     """All pairs whose ``bits``-wide signatures are within Hamming
     distance ``max_hamming`` — the shared engine behind SimHash text
     near-dups and perceptual-hash image near-dups.
 
-    Pigeonhole banding: the signature splits into ``max_hamming + 1``
-    disjoint chunks, so two signatures within the distance agree exactly
-    on at least one chunk — candidate generation joins on (chunk index,
-    chunk value) with 100% recall, then an exact popcount filter gives
-    100% precision. ``max_bucket_size`` skips chunk buckets with more
-    members than that BEFORE the self-join — the quadratic guard shared
-    with :func:`minhash_lsh_candidates` (an oversized bucket is a
-    near-exact dup family; handle it with :func:`exact_duplicates` or
+    Pigeonhole banding (default, ``blocks=None``): the signature splits
+    into ``max_hamming + 1`` disjoint chunks, so two signatures within
+    the distance agree exactly on at least one chunk — candidate
+    generation joins on (chunk index, chunk value) with 100% recall,
+    then an exact popcount filter gives 100% precision.
+    ``max_bucket_size`` skips chunk buckets with more members than that
+    BEFORE the self-join — the quadratic guard shared with
+    :func:`minhash_lsh_candidates` (an oversized bucket is a near-exact
+    dup family; handle it with :func:`exact_duplicates` or
     cluster-level :func:`dup_clusters`). Output: (id_a, id_b, hamming).
+
+    ``blocks=(b, q)`` is the SCALE gear — generalized pigeonhole in the
+    style of Manku et al. (WWW'07, the production simhash-dedup
+    design): split into ``b`` blocks and key candidates on every
+    ``q``-combination of block values (C(b, q) tables). A pair within
+    distance ``max_hamming`` poisons at most ``max_hamming`` blocks, so
+    while ``q <= b - max_hamming`` some enumerated combination is fully
+    clean on both sides — recall stays 100%. The point: key length is
+    ``q * (bits // b)`` bits, so the bucket space GROWS with q — the
+    default single-chunk key is ``bits/(max_hamming+1)`` bits, a FIXED
+    space whose per-bucket occupancy (and so random-collision candidate
+    mass) grows linearly with corpus size; picking q so that the key
+    length tracks ~2*log2(N) holds expected bucket occupancy constant,
+    the same index-growth contract as LSH planes ~ log2 N
+    (llm/similarity.py) and sqrt-N IVF codebooks. Cost: C(b, q) tables
+    of row fan-out instead of max_hamming + 1 (capped at 256 —
+    a combination explosion is a configuration error, not a plan).
+    ``blocks=None`` keeps the historical single-chunk plan bit-for-bit.
     """
-    chunk_bits = bits // (max_hamming + 1)
-    chunks = sig.select(
-        id_col, sig_col,
-        F.explode(F.sequence(F.lit(0), F.lit(max_hamming))).alias("c"),
-    ).withColumn(
-        "chunk_val",
-        F.expr(f"shiftright({sig_col}, CAST(c * {chunk_bits} AS INT))")
-        .bitwiseAND(F.lit((1 << chunk_bits) - 1)),
-    )
+    if blocks is None:
+        chunk_bits = bits // (max_hamming + 1)
+        chunks = sig.select(
+            id_col, sig_col,
+            F.explode(F.sequence(F.lit(0), F.lit(max_hamming))).alias("c"),
+        ).withColumn(
+            "chunk_val",
+            F.expr(f"shiftright({sig_col}, CAST(c * {chunk_bits} AS INT))")
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1)),
+        )
+    else:
+        import itertools
+        from functools import reduce
+        from math import comb
+
+        b, q = blocks
+        if not (1 <= q <= b - max_hamming):
+            raise ValueError(
+                f"blocks=({b}, {q}) breaks the pigeonhole recall "
+                f"guarantee: need 1 <= q <= b - max_hamming "
+                f"= {b - max_hamming}")
+        chunk_bits = bits // b
+        if chunk_bits < 1:
+            raise ValueError(f"blocks b={b} exceeds signature bits={bits}")
+        if q * chunk_bits > 62:
+            raise ValueError(
+                f"combined key width {q * chunk_bits} bits overflows "
+                "the BIGINT key; reduce q or increase b")
+        if comb(b, q) > 256:
+            raise ValueError(
+                f"C({b}, {q}) = {comb(b, q)} tables — combination "
+                "explosion; pick a smaller q or b")
+
+        def chunk(blk: int):
+            return F.expr(
+                f"shiftright({sig_col}, {blk * chunk_bits})"
+            ).bitwiseAND(F.lit((1 << chunk_bits) - 1))
+
+        combos = list(itertools.combinations(range(b), q))
+        keys = F.array(*[
+            F.struct(
+                F.lit(t).alias("c"),
+                reduce(lambda acc, jb: acc + F.shiftleft(
+                    chunk(jb[1]), jb[0] * chunk_bits),
+                    enumerate(combo[1:], start=1), chunk(combo[0]),
+                ).alias("chunk_val"))
+            for t, combo in enumerate(combos)
+        ])
+        chunks = (
+            sig.select(id_col, sig_col, F.explode(keys).alias("__k"))
+            .select(id_col, sig_col,
+                    F.col("__k.c").alias("c"),
+                    F.col("__k.chunk_val").alias("chunk_val"))
+        )
     if max_bucket_size is not None:
         w = Window.partitionBy("c", "chunk_val")
         chunks = (
@@ -443,13 +508,15 @@ def simhash_near_dups(
     bits: int = 32,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    blocks: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming — SimHash
     signatures through the shared :func:`hamming_banded_pairs`
-    pigeonhole engine."""
+    pigeonhole engine (``blocks`` = the Manku multi-block scale gear)."""
     sig = simhash(df, text_col, id_col, bits)
     return hamming_banded_pairs(
-        sig, "simhash", id_col, bits, max_hamming, max_bucket_size)
+        sig, "simhash", id_col, bits, max_hamming, max_bucket_size,
+        blocks=blocks)
 
 
 def decontaminate(

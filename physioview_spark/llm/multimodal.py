@@ -289,6 +289,7 @@ def image_near_dups(
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
     method: str = "avg",
+    blocks: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: perceptual hash (64-bit average-hash
     over the decoded luma plane) -> Hamming-banded candidate pairs
@@ -305,7 +306,8 @@ def image_near_dups(
 
     sig = image_phash(df, payload_col, id_col, method=method).where("valid")
     return hamming_banded_pairs(
-        sig, "phash", id_col, 64, max_hamming, max_bucket_size)
+        sig, "phash", id_col, 64, max_hamming, max_bucket_size,
+        blocks=blocks)
 
 
 def perturb_payload(payload: bytes, n_tweaks: int = 4,

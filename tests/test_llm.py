@@ -479,6 +479,55 @@ def test_image_near_dups_exact_hamming_parity(spark):
                if a < 48 and b < 48)
 
 
+def test_hamming_blocks_gear_parity_and_guards(spark):
+    """The generalized-pigeonhole scale gear (blocks=(b, q), Manku-style
+    multi-block keys): every admissible (b, q) must return EXACTLY the
+    brute-force pair set — the pigeonhole recall argument holds as long
+    as q <= b - max_hamming — and inadmissible configurations must be
+    rejected up front, not silently lose recall."""
+    import pytest as _pt
+
+    from physioview_spark.llm import multimodal as M
+    from physioview_spark.llm.dedup import hamming_banded_pairs
+
+    df = M.fake_image_near_dup_table(spark, n_base=48, n_dups=16)
+    sig = M.image_phash(df).where("valid")
+    phs = {r["doc_id"]: r["phash"] for r in sig.collect()}
+    mask = (1 << 64) - 1
+    want = {(a, b): bin((phs[a] ^ phs[b]) & mask).count("1")
+            for a in phs for b in phs if a < b
+            if bin((phs[a] ^ phs[b]) & mask).count("1") <= 6}
+
+    def run(**kw):
+        return {(r["id_a"], r["id_b"]): r["hamming"]
+                for r in hamming_banded_pairs(
+                    sig, "phash", bits=64, max_hamming=6, **kw).collect()}
+
+    # default path == explicit single-chunk blocks == brute force
+    assert run() == want
+    assert run(blocks=(7, 1)) == want
+    # longer keys (the scale point): C(8,2)=28 and C(10,3)=120 tables
+    assert run(blocks=(8, 2)) == want
+    assert run(blocks=(10, 3)) == want
+    # image_near_dups surfaces the gear end-to-end
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in M.image_near_dups(df, max_hamming=6,
+                                      blocks=(8, 2)).collect()}
+    assert got == want
+
+    # recall-breaking q, oversized key, and table explosion all raise
+    with _pt.raises(ValueError, match="recall"):
+        run(blocks=(8, 3))  # q > b - max_hamming
+    with _pt.raises(ValueError, match="overflows"):
+        hamming_banded_pairs(sig, "phash", bits=64, max_hamming=0,
+                             blocks=(1, 1)).collect()  # 64-bit key
+    with _pt.raises(ValueError, match="explosion"):
+        run(blocks=(20, 7))  # C(20,7) = 77520 tables
+    with _pt.raises(ValueError, match="exceeds signature bits"):
+        hamming_banded_pairs(sig, "phash", bits=64, max_hamming=6,
+                             blocks=(100, 1)).collect()
+
+
 def test_dct_phash_gear(spark):
     """pHash-style DCT gear: exact parity with brute-force Hamming on
     the fixture (same engine contract as the avg gear), invariance to

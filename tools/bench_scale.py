@@ -166,6 +166,87 @@ def run_ann_ivfpq(spark, sf_dir: str, mult: int):
         k=5, n_probe=3)
 
 
+def _ensure_images(spark, sf_dir: str, mult: int) -> str:
+    """640*mult base binary payloads (the PVIM/PNM codec cycle of
+    llm/multimodal.fake_image_table, synthesized DISTRIBUTED — the
+    per-id generators are pure functions — with the same every-10th
+    truncation) + 160*mult perturbed near-dups, written once per
+    scale."""
+    import os
+
+    n_base, n_dups = 640 * mult, 160 * mult
+    pq_path = f"{sf_dir}/images.parquet"
+    if os.path.exists(pq_path):
+        return pq_path
+
+    def gen(batches):
+        import pandas as _pd
+
+        from physioview_spark.llm import multimodal as M
+
+        def base_payload(i):
+            w = 8 + (i % 5) * 4
+            kind = i % 3
+            if kind == 0:
+                p, m = M.encode_ppm(i, w, 8), "image/x-portable-pixmap"
+            elif kind == 1:
+                p, m = (M.encode_ppm(i, w, 8, gray=True),
+                        "image/x-portable-graymap")
+            else:
+                p, m = M.encode_fake_image(i, w, 8), "image/pvim"
+            if i % 10 == 9:
+                p = p[: len(p) // 2]
+            return p, m
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n_base:
+                    p, m = base_payload(i)
+                else:
+                    j = i - n_base
+                    p, _ = base_payload(j)
+                    p = M.perturb_payload(p, n_tweaks=16, seed=i,
+                                          delta=40)
+                    m = "image/near-dup"
+                rows.append((i, m, len(p), bytearray(p)))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "mime", "n_bytes", "payload"])
+
+    n = n_base + n_dups
+    (spark.range(n).repartition(max(32, n // 4000))
+     .mapInPandas(gen, "doc_id long, mime string, n_bytes long, "
+                       "payload binary")
+     .write.mode("overwrite").parquet(pq_path))
+    return pq_path
+
+
+def run_multimodal_near_dups(grow_keys: bool):
+    """Image near-dup pairs at scale, the pigeonhole-Hamming leg of the
+    dedup suite. The index contract under test: candidate keys must
+    LENGTHEN with the corpus. The default single-chunk pigeonhole key
+    is bits/(max_hamming+1) = 9 bits — a FIXED 512-value space whose
+    per-bucket occupancy (and so random-collision candidate mass,
+    sum n_b^2) grows with N; the grown gear keys on 2-block
+    combinations (blocks=(8, 2), C(8,2)=28 tables, 16-bit keys — the
+    Manku generalized pigeonhole in llm/dedup.py) so key length tracks
+    ~2 log2 N and occupancy stays ~constant at 100% recall. The
+    fixed-key runner exists as the CONTRAST row: it measures the
+    defect the gear fixes."""
+    def run(spark, sf_dir: str, mult: int):
+        from physioview_spark.llm import multimodal as M
+
+        imgs = spark.read.parquet(_ensure_images(spark, sf_dir, mult))
+        # key-bits ~ 2 log2 N: 9 bits at N~700, 24 bits (blocks=(10,4),
+        # C(10,4)=210 tables, q=4 <= b - max_hamming) at N~72k — the
+        # largest admissible key under the 64-bit/max_hamming=6
+        # pigeonhole constraint q <= b - 6 and the 256-table cap
+        blocks = (10, 4) if grow_keys and mult > 1 else None
+        return M.image_near_dups(imgs, max_hamming=6, blocks=blocks)
+    return run
+
+
 def run_knn_graph(spark, sf_dir: str, mult: int):
     """knn_graph with hyperplanes grown ~log2(N): a band of p planes
     yields 2^p buckets, so holding per-bucket size (and with it the
@@ -258,6 +339,12 @@ def main() -> None:
         # grown-index contracts (planes ~ log2 N, cells ~ sqrt N)
         ("near_dup_pairs_plogN", run_near_dup_pairs),
         ("ann_ivfpq_csqrtN", run_ann_ivfpq),
+        # r11: the multimodal pigeonhole-Hamming leg — grown
+        # combination keys (the Manku gear) vs the fixed single-chunk
+        # key as the defect contrast
+        ("multimodal_near_dups_keygrow", run_multimodal_near_dups(True)),
+        ("multimodal_near_dups_fixedkey",
+         run_multimodal_near_dups(False)),
         ("knn_graph_plogN", run_knn_graph),
         ("delta_fixed_prefilter", run_delta_fixed(True)),
         ("delta_fixed_shuffle", run_delta_fixed(False)),
