@@ -437,6 +437,11 @@ def hamming_banded_pairs(
                 f"blocks=({b}, {q}) breaks the pigeonhole recall "
                 f"guarantee: need 1 <= q <= b - max_hamming "
                 f"= {b - max_hamming}")
+        # When b does not divide bits, the TOP bits % b signature bits
+        # are excluded from every block key. Recall is unaffected (an
+        # uncovered-bit difference never poisons a block key, and the
+        # exact popcount filter restores precision), but those uncovered
+        # bits inflate candidate mass — prefer b | bits when tuning.
         chunk_bits = bits // b
         if chunk_bits < 1:
             raise ValueError(f"blocks b={b} exceeds signature bits={bits}")

@@ -32,9 +32,12 @@ def tokens(col: Column | str) -> Column:
 def token_count(df: DataFrame, text_col: str = "text",
                 out_col: str = "n_tokens") -> DataFrame:
     # Clamp: F.size on a NULL text's (null) token array yields -1 under
-    # legacy sizeOfNull, which would SUM into domain token masses
-    # (temperature_weights) while a SQL oracle's CASE-NULL is excluded
-    # from SUM. 0 tokens for NULL text keeps both sides identical
+    # legacy spark.sql.legacy.sizeOfNull=true and NULL under the modern
+    # default; greatest() covers BOTH because it skips NULL operands
+    # (greatest(NULL, 0) = 0) and lifts -1 to 0. Without the clamp the
+    # legacy -1 would SUM into domain token masses (temperature_weights)
+    # and the modern NULL would diverge from a SQL oracle's CASE-NULL
+    # exclusion. 0 tokens for NULL text keeps both sides identical
     # (same convention as pack_sequences / materialize_packed).
     return df.withColumn(
         out_col,

@@ -39,6 +39,7 @@ summary tables (segment metrics, IBI lists), not raw signal dumps.
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 from collections.abc import Iterable, Iterator, Mapping
@@ -47,6 +48,11 @@ from pyspark.sql import DataFrame
 
 _SHEET_BAD = re.compile(r"[\[\]:*?/\\]")
 _XLSX_MAX_ROWS = 1_000_000
+# XML 1.0 forbids C0 controls except \t \n \r; a value containing e.g.
+# \x01 must not reach a worksheet part verbatim (openpyxl raises
+# IllegalCharacterError here — this writer substitutes instead of
+# silently emitting a part no parser accepts)
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 
 def _sheet_name(name: str, part: int | None = None) -> str:
@@ -60,8 +66,14 @@ def _sheet_name(name: str, part: int | None = None) -> str:
 
 
 def _xml_escape(s: str) -> str:
-    return (s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;"))
+    """Escape for BOTH element-text and attribute context (sheet names
+    land inside ``name="..."`` in xl/workbook.xml, so ``"``/``'`` must
+    be entity-escaped too), and strip the C0 controls XML 1.0 forbids
+    outright — they have no escaped form at all."""
+    return _XML_ILLEGAL.sub(
+        "�",
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;").replace("'", "&apos;"))
 
 
 def _csv_field(x) -> str:
@@ -120,7 +132,11 @@ def _write_sheet(zf: zipfile.ZipFile, idx: int, header: list[str],
         for row in rows:
             w(b"<row>")
             for x in row:
-                if x is None or (isinstance(x, float) and x != x):
+                # NaN AND +/-inf become empty cells: inf is well-formed
+                # XML but invalid SpreadsheetML numeric content (Excel
+                # flags the workbook for repair)
+                if x is None or (isinstance(x, float)
+                                 and not math.isfinite(x)):
                     w(b"<c/>")
                 elif isinstance(x, bool):
                     w(b'<c t="b"><v>1</v></c>' if x

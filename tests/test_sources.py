@@ -792,6 +792,127 @@ class TestExportS12:
             export_excel({"t": df}, str(tmp_path / "bad.xlsx"),
                          max_rows=0)
 
+    def test_excel_quote_sheet_names_and_illegal_values(
+            self, spark, tmp_path):
+        """ADVICE r11: `"` is LEGAL in an Excel sheet name but lands in
+        the name="..." attribute of xl/workbook.xml — it must be
+        entity-escaped, not passed through (a raw quote yields a
+        workbook no XML parser opens). Likewise C0 controls in cell
+        values have NO escaped XML form and must be substituted, and
+        +/-inf is not valid SpreadsheetML numeric content."""
+        import zipfile
+
+        from physioview_spark.sources import export_excel
+        df = spark.createDataFrame(
+            [(1, float("inf"), "bad\x01ctrl"),
+             (2, float("-inf"), 'attr "quote" & <amp>'),
+             (3, float("nan"), None)],
+            "k int, v double, s string")
+        path = str(tmp_path / "quoted.xlsx")
+        sheets = export_excel({'SQA "clean" & co': df}, path)
+        assert sheets == ['SQA "clean" & co']
+        with zipfile.ZipFile(path) as zf:
+            # both parts must PARSE (ElementTree rejects raw quotes in
+            # attributes and raw \x01 anywhere) and round-trip values
+            assert self._sheet_names(zf) == ['SQA "clean" & co']
+            cells = self._sheet_cells(zf, 1)
+            assert cells[0] == ["k", "v", "s"]
+            # inf/-inf/nan all land as empty cells (None), the C0
+            # control is substituted with U+FFFD, quotes round-trip
+            assert cells[1] == ["1", None, "bad�ctrl"]
+            assert cells[2] == ["2", None, 'attr "quote" & <amp>']
+            assert cells[3] == ["3", None, None]
+
+    # -- S12 reference parity (dashboard/utils.py:688-746 _make_excel) --
+
+    REF_FRAMES = {
+        # (rows, schema) for two summary frames, as the reference would
+        # read them back from its per-session CSVs
+        "SQA": ([(1, 60.5, "ok"), (2, 58.0, "artifact")],
+                "Segment int, Mean_HR double, Label string"),
+        "IBI": ([(0, 800.0), (1, 812.5), (2, 790.0)],
+                "beat int, ibi_ms double"),
+    }
+    REF_SUMMARY = {"Device": "E4", "Segments": "2"}
+
+    def _export_ours(self, spark, tmp_path):
+        from physioview_spark.sources import export_excel
+        frames = {n: spark.createDataFrame(rows, schema)
+                  for n, (rows, schema) in self.REF_FRAMES.items()}
+        path = str(tmp_path / "ours.xlsx")
+        export_excel(frames, path, max_rows=2, summary=self.REF_SUMMARY)
+        return path
+
+    def test_excel_reference_grid_fixture(self, spark, tmp_path):
+        """Cell-for-cell grid pinned to what the reference's
+        ``_make_excel`` emits for the same frames (utils.py:706-715
+        summary -> Metric/Value sheet; :724-733 chunking -> ``name_1``,
+        ``name_2`` when num_sheets > 1, bare name otherwise, headers
+        re-written per chunk via ``to_excel(index=False)``). This is
+        the always-on parity gate; the two-writer comparison below
+        additionally runs wherever openpyxl exists."""
+        import zipfile
+
+        path = self._export_ours(spark, tmp_path)
+        with zipfile.ZipFile(path) as zf:
+            assert self._sheet_names(zf) == [
+                "Quality Summary", "SQA", "IBI_1", "IBI_2"]
+            grids = {n: self._sheet_cells(zf, i + 1)
+                     for i, n in enumerate(self._sheet_names(zf))}
+        assert grids["Quality Summary"] == [
+            ["Metric", "Value"], ["Device", "E4"], ["Segments", "2"]]
+        assert grids["SQA"] == [
+            ["Segment", "Mean_HR", "Label"],
+            ["1", "60.5", "ok"], ["2", "58.0", "artifact"]]
+        # each chunk repeats the header row, exactly like per-chunk
+        # to_excel(index=False)
+        assert grids["IBI_1"] == [
+            ["beat", "ibi_ms"], ["0", "800.0"], ["1", "812.5"]]
+        assert grids["IBI_2"] == [["beat", "ibi_ms"], ["2", "790.0"]]
+
+    def test_excel_reference_writer_parity(self, spark, tmp_path):
+        """Two-writer comparison: run the reference's own pandas/
+        openpyxl path (same to_excel calls as utils.py:688-746) on the
+        same frames and diff the parsed cell grids. Skips where
+        openpyxl is absent (this container); the grid fixture above is
+        the always-on stand-in."""
+        openpyxl = pytest.importorskip("openpyxl")
+        import pandas as pd
+
+        ref_path = str(tmp_path / "ref.xlsx")
+        with pd.ExcelWriter(ref_path) as xlsx:
+            pd.DataFrame(list(self.REF_SUMMARY.items()),
+                         columns=["Metric", "Value"]).to_excel(
+                xlsx, sheet_name="Quality Summary", index=False)
+            for name, (rows, schema) in self.REF_FRAMES.items():
+                cols = [f.split()[0] for f in schema.split(", ")]
+                df = pd.DataFrame(rows, columns=cols)
+                max_rows = 2
+                num_sheets = (len(df) + max_rows - 1) // max_rows
+                for j in range(num_sheets):
+                    chunk = df.iloc[j * max_rows:(j + 1) * max_rows]
+                    if chunk.empty:
+                        continue
+                    sheet = (f"{name}_{j + 1}" if num_sheets > 1
+                             else name)[:31]
+                    chunk.to_excel(xlsx, sheet_name=sheet, index=False)
+
+        def grid(path):
+            wb = openpyxl.load_workbook(path, read_only=True)
+            out = {}
+            for ws in wb.worksheets:
+                out[ws.title] = [
+                    [None if c is None else str(c) for c in row]
+                    for row in ws.iter_rows(values_only=True)]
+            return out
+
+        ours, ref = grid(self._export_ours(spark, tmp_path)), grid(ref_path)
+        assert list(ours) == list(ref)
+        # numbers may render "1" vs "1.0"/"60.5" identically via str();
+        # ints from Spark land as int cells both sides, so str parity
+        # holds cell-for-cell
+        assert ours == ref
+
     def test_zip_roundtrip_pandas_readable(self, spark, tmp_path):
         """The zip members must be real CSVs: read back with pandas
         (quoting, embedded commas/newlines, empty fields)."""
