@@ -34,41 +34,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # before your change), record round+1 so the pre-edit green cannot
 # satisfy the entry.
 _CHANGED_IN_ROUND = {
-    # (r06-r10 entries all attested green at their rounds — pruned;
-    # the r10 `kernel_eda_scr: 10` entry went inert when
-    # CORRECTNESS_r10.json recorded its pass.)
-    # r11 advisor fixes (ADVICE.md r10):
-    # - cvxeda.py gained a max_matvecs >= 1 guard; the accepted-budget
-    #   iterate sequence is untouched, but kernel_eda_scr transits the
-    #   edited bytes — re-attest (same discipline as r10).
-    # - llm/text.py token_count now clamps NULL-text counts to 0
-    #   (legacy sizeOfNull -1 divergence); identical output on the
-    #   NULL-free sf corpora, but three declared green queries transit
-    #   it — re-attest all three.
-    "kernel_eda_scr": 11,
-    "doc_temperature_mixture": 11,
-    "doc_mixture_sample": 11,
-    "doc_curation_pipeline_v3": 11,
-    # - llm/dedup.py hamming_banded_pairs gained the blocks=(b, q)
-    #   generalized-pigeonhole scale gear. The default (blocks=None)
-    #   plan is expression-identical (the new code is a separate
-    #   branch), but five declared green queries transit the edited
-    #   bytes — all are r09-tier and already inside the r11 window, so
-    #   these entries reorder within the window without displacing
-    #   anything.
-    "doc_simhash_near_dups": 11,
-    "multimodal_image_near_dups": 11,
-    "multimodal_audio_near_dups": 11,
-    "multimodal_video_near_dups": 11,
-    "multimodal_image_dedup_decisions": 11,
+    # (r06-r11 entries all attested green at their rounds — pruned; the
+    # nine r11 entries went inert when CORRECTNESS_r11.json recorded
+    # their passes.)
+    # r12 edits needing NO entries, with receipts:
+    # - llm/dedup.py + llm/text.py comment rewords (ADVICE r11 low
+    #   items): AST-identical to the r11-attested bytes (verified:
+    #   ast.dump equality pre/post commit 7bd0010) — comments never
+    #   reach the code object, so the r11 greens still attest the
+    #   executable bytes.
+    # - multimodal_blocks_near_dups is NEW (never-verified -> served
+    #   ahead of the r09 tier mechanically); multimodal_video_near_dups
+    #   retired (see plans/queries_llm.py).
 }
 
 
-def _last_verified() -> dict[str, int]:
+def _last_verified(upto: int | None = None) -> dict[str, int]:
     """Last round each query passed its driver check, parsed from the
     CORRECTNESS_r*.json files next to this file. A full check passes when
     rows+schema+hash all match; an oracle-less query passes its weaker
-    rows-only check when the driver recorded a row count without error."""
+    rows-only check when the driver recorded a row count without error.
+    ``upto`` restricts to rounds <= upto (tools/rotation_report.py uses
+    it to keep a committed ledger block reproducible after later rounds'
+    files land)."""
     import glob
     import json
     import re
@@ -80,6 +68,8 @@ def _last_verified() -> dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if upto is not None and rnd > upto:
+            continue
         try:
             with open(path) as f:
                 records = json.load(f)

@@ -1908,19 +1908,35 @@ def multimodal_image_dedup_decisions(spark: SparkSession,
     return cluster_decisions(pairs, imgs).orderBy("doc_id")
 
 
-@q("multimodal_video_near_dups")
-def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-duplicate detection: per-frame average-hash majority
-    vote -> one 64-bit signature per clip -> pigeonhole Hamming banding.
-    Fixture plants noised re-encodes and first-frame trims; trims flip
-    knife-edge majority bits, so the distance bound is 12 (cross-clip
-    distances in the fixture stay >= 21 — parity asserted in pytest)."""
+# (multimodal_video_near_dups retired r12 — driver-green r09-r11; its
+# engine path is the SAME hamming_banded_pairs call as the image and
+# audio legs, so three driver attestations of one engine were
+# redundant. The video leg keeps its brute-force Hamming parity gate in
+# tests/test_llm.py::test_video_near_dups_exact_hamming_parity. The
+# freed slot funds multimodal_blocks_near_dups below — the r11
+# generalized-pigeonhole scale gear, previously pytest-only.)
+
+
+@q("multimodal_blocks_near_dups")
+def multimodal_blocks_near_dups(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The r11 ``blocks=(b, q)`` generalized-pigeonhole scale gear of
+    :func:`physioview_spark.llm.dedup.hamming_banded_pairs`, driver-
+    gated: the image near-dup corpus through ``blocks=(8, 2)`` (28
+    two-block keys, recall-guaranteed because q=2 <= b - max_hamming=2).
+    By the pigeonhole recall proof + exact popcount verify the pair set
+    is IDENTICAL to ``multimodal_image_near_dups``'s default
+    single-chunk gear, so the pinned fixture oracle is the same pair
+    table — a hash gate that the scale gear and the default gear agree
+    bit-for-bit on a real corpus, not just in the pytest parity
+    configs."""
     from physioview_spark.llm.multimodal import (
-        fake_video_near_dup_table, video_near_dups,
+        fake_image_near_dup_table, image_near_dups,
     )
 
-    clips = fake_video_near_dup_table(spark, n_base=16, n_dups=8)
-    return video_near_dups(clips, max_hamming=12).orderBy("id_a", "id_b")
+    imgs = fake_image_near_dup_table(spark, n_base=48, n_dups=16)
+    return image_near_dups(imgs, max_hamming=6,
+                           blocks=(8, 2)).orderBy("id_a", "id_b")
 
 
 @q("multimodal_audio_near_dups")

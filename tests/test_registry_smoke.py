@@ -76,3 +76,29 @@ def test_rotation_consistent():
     assert last and max(last.values()) >= 6
     # oracles reference registered queries only
     assert set(oracles) <= set(qs)
+
+
+def test_rotation_ledger_block():
+    """SURVEY §7.5's rotation paragraph is TOOL OUTPUT, not hand
+    arithmetic (VERDICT r11 item 2 — the hand-derived decomposition
+    miscounted three rounds running). The committed block must equal a
+    recomputation at the data horizon it names; hand edits, stale
+    registry state, or a forgotten regeneration after a registry change
+    all fail here."""
+    import os
+    import re
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from rotation_report import rotation_report
+
+    survey = open(os.path.join(here, "SURVEY.md")).read()
+    blocks = re.findall(
+        r"<!-- rotation-report:begin.*?rotation-report:end -->",
+        survey, re.S)
+    assert blocks, "SURVEY.md lost its rotation-report block"
+    for block in blocks:
+        m = re.search(r"CORRECTNESS data through r(\d+)", block)
+        assert m, "block does not name its data horizon"
+        assert block == rotation_report(int(m.group(1)))

@@ -42,7 +42,11 @@ FIXTURE_QUERIES = [
     # float scatter, so they pin safely (cf. FIXTURES.md stability rule)
     "multimodal_image_near_dups",
     "multimodal_audio_near_dups",
-    "multimodal_video_near_dups",
+    # multimodal_video_near_dups retired r12 (redundant third
+    # attestation of the same hamming_banded_pairs engine path);
+    # multimodal_blocks_near_dups pins the SAME pair table the r11
+    # blocks=(8,2) scale gear must reproduce bit-for-bit
+    "multimodal_blocks_near_dups",
     "multimodal_image_dedup_decisions",
     # BPE train+encode over a seeded sf-independent corpus: integers +
     # subword strings only, no floats — pins safely
