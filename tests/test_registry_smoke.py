@@ -101,4 +101,11 @@ def test_rotation_ledger_block():
     for block in blocks:
         m = re.search(r"CORRECTNESS data through r(\d+)", block)
         assert m, "block does not name its data horizon"
-        assert block == rotation_report(int(m.group(1)))
+        assert block == rotation_report(int(m.group(1))), (
+            f"SURVEY rotation block (data through r{m.group(1)}) does "
+            "not match recomputation — regenerate with `python tools/"
+            f"rotation_report.py {m.group(1)}` and paste verbatim. If "
+            "this is an OLD round's block demoted to 'previous state, "
+            "kept for context' after a registry change, strip its "
+            "begin/end marker comments instead (a retired/added query "
+            "makes a past horizon unreproducible by design).")
