@@ -109,3 +109,39 @@ def test_rotation_ledger_block():
             "kept for context' after a registry change, strip its "
             "begin/end marker comments instead (a retired/added query "
             "makes a past horizon unreproducible by design).")
+
+
+def test_rotation_report_classification(monkeypatch):
+    """The tool's changed-entry classification drives next rounds'
+    ledgers; exercise all four branches (inert / active-with-cost /
+    active-without-cost / retired) with a synthetic map so a future
+    edit cannot silently misclassify."""
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    import __spark_entry__ as e
+    from rotation_report import rotation_report
+
+    last = e._last_verified(upto=11)
+    names = sorted(e._registry()[0])
+    by_tier = sorted(names, key=lambda q: (last.get(q, 0), q))
+    stale, fresh = by_tier[1], by_tier[-1]  # [0] is the never-verified
+    assert last.get(fresh, 0) == 11
+    monkeypatch.setattr(e, "_CHANGED_IN_ROUND", {
+        stale: 12,                  # active; inside window by staleness
+        fresh: 12,                  # active; would NOT be served -> cost
+        by_tier[2]: last.get(by_tier[2], 0),  # inert: green attests edit
+        "a_retired_query": 9,       # not in the registry any more
+    })
+    report = rotation_report(11)
+    assert f"{stale}: edited r12 — active, NO window cost" in report
+    assert f"{fresh}: edited r12 — active, costs one window slot" in report
+    assert f"{by_tier[2]}: edited r{last.get(by_tier[2], 0):02d} — inert" \
+        in report
+    assert "a_retired_query: edited r09 — RETIRED" in report
+    # active entries lead the predicted window
+    window_line = [ln for ln in report.splitlines()
+                   if ln.startswith("r12 window")][0]
+    assert "50 slots" in window_line
