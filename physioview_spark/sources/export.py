@@ -48,11 +48,13 @@ from pyspark.sql import DataFrame
 
 _SHEET_BAD = re.compile(r"[\[\]:*?/\\]")
 _XLSX_MAX_ROWS = 1_000_000
-# XML 1.0 forbids C0 controls except \t \n \r; a value containing e.g.
+# XML 1.0 forbids C0 controls except \t \n \r, the noncharacters
+# ￾/￿, and (unpaired) surrogates; a value containing e.g.
 # \x01 must not reach a worksheet part verbatim (openpyxl raises
-# IllegalCharacterError here — this writer substitutes instead of
-# silently emitting a part no parser accepts)
-_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# IllegalCharacterError on the same class — this writer substitutes
+# instead of silently emitting a part no parser accepts)
+_XML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
 
 
 def _sheet_name(name: str, part: int | None = None) -> str:
@@ -68,12 +70,19 @@ def _sheet_name(name: str, part: int | None = None) -> str:
 def _xml_escape(s: str) -> str:
     """Escape for BOTH element-text and attribute context (sheet names
     land inside ``name="..."`` in xl/workbook.xml, so ``"``/``'`` must
-    be entity-escaped too), and strip the C0 controls XML 1.0 forbids
-    outright — they have no escaped form at all."""
+    be entity-escaped too), and strip the characters XML 1.0 forbids
+    outright — they have no escaped form at all. ``\\t\\n\\r`` go out
+    as numeric character references: parsers NORMALIZE the literal
+    forms (CR -> LF in content; tab/LF/CR -> space in attributes), so
+    only the references round-trip a multi-line cell value exactly
+    (found by the Hypothesis round-trip property in
+    tests/test_properties.py::TestExportEscaping)."""
     return _XML_ILLEGAL.sub(
         "�",
         s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-        .replace('"', "&quot;").replace("'", "&apos;"))
+        .replace('"', "&quot;").replace("'", "&apos;")
+        .replace("\t", "&#9;").replace("\n", "&#10;")
+        .replace("\r", "&#13;"))
 
 
 def _csv_field(x) -> str:

@@ -776,3 +776,49 @@ class TestSessionizationProperties:
                     sid += 1
                 prev = t
                 assert got[(u, t)] == sid, (u, t)
+
+
+class TestExportEscaping:
+    """sources/export.py escaping: EVERY Python string must yield
+    worksheet/workbook parts a strict XML parser accepts, in both
+    element-text and attribute context — the r11/r12 advisor findings
+    (unescaped quotes in name="...", raw C0 controls) generalized into
+    a property. Characters XML 1.0 forbids outright (C0 minus
+    \\t\\n\\r, surrogates, \\ufffe/\\uffff) are substituted with
+    U+FFFD; everything else round-trips verbatim."""
+
+    @staticmethod
+    def _expected(s: str) -> str:
+        from physioview_spark.sources.export import _XML_ILLEGAL
+        return _XML_ILLEGAL.sub("�", s)
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def test_element_text_roundtrip(self, s):
+        import xml.etree.ElementTree as ET
+
+        from physioview_spark.sources.export import _xml_escape
+        xml = ('<t xml:space="preserve">%s</t>' % _xml_escape(s)
+               ).encode("utf-8", "strict")
+        got = ET.fromstring(xml).text or ""
+        assert got == self._expected(s)
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def test_attribute_roundtrip(self, s):
+        import xml.etree.ElementTree as ET
+
+        from physioview_spark.sources.export import _xml_escape
+        xml = ('<t a="%s"/>' % _xml_escape(s)).encode("utf-8", "strict")
+        assert ET.fromstring(xml).attrib["a"] == self._expected(s)
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def test_csv_field_roundtrip(self, s):
+        import csv
+        import io
+
+        from physioview_spark.sources.export import _csv_field
+        row = ",".join([_csv_field(s), _csv_field("x")]) + "\r\n"
+        got = next(csv.reader(io.StringIO(row)))
+        assert got == [s, "x"]
