@@ -145,3 +145,48 @@ def test_rotation_report_classification(monkeypatch):
     window_line = [ln for ln in report.splitlines()
                    if ln.startswith("r12 window")][0]
     assert "50 slots" in window_line
+
+
+def test_changed_queries_reachability_ground_truth():
+    """tools/changed_queries.py mechanizes the _CHANGED_IN_ROUND audit
+    at function granularity. Pin its name-level reachability against
+    the two r11 ground truths the discipline was actually practiced on
+    (the hamming_banded_pairs gear edit re-attested exactly the
+    near-dup queries; the token_count clamp exactly the three mixture
+    queries) plus the r12 facts (export.py reaches no declared query).
+    A refactor that changes these sets must update the ledger too."""
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from changed_queries import _Analyzer, query_reach
+
+    an = _Analyzer()
+    reach = query_reach(an)
+
+    def who_reaches(mod, name):
+        return {q for q, pairs in reach.items() if (mod, name) in pairs}
+
+    assert who_reaches("physioview_spark.llm.text", "token_count") == {
+        "doc_temperature_mixture", "doc_mixture_sample",
+        "doc_curation_pipeline_v3"}
+    assert who_reaches(
+        "physioview_spark.llm.dedup", "hamming_banded_pairs") == {
+        "doc_simhash_near_dups", "multimodal_image_near_dups",
+        "multimodal_audio_near_dups", "multimodal_blocks_near_dups",
+        "multimodal_image_dedup_decisions"}
+    # (finer than the module-level intuition: order_value_interp uses
+    # interp_join — K22 — not asof_join, and the tool knows)
+    assert who_reaches("physioview_spark.operators.asof", "asof_join") == {
+        "asof_latest_order", "asof_tolerance_match", "beat_edits_applied",
+        "e4_ingest_aligned"}
+    assert "order_value_interp" in who_reaches(
+        "physioview_spark.operators.asof", "interp_join")
+    # the export sink is driver-side-only: NO declared query reaches it
+    assert not any("sources.export" in m
+                   for pairs in reach.values() for m, _ in pairs)
+    # cvxEDA is reached only by the SCR kernel query
+    cvx = {q for q, pairs in reach.items()
+           if any(m == "physioview_spark.functions.cvxeda" for m, _ in pairs)}
+    assert cvx == {"kernel_eda_scr"}
