@@ -87,7 +87,7 @@ def _last_verified(upto: int | None = None) -> dict[str, int]:
     return seen
 
 
-def _serve_order(names: list[str]) -> list[str]:
+def _serve_order(names: list[str], upto: int | None = None) -> list[str]:
     """Changed-since-green queries first, then never-verified, then by
     ascending last-verified round; name-sorted within a tier so the
     order is deterministic across sessions.
@@ -97,8 +97,14 @@ def _serve_order(names: list[str]) -> list[str]:
     (``_CHANGED_IN_ROUND``); once the driver records a pass AT or
     AFTER the edit round, the post-change bytes are attested and the
     query rejoins the normal least-recently-verified rotation. Stale
-    entries therefore never pin the window across rounds."""
-    last = _last_verified()
+    entries therefore never pin the window across rounds.
+
+    ``upto`` caps the CORRECTNESS horizon like ``_last_verified``'s —
+    tools/rotation_report.py threads it through so a committed SURVEY
+    ledger block stays reproducible after later rounds' files land
+    (VERDICT r12 item 1: the histogram half of a report honored the
+    horizon while this serve-order half silently ignored it)."""
+    last = _last_verified(upto=upto)
     changed = [n for n, edited in _CHANGED_IN_ROUND.items()
                if n in names and last.get(n, 0) < edited]
     rest = sorted((n for n in names if n not in changed),

@@ -111,6 +111,49 @@ def test_rotation_ledger_block():
             "makes a past horizon unreproducible by design).")
 
 
+def test_rotation_report_horizon_invariance(tmp_path, monkeypatch):
+    """VERDICT r12 item 1: a report at horizon N must be byte-identical
+    whether or not CORRECTNESS files from rounds > N exist on disk.
+    r12 shipped the exact failure: the histogram half honored ``upto``
+    while the `_serve_order` half did not, so the committed 'through
+    r11' block went stale the moment the driver wrote
+    CORRECTNESS_r12.json. Recompute the r11 report against a tmp tree
+    holding ONLY rounds <= 11 (plus a fabricated future r99 file in a
+    second pass) and require all three readings to agree."""
+    import glob
+    import json
+    import os
+    import re
+    import shutil
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    import __spark_entry__ as e
+    from rotation_report import rotation_report
+
+    with_later_files = rotation_report(11)
+
+    copied = 0
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) <= 11:
+            shutil.copy(path, tmp_path / os.path.basename(path))
+            copied += 1
+    assert copied >= 3  # the rotation is meaningless on an empty tree
+    # _last_verified globs next to __spark_entry__.__file__; repoint it
+    monkeypatch.setattr(e, "__file__", str(tmp_path / "__spark_entry__.py"))
+    assert rotation_report(11) == with_later_files
+
+    # and with a FUTURE round's file present, the capped report is
+    # still unchanged (the r12 defect reproduced exactly here)
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps({
+        q: {"rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None}
+        for q in list(e._registry()[0])[:60]}))
+    assert rotation_report(11) == with_later_files
+
+
 def test_rotation_report_classification(monkeypatch):
     """The tool's changed-entry classification drives next rounds'
     ledgers; exercise all four branches (inert / active-with-cost /
