@@ -46,6 +46,16 @@ _CHANGED_IN_ROUND = {
     # - multimodal_blocks_near_dups is NEW (never-verified -> served
     #   ahead of the r09 tier mechanically); multimodal_video_near_dups
     #   retired (see plans/queries_llm.py).
+    # r13: blocks="auto" gear on hamming_banded_pairs (VERDICT r12
+    # item 3) — tools/changed_queries.py flags exactly these five as
+    # reaching the edited defs (auto_blocks / hamming_banded_pairs /
+    # simhash_near_dups / image_near_dups). CORRECTNESS_r13.json does
+    # not exist yet, so the edit round is 13 itself.
+    "doc_simhash_near_dups": 13,
+    "multimodal_audio_near_dups": 13,
+    "multimodal_blocks_near_dups": 13,
+    "multimodal_image_dedup_decisions": 13,
+    "multimodal_image_near_dups": 13,
 }
 
 
@@ -103,10 +113,17 @@ def _serve_order(names: list[str], upto: int | None = None) -> list[str]:
     tools/rotation_report.py threads it through so a committed SURVEY
     ledger block stays reproducible after later rounds' files land
     (VERDICT r12 item 1: the histogram half of a report honored the
-    horizon while this serve-order half silently ignored it)."""
+    horizon while this serve-order half silently ignored it). The
+    horizon also excludes _CHANGED_IN_ROUND entries from the future of
+    the window being predicted (edit round > upto + 1): a block pinned
+    at "data through rH -> rH+1 window" must not shift when a LATER
+    session records new edits. Corollary: never prune an entry while a
+    pinned SURVEY block's horizon can still see it — inert entries are
+    harmless and keep historical blocks byte-stable."""
     last = _last_verified(upto=upto)
     changed = [n for n, edited in _CHANGED_IN_ROUND.items()
-               if n in names and last.get(n, 0) < edited]
+               if n in names and last.get(n, 0) < edited
+               and (upto is None or edited <= upto + 1)]
     rest = sorted((n for n in names if n not in changed),
                   key=lambda n: (last.get(n, 0), n))
     return changed + rest

@@ -374,6 +374,72 @@ def simhash(
     return agg.select(id_col, sig.cast("long").alias("simhash"))
 
 
+def auto_blocks(
+    n: int, bits: int = 32, max_hamming: int = 3,
+) -> tuple[int, int] | None:
+    """Pick the ``blocks=(b, q)`` pigeonhole gear for ``n`` signatures,
+    or ``None`` when the default single-chunk key already minimizes
+    estimated shuffle rows (:func:`hamming_banded_pairs` resolves
+    ``blocks="auto"`` through this — the same measured-crossover auto
+    contract as ``scoring='auto'`` / ``probe_ivf_buckets`` in
+    llm/similarity.py).
+
+    Cost model per gear (``t`` tables keying ``k`` bits):
+    ``fanout_weight * t * n`` exploded rows through the exchange
+    plus ``t * n*(n-1)/2 / 2**k`` expected random-collision candidate
+    pairs (uniform-key approximation; near-dup families sit on top of
+    both gears equally, so they cancel out of the comparison). The
+    fan-out weight 50 is fit from the three measured gear walls on the
+    72k image corpus (PLANS.md "Multimodal pigeonhole-Hamming at
+    x100": default 3.87 s / 35.4M cands + 0.5M fan-out, blocks=(8,2)
+    5.26 s / 1.12M + 2.0M, blocks=(10,4) 27.0 s / 45.5k + 15.1M ->
+    alpha/beta ~52): locally candidates are near-free (whole-stage-
+    codegen popcount) while fan-out rows pay explode+exchange+distinct;
+    on a real cluster both cross exchanges and the true ratio
+    compresses toward 1-3x, so the weight is CONSERVATIVE — it can
+    only delay adopting a bigger fan-out, never explode one
+    prematurely. With it, the 64-bit/max-6 family's crossover lands at
+    ~160k signatures, the same decade as the ~215k PLANS.md
+    back-of-envelope (which dropped the 7x table factor from the
+    default gear's candidate mass). The
+    default gear is ``t = max_hamming + 1`` disjoint chunks of
+    ``bits // (max_hamming + 1)`` bits; candidates under it grow
+    ~n^2 in a FIXED key space, which is the quadratic defect the gear
+    exists to fix (measured 9,947x candidate growth for 100x rows,
+    PLANS.md r11). Admissibility mirrors the explicit-gear guards:
+    ``1 <= q <= b - max_hamming`` (100% recall), key width <= 62 bits
+    (BIGINT), ``C(b, q) <= 256`` (fan-out sanity). Ties prefer
+    ``b | bits`` (no uncovered top bits), then fewer tables."""
+    from math import comb
+
+    if n < 2:
+        return None
+    fanout_weight = 50.0  # receipt-calibrated, see docstring
+
+    def cost(tables: int, key_bits: int) -> float:
+        return (fanout_weight * tables * n
+                + tables * (n * (n - 1) / 2.0) / float(1 << key_bits))
+
+    default_cost = cost(max_hamming + 1, bits // (max_hamming + 1))
+    best: tuple[int, int] | None = None
+    best_key: tuple[float, int, int] | None = None
+    for b in range(max_hamming + 2, bits + 1):
+        chunk_bits = bits // b
+        if chunk_bits < 1:
+            break
+        for q in range(1, b - max_hamming + 1):
+            if q * chunk_bits > 62:
+                break
+            tables = comb(b, q)
+            if tables > 256:
+                break
+            c = cost(tables, q * chunk_bits)
+            key = (c, 0 if bits % b == 0 else 1, tables)
+            if c < default_cost and (best_key is None or key < best_key):
+                best, best_key = (b, q), key
+    return best
+
+
 def hamming_banded_pairs(
     sig: DataFrame,
     sig_col: str,
@@ -381,7 +447,8 @@ def hamming_banded_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
-    blocks: tuple[int, int] | None = None,
+    blocks: tuple[int, int] | str | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """All pairs whose ``bits``-wide signatures are within Hamming
     distance ``max_hamming`` — the shared engine behind SimHash text
@@ -415,7 +482,25 @@ def hamming_banded_pairs(
     of row fan-out instead of max_hamming + 1 (capped at 256 —
     a combination explosion is a configuration error, not a plan).
     ``blocks=None`` keeps the historical single-chunk plan bit-for-bit.
+
+    ``blocks="auto"`` resolves the gear from the signature count via
+    :func:`auto_blocks` — single-chunk below the measured shuffle-row
+    crossover (~160k signatures for the 64-bit/max-6 phash family —
+    same decade as the ~215k PLANS.md r11 envelope), a grown (b, q)
+    key above it, so a caller at
+    10^7 signatures no longer needs to know the crossover to avoid the
+    N^2-in-a-fixed-key-space candidate mass. Pass ``approx_count``
+    (any upstream estimate within ~2x is fine — the cost curves are
+    shallow near the crossover) to skip the one extra ``sig.count()``
+    job auto otherwise runs; explicit ``blocks`` tuples and ``None``
+    never count.
     """
+    if blocks == "auto":
+        n = approx_count if approx_count is not None else sig.count()
+        blocks = auto_blocks(n, bits=bits, max_hamming=max_hamming)
+    elif isinstance(blocks, str):
+        raise ValueError(f"blocks must be 'auto', a (b, q) tuple, or "
+                         f"None, got {blocks!r}")
     if blocks is None:
         chunk_bits = bits // (max_hamming + 1)
         chunks = sig.select(
@@ -513,7 +598,7 @@ def simhash_near_dups(
     bits: int = 32,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
-    blocks: tuple[int, int] | None = None,
+    blocks: tuple[int, int] | str | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming — SimHash
     signatures through the shared :func:`hamming_banded_pairs`

@@ -289,7 +289,7 @@ def image_near_dups(
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
     method: str = "avg",
-    blocks: tuple[int, int] | None = None,
+    blocks: tuple[int, int] | str | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: perceptual hash (64-bit average-hash
     over the decoded luma plane) -> Hamming-banded candidate pairs

@@ -528,6 +528,73 @@ def test_hamming_blocks_gear_parity_and_guards(spark):
                              blocks=(100, 1)).collect()
 
 
+def test_hamming_blocks_auto_gear(spark):
+    """blocks='auto' (VERDICT r12 item 3): the measured ~160k crossover
+    is applied FOR the caller — single-chunk plan below it (bit-for-bit
+    the oracle-pinned default), a grown admissible (b, q) key above it,
+    pair set identical on both sides of the switch (the probe_ivf_buckets
+    auto-gear contract)."""
+    import pytest as _pt
+
+    from physioview_spark.llm import multimodal as M
+    from physioview_spark.llm.dedup import auto_blocks, hamming_banded_pairs
+
+    # --- selection: below/above the documented crossovers ---
+    assert auto_blocks(72_000, bits=64, max_hamming=6) is None
+    assert auto_blocks(300_000, bits=64, max_hamming=6) == (8, 2)
+    assert auto_blocks(10_000, bits=32, max_hamming=3) is None
+    assert auto_blocks(500_000, bits=32, max_hamming=3) is not None
+    assert auto_blocks(0, bits=64, max_hamming=6) is None
+    # every selected gear is admissible, keys grow with n (the
+    # log2 N index-growth contract), never shrink
+    from math import comb
+    prev_key = 0
+    for n in (10**4, 10**5, 10**6, 10**7, 10**8):
+        for bits, mh in ((64, 6), (32, 3)):
+            g = auto_blocks(n, bits=bits, max_hamming=mh)
+            if g is not None:
+                b, q = g
+                assert 1 <= q <= b - mh
+                assert q * (bits // b) <= 62
+                assert comb(b, q) <= 256
+        g64 = auto_blocks(n, bits=64, max_hamming=6)
+        key = 0 if g64 is None else g64[1] * (64 // g64[0])
+        assert key >= prev_key or g64 is None
+        if g64 is not None:
+            prev_key = key
+
+    # --- end-to-end parity on both sides of the switch ---
+    df = M.fake_image_near_dup_table(spark, n_base=48, n_dups=16)
+    sig = M.image_phash(df).where("valid")
+
+    def run(**kw):
+        return {(r["id_a"], r["id_b"]): r["hamming"]
+                for r in hamming_banded_pairs(
+                    sig, "phash", bits=64, max_hamming=6, **kw).collect()}
+
+    want = run()  # the oracle-pinned default gear
+    # below crossover: auto resolves to the default SINGLE-CHUNK plan —
+    # not just the same rows, the same optimized plan
+    below = hamming_banded_pairs(sig, "phash", bits=64, max_hamming=6,
+                                 blocks="auto", approx_count=1000)
+    default = hamming_banded_pairs(sig, "phash", bits=64, max_hamming=6)
+    import re as _re
+
+    def norm(d):  # expression IDs differ between instantiations
+        return _re.sub(r"#\d+", "#",
+                       d._jdf.queryExecution().optimizedPlan().toString())
+
+    assert norm(below) == norm(default)
+    # above crossover (forced via approx_count): gear plan, equal pairs
+    assert run(blocks="auto", approx_count=300_000) == want
+    # auto without approx_count runs one count job, then picks
+    # single-chunk for this 64-row fixture
+    assert run(blocks="auto") == want
+
+    with _pt.raises(ValueError, match="auto"):
+        run(blocks="automatic")
+
+
 def test_dct_phash_gear(spark):
     """pHash-style DCT gear: exact parity with brute-force Hamming on
     the fixture (same engine contract as the avg gear), invariance to
