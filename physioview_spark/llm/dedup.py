@@ -599,14 +599,17 @@ def simhash_near_dups(
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     blocks: tuple[int, int] | str | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming — SimHash
     signatures through the shared :func:`hamming_banded_pairs`
-    pigeonhole engine (``blocks`` = the Manku multi-block scale gear)."""
+    pigeonhole engine (``blocks`` = the Manku multi-block scale gear;
+    ``"auto"`` + optional ``approx_count`` = the measured-crossover
+    auto selection)."""
     sig = simhash(df, text_col, id_col, bits)
     return hamming_banded_pairs(
         sig, "simhash", id_col, bits, max_hamming, max_bucket_size,
-        blocks=blocks)
+        blocks=blocks, approx_count=approx_count)
 
 
 def decontaminate(

@@ -290,6 +290,7 @@ def image_near_dups(
     max_bucket_size: int | None = None,
     method: str = "avg",
     blocks: tuple[int, int] | str | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: perceptual hash (64-bit average-hash
     over the decoded luma plane) -> Hamming-banded candidate pairs
@@ -307,7 +308,7 @@ def image_near_dups(
     sig = image_phash(df, payload_col, id_col, method=method).where("valid")
     return hamming_banded_pairs(
         sig, "phash", id_col, 64, max_hamming, max_bucket_size,
-        blocks=blocks)
+        blocks=blocks, approx_count=approx_count)
 
 
 def perturb_payload(payload: bytes, n_tweaks: int = 4,
@@ -566,17 +567,21 @@ def audio_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
+    blocks: tuple[int, int] | str | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs (re-encoded / gain-adjusted / lightly
     noised copies): energy-delta fingerprints through the shared
     pigeonhole Hamming engine — the audio leg of the multimodal dedup
-    bridge, same 100%-recall/100%-precision contract and quadratic
-    guard as the image and SimHash paths."""
+    bridge, same 100%-recall/100%-precision contract, quadratic guard,
+    and ``blocks``/``blocks="auto"`` scale gear as the image and
+    SimHash paths."""
     from physioview_spark.llm.dedup import hamming_banded_pairs
 
     sig = audio_fingerprint(df, payload_col, id_col).where("valid")
     return hamming_banded_pairs(
-        sig, "afp", id_col, 64, max_hamming, max_bucket_size)
+        sig, "afp", id_col, 64, max_hamming, max_bucket_size,
+        blocks=blocks, approx_count=approx_count)
 
 
 def perturb_audio(payload: bytes, gain: float = 0.8,
@@ -787,15 +792,19 @@ def video_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
+    blocks: tuple[int, int] | str | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Video near-duplicate pairs (re-encodes, noised copies, few-frame
     trims) — the video leg of the multimodal dedup bridge, through the
-    same pigeonhole Hamming engine and guards as image/audio/SimHash."""
+    same pigeonhole Hamming engine, guards, and ``blocks`` scale gear
+    as image/audio/SimHash."""
     from physioview_spark.llm.dedup import hamming_banded_pairs
 
     sig = video_phash(df, payload_col, id_col).where("valid")
     return hamming_banded_pairs(
-        sig, "vfp", id_col, 64, max_hamming, max_bucket_size)
+        sig, "vfp", id_col, 64, max_hamming, max_bucket_size,
+        blocks=blocks, approx_count=approx_count)
 
 
 def perturb_video(payload: bytes, noise: int = 8, drop_first: bool = False,

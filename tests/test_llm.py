@@ -590,6 +590,11 @@ def test_hamming_blocks_auto_gear(spark):
     # auto without approx_count runs one count job, then picks
     # single-chunk for this 64-row fixture
     assert run(blocks="auto") == want
+    # the wrapper entry points pass the gear + count estimate through
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in M.image_near_dups(df, max_hamming=6, blocks="auto",
+                                      approx_count=300_000).collect()}
+    assert got == want
 
     with _pt.raises(ValueError, match="auto"):
         run(blocks="automatic")
