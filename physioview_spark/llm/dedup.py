@@ -432,7 +432,7 @@ def auto_blocks(
                 break
             tables = comb(b, q)
             if tables > 256:
-                break
+                continue  # not monotone in q (decreases past b/2)
             c = cost(tables, q * chunk_bits)
             key = (c, 0 if bits % b == 0 else 1, tables)
             if c < default_cost and (best_key is None or key < best_key):
