@@ -822,3 +822,52 @@ class TestExportEscaping:
         row = ",".join([_csv_field(s), _csv_field("x")]) + "\r\n"
         got = next(csv.reader(io.StringIO(row)))
         assert got == [s, "x"]
+
+
+class TestAutoBlocksProperties:
+    """llm/dedup.auto_blocks: every selection must be admissible (the
+    recall guarantee is non-negotiable) and never worse than the
+    default single-chunk gear under its own cost model."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(0, 10 ** 9),
+        bits=st.sampled_from([16, 32, 48, 64]),
+        max_hamming=st.integers(0, 8),
+    )
+    def test_selection_admissible_and_no_worse(self, n, bits, max_hamming):
+        from math import comb
+
+        from physioview_spark.llm.dedup import auto_blocks
+
+        if bits // (max_hamming + 1) < 1:
+            return  # default gear itself is inexpressible; out of scope
+        gear = auto_blocks(n, bits=bits, max_hamming=max_hamming)
+        if gear is None:
+            return
+        b, q = gear
+        assert 1 <= q <= b - max_hamming       # pigeonhole recall holds
+        assert q * (bits // b) <= 62            # BIGINT key
+        assert comb(b, q) <= 256                # fan-out cap
+
+        def cost(tables, key_bits):
+            return (50.0 * tables * n
+                    + tables * (n * (n - 1) / 2.0) / float(1 << key_bits))
+
+        assert cost(comb(b, q), q * (bits // b)) < cost(
+            max_hamming + 1, bits // (max_hamming + 1))
+
+    @settings(max_examples=60, deadline=None)
+    @given(bits=st.sampled_from([32, 64]), max_hamming=st.integers(1, 6))
+    def test_key_length_monotone_in_n(self, bits, max_hamming):
+        from physioview_spark.llm.dedup import auto_blocks
+
+        if bits // (max_hamming + 1) < 1:
+            return
+        prev = 0
+        for n in (10 ** 3, 10 ** 4, 10 ** 5, 10 ** 6, 10 ** 7, 10 ** 8):
+            g = auto_blocks(n, bits=bits, max_hamming=max_hamming)
+            key = 0 if g is None else g[1] * (bits // g[0])
+            if g is not None:
+                assert key >= prev
+                prev = key
