@@ -487,9 +487,9 @@ def hamming_banded_pairs(
     :func:`auto_blocks` — single-chunk below the measured shuffle-row
     crossover (~160k signatures for the 64-bit/max-6 phash family —
     same decade as the ~215k PLANS.md r11 envelope), a grown (b, q)
-    key above it, so a caller at
-    10^7 signatures no longer needs to know the crossover to avoid the
-    N^2-in-a-fixed-key-space candidate mass. Pass ``approx_count``
+    key above it, so a caller at 10^7 signatures no longer needs to
+    know the crossover to avoid the N^2-in-a-fixed-key-space candidate
+    mass. Pass ``approx_count``
     (any upstream estimate within ~2x is fine — the cost curves are
     shallow near the crossover) to skip the one extra ``sig.count()``
     job auto otherwise runs; explicit ``blocks`` tuples and ``None``
