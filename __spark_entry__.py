@@ -56,6 +56,12 @@ _CHANGED_IN_ROUND = {
     "multimodal_blocks_near_dups": 13,
     "multimodal_image_dedup_decisions": 13,
     "multimodal_image_near_dups": 13,
+    # r13: oracle-side tz hardening — the streaming watermark cutoff
+    # compared TIMESTAMPTZ to a naive TIMESTAMP in DuckDB, which shifts
+    # with the host TZ env (found by the full non-UTC oracle sweep:
+    # 522 vs 520 rows under America/New_York). Engine bytes untouched;
+    # the oracle now compares epochs numerically.
+    "streaming_segment_counts": 13,
 }
 
 

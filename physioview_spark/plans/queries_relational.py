@@ -1017,7 +1017,7 @@ WITH e AS (
 )
 SELECT subject_id, seg_epoch, n_detected, n_artifact
 FROM agg, wm
-WHERE to_timestamp(seg_epoch + 3600) <= wm.w
+WHERE seg_epoch + 3600 <= epoch(wm.w)
 """)
 def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the driver contract: the events table
