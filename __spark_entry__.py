@@ -62,6 +62,16 @@ _CHANGED_IN_ROUND = {
     # 522 vs 520 rows under America/New_York). Engine bytes untouched;
     # the oracle now compares epochs numerically.
     "streaming_segment_counts": 13,
+    # r13: deterministic as-of tie-breaking (operators/asof.py) — the
+    # sf0.1 oracle sweep caught arbitrary winners among duplicate right
+    # timestamps (13 flipped matches); ties now resolve to the largest
+    # right-value tuple, oracle rewritten to the matching row_number
+    # form. The four queries below reach asof_join per
+    # tools/changed_queries.py.
+    "asof_latest_order": 13,
+    "asof_tolerance_match": 13,
+    "beat_edits_applied": 13,
+    "e4_ingest_aligned": 13,
 }
 
 

@@ -80,16 +80,27 @@ def asof_join(
 
     # Right rows sort before left rows at equal keys so an exact-timestamp
     # match is visible to the backward pass (merge_asof includes equal keys).
+    # Ties AMONG right rows (duplicate `on` within a `by` group — routine
+    # at scale: DATE-grained order timestamps give one customer several
+    # same-day orders) are broken deterministically toward the LARGEST
+    # right-value tuple: without the extra sort keys the winning tied row
+    # is whatever task/partition order produced, and the same query can
+    # return different matches run-to-run (found by the sf0.1 oracle
+    # sweep, r13 — 13 flipped matches on 60k events).
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
+    tie = [F.col(c) for c in carried]
     w_back = (
-        Window.partitionBy(*by).orderBy("__k", "__side")
+        Window.partitionBy(*by)
+        .orderBy(F.col("__k"), F.col("__side"), *[c.asc_nulls_last()
+                                                  for c in tie])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
-        Window.partitionBy(*by).orderBy("__k", F.col("__side").desc())
+        Window.partitionBy(*by)
+        .orderBy(F.col("__k"), F.col("__side").desc(),
+                 *[c.desc_nulls_last() for c in tie])
         .rowsBetween(0, Window.unboundedFollowing)
     )
-
-    carried = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
     out = unioned
     for c in carried:
         if direction in ("backward", "nearest"):

@@ -192,17 +192,31 @@ def ibi_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("asof_latest_order", """
 WITH e AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM e JOIN orders o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 )
 SELECT e.event_id, e.user_id,
-       o.o_orderkey AS matched_orderkey,
-       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS matched_epoch
-FROM e ASOF LEFT JOIN orders o
-  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+       m.o_orderkey AS matched_orderkey,
+       CAST(floor(epoch(m.o_orderdate)) AS BIGINT) AS matched_epoch
+FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
 """)
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 as-of join (backward): each purchase event matched to the user's
     most recent order at that time. Engine idiom: tagged union +
-    last(ignorenulls) ordered window — one shuffle, no Python."""
+    last(ignorenulls) ordered window — one shuffle, no Python.
+
+    The oracle is an explicit row_number formulation rather than DuckDB
+    ASOF: with DATE-grained order timestamps a customer has several
+    same-day orders, and both DuckDB ASOF and a tie-blind window pick
+    an ARBITRARY one (r13 sf0.1 sweep: 13 flipped matches). The engine
+    breaks as-of ties toward the largest right-value tuple
+    (operators/asof.py), which the oracle mirrors with
+    `ORDER BY o_orderdate DESC, o_orderkey DESC`."""
     ev = read(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     ).select("event_id", "user_id", "ts")

@@ -81,6 +81,32 @@ def test_asof_join_directions(spark):
     assert tol == {5.0: "w", 10.0: "x", 99.0: None}
 
 
+def test_asof_join_tie_break_deterministic(spark):
+    """Duplicate right timestamps inside a `by` group (routine at scale:
+    DATE-grained order stamps give one customer several same-day orders)
+    must resolve to the LARGEST right-value tuple in every direction —
+    without the r13 tie keys the winner was partition-order arbitrary
+    (caught by the sf0.1 oracle sweep: 13 flipped matches)."""
+    left = spark.createDataFrame(
+        [("a", 10.0), ("a", 3.0)], "k string, t double")
+    right = spark.createDataFrame(
+        [("a", 4.0, "m"), ("a", 4.0, "z"), ("a", 4.0, "a"),
+         ("a", 12.0, "q"), ("a", 12.0, "b")],
+        "k string, t double, v string")
+    # shuffle the right side hard so partition order cannot fake a pass
+    right = right.repartition(7)
+    for _ in range(3):  # re-plan a few times: must be stable run-to-run
+        back = {r["t"]: r["v_r"] for r in asof_join(
+            left, right, on="t", by="k", direction="backward").collect()}
+        assert back == {10.0: "z", 3.0: None}
+        fwd = {r["t"]: r["v_r"] for r in asof_join(
+            left, right, on="t", by="k", direction="forward").collect()}
+        assert fwd == {10.0: "q", 3.0: "z"}
+        near = {r["t"]: r["v_r"] for r in asof_join(
+            left, right, on="t", by="k", direction="nearest").collect()}
+        assert near == {10.0: "q", 3.0: "z"}  # 12 is nearer 10 than 4
+
+
 def test_interval_and_spans(spark):
     pts = spark.createDataFrame(
         [("s1", i) for i in range(10)], "subject_id string, sample_idx long"
