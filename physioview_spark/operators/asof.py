@@ -161,6 +161,14 @@ def interp_join(
     """
     from pyspark.sql import Window
 
+    # PRECONDITION: right keys must be unique per `by` group (pre-
+    # aggregate duplicates upstream, as order_value_interp does with its
+    # per-(customer, day) SUM). Interpolation over duplicate x is
+    # ill-posed — scipy's interp1d is implementation-defined there too —
+    # and the lag/lead neighbor windows below would pick arbitrary tied
+    # neighbors (the defect class the r13 sf0.1 sweep caught in
+    # asof_join, where ties ARE meaningful and now break
+    # deterministically).
     if isinstance(by, str):
         by = [by]
     by = by or []
