@@ -871,3 +871,42 @@ class TestAutoBlocksProperties:
             if g is not None:
                 assert key >= prev
                 prev = key
+
+    def test_matches_independent_brute_force_argmin(self):
+        """Cross-check the selection against a no-early-exit enumerator:
+        the production loop prunes with break/continue (one such break
+        was wrong once — C(b,q) is not monotone in q), so an
+        independent argmin over the raw admissible space is the
+        regression net."""
+        from math import comb
+
+        from physioview_spark.llm.dedup import auto_blocks
+
+        def brute(n, bits, mh):
+            if n < 2:
+                return None
+
+            def cost(t, k):
+                return 50.0 * t * n + t * (n * (n - 1) / 2.0) / (1 << k)
+
+            cands = []
+            for b in range(1, bits + 1):
+                cb = bits // b
+                for q in range(1, b + 1):
+                    if (b >= mh + 2 and 1 <= q <= b - mh and cb >= 1
+                            and q * cb <= 62 and comb(b, q) <= 256):
+                        c = cost(comb(b, q), q * cb)
+                        cands.append(
+                            ((c, 0 if bits % b == 0 else 1, comb(b, q)),
+                             (b, q)))
+            if not cands:
+                return None
+            key, gear = min(cands)
+            return gear if key[0] < cost(mh + 1, bits // (mh + 1)) else None
+
+        for bits, mh in ((64, 6), (64, 3), (32, 3), (32, 1), (48, 4),
+                         (16, 2)):
+            for n in (0, 1, 2, 100, 10**4, 5 * 10**4, 10**5, 2 * 10**5,
+                      10**6, 10**7, 10**8, 10**9):
+                assert auto_blocks(n, bits=bits, max_hamming=mh) == \
+                    brute(n, bits, mh), (n, bits, mh)
