@@ -19,9 +19,16 @@ with two HARD invariants asserted regardless of the committed file:
 
 The counts are deterministic: testdata is generator-seeded (the driver
 verifies value-hashes across rounds), the census session mirrors
-tests/conftest.py, and the census reads the STATIC plan (AQE's runtime
-re-planning — stage reuse, SMJ->BHJ demotion — deliberately doesn't
-count; see the PLANS.md r12 note on static explain under-reporting
+tests/conftest.py, and the census reads the PRE-EXECUTION executedPlan
+(the AQE initial plan, ``AdaptiveSparkPlan isFinalPlan=false``). That
+stage is AFTER ``EnsureRequirements``, so required-distribution
+shuffles from joins/aggregations/windows ARE counted — r13 censused
+``sparkPlan()``, which runs BEFORE the preparation rules and therefore
+pinned ``shuffle: 0`` for shuffle-heavy queries (VERDICT r13 item 1;
+fixed r14). AQE's RUNTIME re-planning — stage reuse, SMJ->BHJ
+demotion, partition coalescing — still deliberately doesn't count:
+nothing is collected, so the initial plan is static and deterministic
+(see the PLANS.md r12 note on static explain under-reporting runtime
 reuse). After an intentional plan change, regenerate and commit:
 
     python tools/plan_census.py --write     # refresh tools/plan_census.json
@@ -54,8 +61,14 @@ _PATTERNS = {
 
 
 def census_of(df) -> dict[str, int]:
-    """Scale-relevant node counts of a DataFrame's static physical plan."""
-    s = df._jdf.queryExecution().sparkPlan().toString()
+    """Scale-relevant node counts of a DataFrame's pre-execution plan.
+
+    Reads ``executedPlan()`` WITHOUT executing anything: under AQE this
+    is the initial ``AdaptiveSparkPlan`` — post-``EnsureRequirements``
+    (required-distribution Exchanges visible) but pre-runtime-replan
+    (deterministic; no stats-driven stage mutation has happened yet).
+    """
+    s = df._jdf.queryExecution().executedPlan().toString()
     return {k: len(re.findall(p, s)) for k, p in _PATTERNS.items()}
 
 
