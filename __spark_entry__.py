@@ -66,12 +66,23 @@ _CHANGED_IN_ROUND = {
     # sf0.1 oracle sweep caught arbitrary winners among duplicate right
     # timestamps (13 flipped matches); ties now resolve to the largest
     # right-value tuple, oracle rewritten to the matching row_number
-    # form. The four queries below reach asof_join per
-    # tools/changed_queries.py.
-    "asof_latest_order": 13,
-    "asof_tolerance_match": 13,
-    "beat_edits_applied": 13,
-    "e4_ingest_aligned": 13,
+    # form. r14 re-edited asof_join (ADVICE r13: matched row carried as
+    # ONE struct payload so tied NULL values stay row-consistent; tie
+    # sort keys restricted to orderable types), so the same four queries
+    # jump the queue again — the r13 green attests the r13 bytes, not
+    # these. Bumping 13 -> 14 made the horizon-12 SURVEY block
+    # unreproducible by design; it was demoted per the documented
+    # procedure (markers stripped, kept as history).
+    "asof_latest_order": 14,
+    "asof_tolerance_match": 14,
+    "beat_edits_applied": 14,
+    "e4_ingest_aligned": 14,
+    # r14: operators/asof.py module-level taint (new _orderable helper +
+    # types import) reaches interp_join per tools/changed_queries.py;
+    # interp_join's own body is unchanged, but the conservative entry is
+    # free — order_value_interp is r11-tier and due at the window head
+    # anyway.
+    "order_value_interp": 14,
 }
 
 

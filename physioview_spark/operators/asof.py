@@ -17,6 +17,19 @@ it stays in Tungsten and AQE can still split skewed subjects.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort on this type (maps can't; containers are
+    orderable iff their elements are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -36,6 +49,15 @@ def asof_join(
     ``<on><suffix>`` (the matched key) — callers that need the reference's
     "un-fill" semantics (value only at the insertion row) can compare
     ``on`` equality afterwards.
+
+    Ties among right rows (duplicate ``on`` within a ``by`` group) break
+    deterministically toward the largest carried-value tuple, compared
+    over the ORDERABLE carried columns only (map-typed columns — which
+    Spark cannot sort — ride along in the payload but don't participate;
+    rows identical on every orderable carried column remain arbitrary
+    among themselves). All carried columns always come from the SAME
+    winning right row — including its NULLs — because the match is
+    carried as one struct, not per-column.
     """
     if isinstance(by, str):
         by = [by]
@@ -64,16 +86,32 @@ def asof_join(
     rhs_proj = [F.col(on)] + [F.col(c) for c in by] + [
         F.col(c).alias(f"{c}{suffix}") for c in right_cols
     ]
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
+    # Tie sort keys: only Spark-orderable carried types participate (a
+    # map-typed carried column raised AnalysisException in the r13
+    # per-column form — ADVICE r13); the matched-key column is a double,
+    # so the sort struct is never empty.
+    orderable_keys = [f"{c}{suffix}" for c in right_cols
+                      if _orderable(right.schema[c].dataType)]
+    orderable_keys.append(f"{on}{suffix}")
     rhs = (
         right.select(*rhs_proj)
         .withColumn("__side", F.lit(0))
         .withColumn("__k", key)
         .withColumn(f"{on}{suffix}", F.col("__k"))
+        # The whole matched row travels as ONE struct so every carried
+        # column — NULLs included — comes from the same winning right
+        # row (the r13 per-column last/first(ignorenulls) could mix
+        # tied rows when carried values were NULL — ADVICE r13).
+        .withColumn("__p", F.struct(*carried))
+        .withColumn("__s", F.struct(*orderable_keys))
+        .drop(*carried)
     )
-    tagged_cols = set(lhs.columns) | set(rhs.columns)
-    for c in tagged_cols:
-        if c not in lhs.columns:
-            lhs = lhs.withColumn(c, F.lit(None))
+    p_t = rhs.schema["__p"].dataType
+    s_t = rhs.schema["__s"].dataType
+    lhs = (lhs.withColumn("__p", F.lit(None).cast(p_t))
+              .withColumn("__s", F.lit(None).cast(s_t)))
+    for c in lhs.columns:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None))
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
@@ -83,31 +121,33 @@ def asof_join(
     # Ties AMONG right rows (duplicate `on` within a `by` group — routine
     # at scale: DATE-grained order timestamps give one customer several
     # same-day orders) are broken deterministically toward the LARGEST
-    # right-value tuple: without the extra sort keys the winning tied row
-    # is whatever task/partition order produced, and the same query can
-    # return different matches run-to-run (found by the sf0.1 oracle
-    # sweep, r13 — 13 flipped matches on 60k events).
-    carried = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
-    tie = [F.col(c) for c in carried]
+    # orderable-value tuple (struct comparison; NULL fields smallest):
+    # without the extra sort key the winning tied row is whatever
+    # task/partition order produced, and the same query can return
+    # different matches run-to-run (found by the sf0.1 oracle sweep,
+    # r13 — 13 flipped matches on 60k events).
     w_back = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__k"), F.col("__side"), *[c.asc_nulls_last()
-                                                  for c in tie])
+        .orderBy(F.col("__k"), F.col("__side"), F.col("__s").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
         Window.partitionBy(*by)
         .orderBy(F.col("__k"), F.col("__side").desc(),
-                 *[c.desc_nulls_last() for c in tie])
+                 F.col("__s").desc_nulls_last())
         .rowsBetween(0, Window.unboundedFollowing)
     )
     out = unioned
+    if direction in ("backward", "nearest"):
+        out = out.withColumn("__bp", F.last("__p", ignorenulls=True).over(w_back))
+    if direction in ("forward", "nearest"):
+        out = out.withColumn("__fp", F.first("__p", ignorenulls=True).over(w_fwd))
+    out = out.where(F.col("__side") == 1)
     for c in carried:
         if direction in ("backward", "nearest"):
-            out = out.withColumn(f"__b_{c}", F.last(c, ignorenulls=True).over(w_back))
+            out = out.withColumn(f"__b_{c}", F.col("__bp").getField(c))
         if direction in ("forward", "nearest"):
-            out = out.withColumn(f"__f_{c}", F.first(c, ignorenulls=True).over(w_fwd))
-    out = out.where(F.col("__side") == 1)
+            out = out.withColumn(f"__f_{c}", F.col("__fp").getField(c))
 
     if direction == "nearest":
         d_back = F.col("__k") - F.col(f"__b_{on}{suffix}")

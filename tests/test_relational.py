@@ -107,6 +107,37 @@ def test_asof_join_tie_break_deterministic(spark):
         assert near == {10.0: "q", 3.0: "z"}  # 12 is nearer 10 than 4
 
 
+def test_asof_join_map_typed_carried(spark):
+    """A map-typed carried column (Spark can't sort maps) must ride along
+    in the payload without joining the tie sort key — the r13 per-column
+    tie keys raised AnalysisException here (ADVICE r13)."""
+    left = spark.createDataFrame([("a", 10.0)], "k string, t double")
+    right = spark.createDataFrame(
+        [("a", 4.0, "x", {"s": 1}), ("a", 4.0, "y", {"s": 2})],
+        "k string, t double, v string, m map<string,int>")
+    row = asof_join(left, right.repartition(5), on="t", by="k",
+                    direction="backward").collect()[0]
+    # tie resolves on the orderable columns (v desc-of-asc-last => 'y');
+    # the map comes from the SAME winning row
+    assert row["v_r"] == "y" and row["m_r"] == {"s": 2}
+
+
+def test_asof_join_tied_nulls_row_consistent(spark):
+    """Tied right rows containing NULLs: every carried column must come
+    from the one winning row — NULLs included — not be mixed across tied
+    rows by per-column ignorenulls (ADVICE r13)."""
+    left = spark.createDataFrame([("a", 10.0)], "k string, t double")
+    right = spark.createDataFrame(
+        [("a", 4.0, "m", "filled"), ("a", 4.0, "z", None)],
+        "k string, t double, v string, u string")
+    for _ in range(3):
+        row = asof_join(left, right.repartition(7), on="t", by="k",
+                        direction="backward").collect()[0]
+        # winner is the largest orderable tuple ('z', NULL); its NULL u
+        # must NOT be backfilled from the losing ('m', 'filled') row
+        assert row["v_r"] == "z" and row["u_r"] is None
+
+
 def test_interval_and_spans(spark):
     pts = spark.createDataFrame(
         [("s1", i) for i in range(10)], "subject_id string, sample_idx long"
