@@ -494,6 +494,15 @@ def hamming_banded_pairs(
     shallow near the crossover) to skip the one extra ``sig.count()``
     job auto otherwise runs; explicit ``blocks`` tuples and ``None``
     never count.
+
+    .. warning:: ``blocks='auto'`` WITHOUT ``approx_count`` makes plan
+       CONSTRUCTION eager: the gear choice needs N, so building (not
+       executing) the DataFrame triggers a ``sig.count()`` Spark job.
+       The gear cannot be deferred to execution time — the physical
+       plan's shape (table count, key width) depends on it. Code paths
+       that must stay lazy — the declared registry queries, the plan
+       census, anything that only ``explain()``s — pass an explicit
+       gear or an ``approx_count`` (ADVICE r13).
     """
     if blocks == "auto":
         n = approx_count if approx_count is not None else sig.count()

@@ -190,6 +190,34 @@ def test_rotation_report_classification(monkeypatch):
     assert "50 slots" in window_line
 
 
+def test_changed_queries_docstring_stripping():
+    """A docstring-only reword must NOT read as a behavioral change —
+    docstrings are AST nodes (plain ast.dump equality fails) but never
+    affect computation, so a prior green still attests the bytes (r14:
+    a hamming_banded_pairs docstring note would otherwise re-attest all
+    five reachers). A real code change must still differ after
+    stripping."""
+    import ast
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from changed_queries import _strip_docstrings
+
+    def norm(src):
+        return ast.dump(_strip_docstrings(ast.parse(src)))
+
+    old = '"""mod doc."""\ndef f(x):\n    """v1."""\n    return x + 1\n'
+    doc = '"""mod doc v2."""\ndef f(x):\n    """v2, longer."""\n    return x + 1\n'
+    beh = '"""mod doc."""\ndef f(x):\n    """v1."""\n    return x + 2\n'
+    only_doc = 'def g():\n    """docstring-only body."""\n'
+    assert norm(old) == norm(doc)          # doc reword -> DOC-ONLY
+    assert norm(old) != norm(beh)          # code change stays visible
+    assert ast.dump(ast.parse(old)) != ast.dump(ast.parse(doc))
+    norm(only_doc)                         # empty body gets a Pass, no crash
+
+
 def test_changed_queries_reachability_ground_truth():
     """tools/changed_queries.py mechanizes the _CHANGED_IN_ROUND audit
     at function granularity. Pin its name-level reachability against
