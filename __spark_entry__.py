@@ -83,6 +83,15 @@ _CHANGED_IN_ROUND = {
     # free — order_value_interp is r11-tier and due at the window head
     # anyway.
     "order_value_interp": 14,
+    # r14: A11 closed — flirt's `stat` HRV domain added (VERDICT r13
+    # item 3): 16 nni_* statistical features in kernels_hrv.py, the
+    # declared projection widened by seven of them, fixture oracle
+    # regenerated via tools/make_fixture_oracles.py.
+    "kernel_hrv_features": 14,
+    # r14: A12 closed — skewness/kurtosis added to compute_eda_features
+    # (VERDICT r13 item 4); oracle recomputes the population moments
+    # two-pass (DuckDB's skewness/kurtosis are sample-corrected).
+    "eda_rolling_features": 14,
 }
 
 

@@ -10,6 +10,16 @@ here, so the standard published feature set is computed directly:
 - frequency domain: VLF/LF/HF power, LF/HF ratio, peaks, relative and
   normalized powers — Welch periodogram on the 4 Hz-resampled NN series
 - nonlinear: Poincaré sd1/sd2, ratio, ellipse area
+- stat domain (flirt's fourth domain, ``domains=['td','fd','nl','stat']``
+  at reference physioview/physioview.py:1082): the generic statistical
+  feature set flirt's ``get_stats`` applies to the NN series —
+  skewness/kurtosis (scipy-default biased/Fisher forms), percentiles
+  (5/95, IQR, 5-95 spread), energy/RMS/line integral, counts above/
+  below mean and mean-crossing sign changes, strict local-max peak
+  count, and three entropies (Shannon over value multiplicities in
+  nats; permutation and SVD entropies, order 3 / delay 1, normalized,
+  in bits). Duplicates of td features (mean/std/min/max/ptp/sum) are
+  NOT re-emitted under second names.
 
 Runs as a grouped kernel over (subject, window) inside applyInPandas.
 """
@@ -127,17 +137,112 @@ def hrv_nonlinear(nn_ms: np.ndarray) -> dict:
     }
 
 
+def _perm_entropy(x: np.ndarray, order: int = 3, delay: int = 1) -> float:
+    """Permutation entropy (Bandt-Pompe), normalized to [0, 1] by
+    log2(order!) — the antropy/flirt default (order=3, delay=1)."""
+    n = len(x) - (order - 1) * delay
+    if n < 1:
+        return float("nan")
+    emb = np.empty((n, order))
+    for i in range(order):
+        emb[:, i] = x[i * delay: i * delay + n]
+    # ranks of each embedded vector -> base-`order` pattern id (vectorized)
+    ranks = np.argsort(emb, axis=1, kind="stable")
+    ids = ranks @ (order ** np.arange(order))
+    _, counts = np.unique(ids, return_counts=True)
+    p = counts / counts.sum()
+    h = -np.sum(p * np.log2(p))
+    from math import factorial
+    return float(h / np.log2(factorial(order)))
+
+
+def _svd_entropy(x: np.ndarray, order: int = 3, delay: int = 1) -> float:
+    """SVD entropy of the delay-embedding matrix, normalized by
+    log2(order) — the antropy/flirt default (order=3, delay=1)."""
+    n = len(x) - (order - 1) * delay
+    if n < 1:
+        return float("nan")
+    emb = np.empty((n, order))
+    for i in range(order):
+        emb[:, i] = x[i * delay: i * delay + n]
+    s = np.linalg.svd(emb, compute_uv=False)
+    tot = s.sum()
+    if tot <= 0:
+        return float("nan")
+    p = s / tot
+    p = p[p > 0]
+    return float(-np.sum(p * np.log2(p)) / np.log2(order))
+
+
+def hrv_stat_domain(nn_ms: np.ndarray) -> dict:
+    """flirt's ``stat`` domain over the NN series (non-duplicative
+    subset — mean/std/min/max/range already ship from the td domain).
+
+    Closed forms match the scipy defaults flirt calls: skewness is the
+    biased Fisher-Pearson g1 = m3 / m2^1.5, kurtosis the biased excess
+    g2 = m4 / m2^2 - 3 (both NaN on a constant window, like scipy);
+    percentiles are NumPy's linear-interpolation quantiles; entropy is
+    Shannon over unique-value multiplicities in nats (flirt feeds
+    ``np.unique`` counts to ``scipy.stats.entropy``); peaks counts
+    strict local maxima (plateaus excluded)."""
+    nn = np.asarray(nn_ms, dtype=float)
+    nn = nn[~np.isnan(nn)]
+    if len(nn) < 2:
+        return {}
+    mu = float(np.mean(nn))
+    d = nn - mu
+    m2 = float(np.mean(d ** 2))
+    p5, p25, p75, p95 = (float(v) for v in
+                         np.percentile(nn, [5.0, 25.0, 75.0, 95.0]))
+    diff = np.diff(nn)
+    centered = d[d != 0.0]  # zeros sit ON the mean: no sign to change
+    _, counts = np.unique(nn, return_counts=True)
+    pv = counts / counts.sum()
+    interior = nn[1:-1]
+    peaks = int(np.sum((interior > nn[:-2]) & (interior > nn[2:]))) \
+        if len(nn) >= 3 else 0
+    return {
+        "nni_skewness": float(np.mean(d ** 3) / m2 ** 1.5)
+        if m2 > 0 else np.nan,
+        "nni_kurtosis": float(np.mean(d ** 4) / m2 ** 2 - 3.0)
+        if m2 > 0 else np.nan,
+        "nni_pct_5": p5,
+        "nni_pct_95": p95,
+        "nni_iqr": p75 - p25,
+        "nni_iqr_5_95": p95 - p5,
+        "nni_energy": float(np.sum(nn ** 2)),
+        "nni_rms": float(np.sqrt(np.mean(nn ** 2))),
+        "nni_lineintegral": float(np.sum(np.abs(diff))),
+        "nni_n_above_mean": float(np.sum(nn > mu)),
+        "nni_n_below_mean": float(np.sum(nn < mu)),
+        "nni_n_sign_changes": float(
+            np.sum(np.diff(np.sign(centered)) != 0)),
+        "nni_peaks": float(peaks),
+        "nni_entropy": float(-np.sum(pv * np.log(pv))),
+        "nni_perm_entropy": _perm_entropy(nn),
+        "nni_svd_entropy": _svd_entropy(nn),
+    }
+
+
 FEATURE_NAMES = [
     "num_ibis", "mean_nni", "median_nni", "range_nni", "sdnn", "rmssd",
     "sdsd", "nni_50", "pnni_50", "nni_20", "pnni_20", "cvsd", "cvnni",
     "mean_hr", "min_hr", "max_hr", "std_hr",
     "vlf", "lf", "hf", "total_power", "lf_hf_ratio", "lfnu", "hfnu",
     "lf_peak", "hf_peak", "sd1", "sd2", "sd1_sd2_ratio", "ellipse_area",
+    "nni_skewness", "nni_kurtosis", "nni_pct_5", "nni_pct_95",
+    "nni_iqr", "nni_iqr_5_95", "nni_energy", "nni_rms",
+    "nni_lineintegral", "nni_n_above_mean", "nni_n_below_mean",
+    "nni_n_sign_changes", "nni_peaks", "nni_entropy",
+    "nni_perm_entropy", "nni_svd_entropy",
 ]
 
 
-def hrv_features(nn_ms: np.ndarray, domains=("td", "fd", "nl")) -> dict:
-    """All-domain feature dict with a stable key set (NaN for missing)."""
+def hrv_features(nn_ms: np.ndarray,
+                 domains=("td", "fd", "nl", "stat")) -> dict:
+    """All-domain feature dict with a stable key set (NaN for missing).
+    Default domains mirror the reference's flirt call
+    (physioview/physioview.py:1082: ['td','fd','nl','stat'])."""
     out = {k: np.nan for k in FEATURE_NAMES}
     if "td" in domains:
         out.update(hrv_time_domain(nn_ms))
@@ -145,4 +250,6 @@ def hrv_features(nn_ms: np.ndarray, domains=("td", "fd", "nl")) -> dict:
         out.update(hrv_frequency_domain(nn_ms))
     if "nl" in domains:
         out.update(hrv_nonlinear(nn_ms))
+    if "stat" in domains:
+        out.update(hrv_stat_domain(nn_ms))
     return out

@@ -201,8 +201,12 @@ def compute_eda_features(
     Spark-first: a flirt-style feature set that is pure relational window
     aggregation — mean/std/min/max/range/rms/sum/count, linear trend
     (``regr_slope`` on seconds-since-epoch), IQR and 5/95 percentiles via
-    exact interpolated ``percentile`` — over ``F.window`` sliding windows.
-    No UDF: one shuffle per feature frame, streaming-ready verbatim.
+    exact interpolated ``percentile``, and skewness/kurtosis (the
+    reference's flirt set includes both, pipeline/EDA.py:451-482; Spark's
+    built-ins are the POPULATION forms — biased g1 and excess g2, NaN on
+    a constant window — added r14, VERDICT r13 item 4) — over
+    ``F.window`` sliding windows. No UDF: one shuffle per feature frame,
+    streaming-ready verbatim.
     """
     # whole-second trend axis: slope per second, robust to sub-second
     # jitter in the sample timestamps
@@ -230,12 +234,14 @@ def compute_eda_features(
             .alias(f"{c}_iqr"),
             F.percentile(v, F.lit(0.05)).alias(f"{c}_pct05"),
             F.percentile(v, F.lit(0.95)).alias(f"{c}_pct95"),
+            F.skewness(v).alias(f"{c}_skewness"),
+            F.kurtosis(v).alias(f"{c}_kurtosis"),
         ]
     feat_cols = [a for a in (
         f for c in value_cols for f in (
             f"{c}_mean", f"{c}_std", f"{c}_min", f"{c}_max", f"{c}_range",
             f"{c}_rms", f"{c}_sum", f"{c}_slope", f"{c}_iqr",
-            f"{c}_pct05", f"{c}_pct95",
+            f"{c}_pct05", f"{c}_pct95", f"{c}_skewness", f"{c}_kurtosis",
         ))]
     return (
         df.groupBy("subject_id", "__w")

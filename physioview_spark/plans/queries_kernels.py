@@ -149,7 +149,9 @@ def kernel_beat_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("kernel_hrv_features")
 def kernel_hrv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 HRV features over sliding windows of detected beats on
-    synthetic ECG (time + frequency + nonlinear domains)."""
+    synthetic ECG — all four flirt domains (time + frequency +
+    nonlinear + stat, matching the reference's domains list at
+    physioview/physioview.py:1082; the stat columns landed r14)."""
     from physioview_spark.functions.spark_kernels import annotate_cardiac, compute_hrv
 
     df = _synth_frame(spark, "ecg", fs=250.0, duration=120.0, subjects=1)
@@ -160,7 +162,9 @@ def kernel_hrv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subject_id", "window_id",
         *[F.round(F.col(c), 4).alias(c) for c in
           ["num_ibis", "mean_nni", "sdnn", "rmssd", "pnni_50", "mean_hr",
-           "lf", "hf", "sd1", "sd2"]],
+           "lf", "hf", "sd1", "sd2",
+           "nni_skewness", "nni_kurtosis", "nni_pct_5", "nni_pct_95",
+           "nni_iqr", "nni_entropy", "nni_perm_entropy"]],
     ).orderBy("subject_id", "window_id")
 
 

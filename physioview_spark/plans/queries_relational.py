@@ -684,11 +684,10 @@ WITH s AS (
   FROM s, LATERAL (SELECT UNNEST(generate_series(
          CAST(FLOOR((sec - 180 + 60) / 60) AS BIGINT),
          CAST(FLOOR(sec / 60.0) AS BIGINT))) AS w) gs
-)
-SELECT subject_id,
-       CAST(w * 60 AS BIGINT) AS window_start_epoch,
+), g AS (
+SELECT subject_id, w,
        COUNT(*) AS n,
-       ROUND(AVG(value), 6) AS v_mean,
+       AVG(value) AS mu,
        ROUND(STDDEV_SAMP(value), 6) AS v_std,
        ROUND(MIN(value), 6) AS v_min,
        ROUND(MAX(value), 6) AS v_max,
@@ -700,11 +699,33 @@ SELECT subject_id,
        ROUND(QUANTILE_CONT(value, 0.05), 6) AS v_pct05,
        ROUND(QUANTILE_CONT(value, 0.95), 6) AS v_pct95
 FROM x GROUP BY subject_id, w
+), m AS (
+-- Spark's skewness/kurtosis are the POPULATION forms (biased g1,
+-- excess g2); DuckDB's are sample-corrected, so recompute from
+-- two-pass central moments instead of un-correcting
+SELECT x.subject_id, x.w,
+       AVG(POW(x.value - g.mu, 2)) AS m2,
+       AVG(POW(x.value - g.mu, 3)) AS m3,
+       AVG(POW(x.value - g.mu, 4)) AS m4
+FROM x JOIN g USING (subject_id, w)
+GROUP BY x.subject_id, x.w
+)
+SELECT g.subject_id,
+       CAST(g.w * 60 AS BIGINT) AS window_start_epoch,
+       g.n, ROUND(g.mu, 6) AS v_mean,
+       g.v_std, g.v_min, g.v_max, g.v_range, g.v_rms, g.v_slope,
+       g.v_iqr, g.v_pct05, g.v_pct95,
+       CASE WHEN m.m2 > 0
+            THEN ROUND(m.m3 / POW(m.m2, 1.5), 6) END AS v_skewness,
+       CASE WHEN m.m2 > 0
+            THEN ROUND(m.m4 / (m.m2 * m.m2) - 3.0, 6) END AS v_kurtosis
+FROM g JOIN m USING (subject_id, w)
 """)
 def eda_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 compute_eda_features: flirt-style statistical features over
     180 s / 60 s sliding windows, fully relational (mean/std/min/max/
-    range/rms/slope/IQR/percentiles via window aggregation — no UDF)."""
+    range/rms/slope/IQR/percentiles/skewness/kurtosis via window
+    aggregation — no UDF; skew/kurt landed r14, VERDICT r13 item 4)."""
     from physioview_spark.operators.eda_metrics import compute_eda_features
 
     ev = read(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
@@ -713,6 +734,11 @@ def eda_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = compute_eda_features(
         s, value_cols=["value"], window_seconds=180, step_seconds=60)
     r6 = lambda c: F.round(F.col(c), 6).alias(c.replace("value_", "v_"))  # noqa: E731
+    # Spark emits NaN for the moments of a constant window; the oracle's
+    # guarded CASE emits NULL — align on NULL
+    nn = lambda c: F.round(  # noqa: E731
+        F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)), 6
+    ).alias(c.replace("value_", "v_"))
     return out.select(
         "subject_id",
         epoch_s(F.col("window_start")).alias("window_start_epoch"),
@@ -720,6 +746,7 @@ def eda_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("value_mean"), r6("value_std"), r6("value_min"), r6("value_max"),
         r6("value_range"), r6("value_rms"), r6("value_slope"),
         r6("value_iqr"), r6("value_pct05"), r6("value_pct95"),
+        nn("value_skewness"), nn("value_kurtosis"),
     ).drop("value_sum")
 
 

@@ -217,6 +217,36 @@ class TestA12Features:
         assert abs(row["phasic_range"]
                    - (179.0 / 359.0 - row["phasic_min"] * 0)) < 1.0
 
+    def test_skewness_kurtosis_population_forms(self, spark):
+        """A12 skew/kurt (flirt's set includes both — VERDICT r13
+        item 4): Spark's built-ins are the POPULATION forms; pin them
+        against NumPy standardized moments, and a constant window
+        yields NaN (like scipy on zero variance)."""
+        from physioview_spark.operators.eda_metrics import (
+            compute_eda_features,
+        )
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        n = 180
+        rng = np.random.default_rng(11)
+        vals = 2.0 + 0.5 * rng.standard_normal(n) + 0.3 * np.sin(
+            np.arange(n) / 9.0)
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(n)],
+            "phasic": vals,
+            "tonic": np.full(n, 5.0),
+        })
+        out = compute_eda_features(
+            spark.createDataFrame(pdf), value_cols=["phasic", "tonic"],
+            window_seconds=180, step_seconds=60).toPandas()
+        row = out[out["n"] == 180].iloc[0]
+        z = (vals - vals.mean()) / vals.std()  # population std
+        assert abs(row["phasic_skewness"] - np.mean(z ** 3)) < 1e-9
+        assert abs(row["phasic_kurtosis"] - (np.mean(z ** 4) - 3.0)) < 1e-9
+        assert np.isnan(row["tonic_skewness"])
+        assert np.isnan(row["tonic_kurtosis"])
+
 
 class TestHaloChunkedKernels:
     def test_chunked_equals_whole_recording(self, spark):

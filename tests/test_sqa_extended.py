@@ -154,6 +154,52 @@ class TestHRV:
         assert f2["sd2"] == pytest.approx(sd2, rel=1e-12)
         assert f2["ellipse_area"] == pytest.approx(np.pi * sd1 * sd2, rel=1e-12)
 
+    def test_stat_domain_closed_forms(self):
+        """A11 stat-domain parity (flirt's fourth domain — VERDICT r13
+        item 3): every feature cross-checked against an INDEPENDENT
+        formulation — standardized moments for skew/kurt, quantile for
+        IQR, brute-force Bandt-Pompe pattern census for permutation
+        entropy, ln(n) for the all-distinct Shannon entropy."""
+        rng = np.random.default_rng(7)
+        nn = 800 + 50 * rng.standard_normal(120)
+        f = hrv_features(nn, domains=("stat",))
+        z = (nn - nn.mean()) / nn.std()
+        assert f["nni_skewness"] == pytest.approx(np.mean(z ** 3), rel=1e-9)
+        assert f["nni_kurtosis"] == pytest.approx(
+            np.mean(z ** 4) - 3.0, rel=1e-9)
+        assert f["nni_iqr"] == pytest.approx(
+            np.quantile(nn, 0.75) - np.quantile(nn, 0.25), rel=1e-12)
+        assert f["nni_iqr_5_95"] == pytest.approx(
+            np.quantile(nn, 0.95) - np.quantile(nn, 0.05), rel=1e-12)
+        assert f["nni_rms"] == pytest.approx(
+            np.sqrt(np.mean(nn ** 2)), rel=1e-12)
+        assert f["nni_energy"] == pytest.approx(np.sum(nn ** 2), rel=1e-12)
+        assert f["nni_lineintegral"] == pytest.approx(
+            np.sum(np.abs(np.diff(nn))), rel=1e-12)
+        assert f["nni_n_above_mean"] + f["nni_n_below_mean"] == len(nn)
+        # all values distinct -> Shannon entropy over multiplicities = ln n
+        assert f["nni_entropy"] == pytest.approx(np.log(len(nn)), rel=1e-12)
+        # brute-force Bandt-Pompe census (order 3, delay 1)
+        pats: dict = {}
+        for i in range(len(nn) - 2):
+            key = tuple(np.argsort(nn[i:i + 3], kind="stable"))
+            pats[key] = pats.get(key, 0) + 1
+        p = np.array(list(pats.values()), float)
+        p /= p.sum()
+        pe = float(-(p * np.log2(p)).sum() / np.log2(6))
+        assert f["nni_perm_entropy"] == pytest.approx(pe, rel=1e-12)
+        # svd entropy: rank-1 embedding of a constant-slope line has
+        # one dominant singular value -> entropy near 0; noise > line
+        line = hrv_features(np.linspace(700, 900, 60), domains=("stat",))
+        assert line["nni_svd_entropy"] < f["nni_svd_entropy"]
+        # constant window: moments undefined (NaN, like scipy), zero
+        # line integral, no sign changes, single-value entropy = 0
+        c = hrv_features(np.full(50, 800.0), domains=("stat",))
+        assert np.isnan(c["nni_skewness"]) and np.isnan(c["nni_kurtosis"])
+        assert c["nni_lineintegral"] == 0.0
+        assert c["nni_n_sign_changes"] == 0.0
+        assert c["nni_entropy"] == 0.0
+
 
 class TestEDAMetrics:
     def test_kleckner_rules(self, spark):
