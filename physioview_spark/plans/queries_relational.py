@@ -715,10 +715,12 @@ SELECT g.subject_id,
        g.n, ROUND(g.mu, 6) AS v_mean,
        g.v_std, g.v_min, g.v_max, g.v_range, g.v_rms, g.v_slope,
        g.v_iqr, g.v_pct05, g.v_pct95,
+       -- + 0.0 canonicalizes IEEE -0.0 (a symmetric two-point window's
+       -- m3 rounds to -0.0 under the two-pass form; Spark emits +0.0)
        CASE WHEN m.m2 > 0
-            THEN ROUND(m.m3 / POW(m.m2, 1.5), 6) END AS v_skewness,
+            THEN ROUND(m.m3 / POW(m.m2, 1.5), 6) + 0.0 END AS v_skewness,
        CASE WHEN m.m2 > 0
-            THEN ROUND(m.m4 / (m.m2 * m.m2) - 3.0, 6) END AS v_kurtosis
+            THEN ROUND(m.m4 / (m.m2 * m.m2) - 3.0, 6) + 0.0 END AS v_kurtosis
 FROM g JOIN m USING (subject_id, w)
 """)
 def eda_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,10 +737,13 @@ def eda_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, value_cols=["value"], window_seconds=180, step_seconds=60)
     r6 = lambda c: F.round(F.col(c), 6).alias(c.replace("value_", "v_"))  # noqa: E731
     # Spark emits NaN for the moments of a constant window; the oracle's
-    # guarded CASE emits NULL — align on NULL
-    nn = lambda c: F.round(  # noqa: E731
+    # guarded CASE emits NULL — align on NULL. + 0.0 canonicalizes any
+    # IEEE -0.0 (both engines can round a tiny negative m3 to -0.0; the
+    # driver's string canonicalizer distinguishes the two — caught by
+    # the r14 sf0.1 sweep, 3 rows)
+    nn = lambda c: (F.round(  # noqa: E731
         F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)), 6
-    ).alias(c.replace("value_", "v_"))
+    ) + F.lit(0.0)).alias(c.replace("value_", "v_"))
     return out.select(
         "subject_id",
         epoch_s(F.col("window_start")).alias("window_start_epoch"),
