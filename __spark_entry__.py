@@ -92,6 +92,13 @@ _CHANGED_IN_ROUND = {
     # (VERDICT r13 item 4); oracle recomputes the population moments
     # two-pass (DuckDB's skewness/kurtosis are sample-corrected).
     "eda_rolling_features": 14,
+    # r14: EDF+ annotations support (sources/edf.py) — read_edf_bytes
+    # now EXCLUDES 'EDF Annotations' channels from the signal list
+    # (they are ASCII TALs, not int16 samples; scaling them yields
+    # garbage) and read_edf_annotations/load_annotations parse them.
+    # Identical output for annotation-less files (pytest-pinned), but
+    # the reached bytes changed.
+    "edf_ingest_channels": 14,
 }
 
 

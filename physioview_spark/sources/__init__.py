@@ -6,8 +6,9 @@ from physioview_spark.sources.csv import (
     infer_unix_unit, load_signal_csv, write_stage,
 )
 from physioview_spark.sources.edf import (
-    get_channel_fs, load_actiwave, parse_edf_header, probe_actiwave_fs,
-    read_edf_bytes, write_edf_bytes,
+    get_channel_fs, load_actiwave, load_annotations, parse_edf_header,
+    probe_actiwave_fs, read_edf_annotations, read_edf_bytes,
+    write_edf_bytes,
 )
 from physioview_spark.sources.empatica import (
     align_hrv, load_empatica, probe_empatica_fs, write_e4_zip,
@@ -23,8 +24,9 @@ from physioview_spark.sources.jsonl import (
 
 __all__ = [
     "infer_unix_unit", "load_signal_csv", "write_stage",
-    "get_channel_fs", "load_actiwave", "parse_edf_header",
-    "probe_actiwave_fs", "read_edf_bytes", "write_edf_bytes",
+    "get_channel_fs", "load_actiwave", "load_annotations",
+    "parse_edf_header", "probe_actiwave_fs", "read_edf_annotations",
+    "read_edf_bytes", "write_edf_bytes",
     "align_hrv", "load_empatica", "probe_empatica_fs", "write_e4_zip",
     "EDIT_SCHEMA", "process_beat_edits", "read_beat_edits",
     "write_beat_editor_json",

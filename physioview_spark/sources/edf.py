@@ -71,8 +71,16 @@ def parse_edf_header(payload: bytes):
     return header, sig_meta
 
 
+_ANNOTATION_LABEL = "EDF Annotations"
+
+
 def read_edf_bytes(payload: bytes):
-    """Decode an EDF file: returns (header dict, list of signal dicts)."""
+    """Decode an EDF file: returns (header dict, list of signal dicts).
+
+    EDF+ annotations channels (label ``EDF Annotations``) hold ASCII
+    TALs, not int16 samples — they are EXCLUDED from the signal list
+    (scaling them as physical data yields garbage); read them with
+    :func:`read_edf_annotations`."""
     header, sig_meta = parse_edf_header(payload)
     data = np.frombuffer(payload[header["header_bytes"]:], dtype="<i2")
     spr = [m["spr"] for m in sig_meta]
@@ -87,6 +95,8 @@ def read_edf_bytes(payload: bytes):
     for m in sig_meta:
         dig = data[:, offset: offset + m["spr"]].reshape(-1).astype(np.float64)
         offset += m["spr"]
+        if m["label"] == _ANNOTATION_LABEL:
+            continue
         scale = ((m["phys_max"] - m["phys_min"])
                  / (m["dig_max"] - m["dig_min"]))
         phys = m["phys_min"] + (dig - m["dig_min"]) * scale
@@ -99,12 +109,91 @@ def read_edf_bytes(payload: bytes):
     return header, signals
 
 
-def write_edf_bytes(signals: list[dict], record_duration: float = 1.0) -> bytes:
+def read_edf_annotations(payload: bytes) -> list[dict]:
+    """Parse EDF+ TALs (Time-stamped Annotation Lists) out of every
+    ``EDF Annotations`` channel: returns
+    ``[{onset_s, duration_s | None, annotation}, ...]`` in file order.
+
+    Format (EDF+ spec, Kemp & Olivan 2003 — public): the annotations
+    channel's "samples" are raw ASCII; each TAL is
+    ``+onset[\\x15duration]\\x14text\\x14...\\x14\\x00``; each record
+    leads with a text-less timekeeping TAL (``+T\\x14\\x14``), which is
+    skipped here. pyedflib's ``readAnnotations`` — what the reference
+    would see through its EDF stack — exposes the same triple."""
+    header, sig_meta = parse_edf_header(payload)
+    spr = [m["spr"] for m in sig_meta]
+    rec_len_bytes = 2 * sum(spr)
+    n_rec = header["n_records"]
+    body = payload[header["header_bytes"]:]
+    if n_rec < 0:
+        n_rec = len(body) // rec_len_bytes
+
+    out: list[dict] = []
+    for rec in range(n_rec):
+        base = rec * rec_len_bytes
+        off = 0
+        for m in sig_meta:
+            nbytes = 2 * m["spr"]
+            if m["label"] == _ANNOTATION_LABEL:
+                chunk = body[base + off: base + off + nbytes]
+                for tal in chunk.split(b"\x00"):
+                    if not tal:
+                        continue
+                    fields = tal.split(b"\x14")
+                    head = fields[0]
+                    texts = [t for t in fields[1:] if t]
+                    if not texts:
+                        continue  # timekeeping TAL
+                    if b"\x15" in head:
+                        onset_b, dur_b = head.split(b"\x15", 1)
+                        duration = float(dur_b)
+                    else:
+                        onset_b, duration = head, None
+                    onset = float(onset_b)
+                    for t in texts:
+                        out.append({
+                            "onset_s": onset,
+                            "duration_s": duration,
+                            "annotation": t.decode("utf-8",
+                                                   errors="replace"),
+                        })
+            off += nbytes
+    return out
+
+
+def write_edf_bytes(signals: list[dict], record_duration: float = 1.0,
+                    annotations: list[tuple] | None = None) -> bytes:
     """Minimal EDF writer (test fixtures): each signal dict needs
-    label/fs/data; physical range is taken from the data."""
+    label/fs/data; physical range is taken from the data.
+
+    ``annotations``: optional ``(onset_s, duration_s | None, text)``
+    triples — written as a proper EDF+ ``EDF Annotations`` channel
+    (TALs per data record, timekeeping TAL leading each record,
+    ``EDF+C`` reserved marker), readable by pyedflib and by
+    :func:`read_edf_annotations`."""
     n_records = int(min(len(s["data"]) / (s["fs"] * record_duration)
                         for s in signals))
-    ns = len(signals)
+
+    ann_chunks: list[bytes] = []
+    if annotations is not None:
+        per_rec: list[list[tuple]] = [[] for _ in range(n_records)]
+        for onset, duration, text in annotations:
+            r = min(n_records - 1,
+                    max(0, int(onset // record_duration)))
+            per_rec[r].append((onset, duration, text))
+        for r in range(n_records):
+            chunk = f"+{r * record_duration:g}".encode() + b"\x14\x14\x00"
+            for onset, duration, text in per_rec[r]:
+                tal = f"+{onset:g}".encode()
+                if duration is not None:
+                    tal += b"\x15" + f"{duration:g}".encode()
+                tal += b"\x14" + text.encode("utf-8") + b"\x14\x00"
+                chunk += tal
+            ann_chunks.append(chunk)
+        ann_bytes = max(len(c) for c in ann_chunks)
+        ann_bytes += ann_bytes % 2  # int16-sized "samples"
+        ann_chunks = [c.ljust(ann_bytes, b"\x00") for c in ann_chunks]
+    ns = len(signals) + (1 if annotations is not None else 0)
 
     def pad(s, n):
         return str(s)[:n].ljust(n).encode("ascii")
@@ -117,7 +206,7 @@ def write_edf_bytes(signals: list[dict], record_duration: float = 1.0) -> bytes:
     buf.write(pad("01.01.24", 8))
     buf.write(pad("00.00.00", 8))
     buf.write(pad(header_bytes, 8))
-    buf.write(pad("", 44))
+    buf.write(pad("EDF+C" if annotations is not None else "", 44))
     buf.write(pad(n_records, 8))
     buf.write(pad(record_duration, 8))
     buf.write(pad(ns, 4))
@@ -129,12 +218,20 @@ def write_edf_bytes(signals: list[dict], record_duration: float = 1.0) -> bytes:
         if pmin == pmax:
             pmax = pmin + 1.0
         metas.append((pmin, pmax, -32768, 32767, int(s["fs"] * record_duration)))
-    for s in signals:
-        buf.write(pad(s["label"], 16))
-    for s in signals:
+    # the annotations channel rides the same per-signal header arrays
+    # with the spec's fixed ranges and its TAL byte budget as spr
+    labels = [s["label"] for s in signals]
+    dims = [s.get("dim", "mV") for s in signals]
+    if annotations is not None:
+        labels.append(_ANNOTATION_LABEL)
+        dims.append("")
+        metas.append((-1.0, 1.0, -32768, 32767, len(ann_chunks[0]) // 2))
+    for lb in labels:
+        buf.write(pad(lb, 16))
+    for _ in range(ns):
         buf.write(pad("", 80))
-    for s in signals:
-        buf.write(pad(s.get("dim", "mV"), 8))
+    for dm in dims:
+        buf.write(pad(dm, 8))
     for (pmin, _, _, _, _) in metas:
         buf.write(pad(f"{pmin:.3f}"[:8], 8))
     for (_, pmax, _, _, _) in metas:
@@ -143,11 +240,11 @@ def write_edf_bytes(signals: list[dict], record_duration: float = 1.0) -> bytes:
         buf.write(pad(dmin, 8))
     for (_, _, _, dmax, _) in metas:
         buf.write(pad(dmax, 8))
-    for s in signals:
+    for _ in range(ns):
         buf.write(pad("", 80))
     for (_, _, _, _, n) in metas:
         buf.write(pad(n, 8))
-    for s in signals:
+    for _ in range(ns):
         buf.write(pad("", 32))
 
     for r in range(n_records):
@@ -155,6 +252,8 @@ def write_edf_bytes(signals: list[dict], record_duration: float = 1.0) -> bytes:
             seg = np.asarray(s["data"][r * n: (r + 1) * n], dtype=np.float64)
             dig = (seg - pmin) / (pmax - pmin) * (dmax - dmin) + dmin
             buf.write(np.round(dig).astype("<i2").tobytes())
+        if annotations is not None:
+            buf.write(ann_chunks[r])
     return buf.getvalue()
 
 
@@ -264,6 +363,39 @@ def load_actiwave(
         "ecg": files.mapInPandas(_decode_ecg, _ECG_SCHEMA),
         "acc": files.mapInPandas(_decode_acc, _ACC_SCHEMA),
     }
+
+
+_ANN_SCHEMA = ("subject_id string, onset_s double, duration_s double, "
+               "annotation string")
+
+
+def _decode_annotations(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            subject = row["path"].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            anns = read_edf_annotations(bytes(row["content"]))
+            if not anns:
+                continue
+            yield pd.DataFrame({
+                "subject_id": np.repeat(subject, len(anns)),
+                "onset_s": [a["onset_s"] for a in anns],
+                "duration_s": [a["duration_s"] for a in anns],
+                "annotation": [a["annotation"] for a in anns],
+            })
+
+
+def load_annotations(spark: SparkSession, path: str) -> DataFrame:
+    """EDF+ annotations (TALs) -> one row per annotation:
+    ``(subject_id, onset_s, duration_s, annotation)`` — the triple
+    pyedflib's ``readAnnotations`` returns through the reference's EDF
+    stack. Same distribution shape as :func:`load_actiwave`:
+    ``binaryFile`` file-per-task + ``mapInPandas`` (annotations are
+    sparse, so output rows are tiny next to the signal frames)."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content")
+    return files.mapInPandas(_decode_annotations, _ANN_SCHEMA)
 
 
 def get_channel_fs(payload: bytes, label_substring: str) -> float | None:
