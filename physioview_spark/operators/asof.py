@@ -87,6 +87,11 @@ def asof_join(
         F.col(c).alias(f"{c}{suffix}") for c in right_cols
     ]
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
+    clash = [n for n in carried if n in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {clash} collide with left-side "
+            f"columns; pass a different suffix= (got {suffix!r})")
     # Tie sort keys: only Spark-orderable carried types participate (a
     # map-typed carried column raised AnalysisException in the r13
     # per-column form — ADVICE r13); the matched-key column is a double,

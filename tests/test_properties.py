@@ -137,6 +137,94 @@ class TestAsofVsPandas:
             err_msg=f"direction={direction} tol={tol}")
 
 
+@st.composite
+def asof_tie_case(draw):
+    """Small key domains force duplicate right timestamps; carried
+    values (and NULLs) exercise the struct-payload tie carry."""
+    n_left = draw(st.integers(1, 6))
+    n_right = draw(st.integers(2, 12))
+    opt_val = st.one_of(st.none(), st.integers(0, 4).map(float))
+    left_keys = draw(st.lists(st.integers(0, 9).map(float),
+                              min_size=n_left, max_size=n_left,
+                              unique=True))
+    rows = draw(st.lists(
+        st.tuples(st.integers(0, 9).map(float), opt_val, opt_val),
+        min_size=n_right, max_size=n_right))
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
+    return left_keys, rows, direction
+
+
+def _tie_winner(rows):
+    """The documented asof tie rule: largest orderable carried tuple,
+    struct comparison field order (v, u, key), NULL fields smallest."""
+    def key(r):
+        k, v, u = r
+        return ((v is not None, v if v is not None else 0.0),
+                (u is not None, u if u is not None else 0.0), k)
+    return max(rows, key=key)
+
+
+def _asof_model(lk, rows, direction):
+    back = [r for r in rows if r[0] <= lk]
+    fwd = [r for r in rows if r[0] >= lk]
+    b = f = None
+    if back:
+        mk = max(r[0] for r in back)
+        b = _tie_winner([r for r in back if r[0] == mk])
+    if fwd:
+        mk = min(r[0] for r in fwd)
+        f = _tie_winner([r for r in fwd if r[0] == mk])
+    if direction == "backward":
+        return b
+    if direction == "forward":
+        return f
+    if b is None or f is None:
+        return b if f is None else f
+    return b if (lk - b[0]) <= (f[0] - lk) else f  # backward wins ties
+
+
+class TestAsofTieSemantics:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(asof_tie_case())
+    def test_tie_rule_matches_model(self, spark, case):
+        """r14 struct-payload tie carry vs a pure-Python model of the
+        documented rule — duplicate right keys AND NULL carried values,
+        under a 7-way repartition scramble. Every carried column must
+        come from the model's single winning row (merge_asof cannot
+        oracle this: its tie pick is input-order-dependent)."""
+        from physioview_spark.operators.asof import asof_join
+
+        left_keys, rows, direction = case
+        sl = spark.createDataFrame(
+            [("a", k) for k in left_keys], "subject_id string, k double")
+        sr = spark.createDataFrame(
+            [("a", k, v, u) for k, v, u in rows],
+            "subject_id string, k double, v double, u double")
+        got = {r["k"]: (r["k_r"], r["v_r"], r["u_r"])
+               for r in asof_join(sl, sr.repartition(7), on="k",
+                                  by="subject_id",
+                                  direction=direction).collect()}
+        for lk in left_keys:
+            want = _asof_model(lk, rows, direction)
+            if want is None:
+                assert got[lk] == (None, None, None), (lk, got[lk])
+            else:
+                assert got[lk] == want, (
+                    f"left k={lk} direction={direction}: "
+                    f"got {got[lk]}, model says {want}")
+
+    def test_suffix_collision_guard(self, spark):
+        from physioview_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [("a", 1.0, 0.0)], "subject_id string, k double, v_r double")
+        right = spark.createDataFrame(
+            [("a", 1.0, 2.0)], "subject_id string, k double, v double")
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right, on="k", by="subject_id")
+
+
 class TestMetricsInvariants:
     def test_missing_identity_and_pct_bounds(self, spark):
         """n_missing == max(0, n_expected - n_detected); percentages in
