@@ -218,6 +218,10 @@ def interp_join(
         by = [by]
     by = by or []
     out_col = out_col or f"{value_col}_interp"
+    if out_col in left.columns:
+        raise ValueError(
+            f"interp_join output column {out_col!r} collides with a "
+            f"left-side column; pass out_col=")
 
     def _num_key(df: DataFrame) -> F.Column:
         # Numeric ordering axis: epoch microseconds for timestamps (NTZ via
