@@ -192,6 +192,7 @@ def compute_eda_features(
     window_seconds: int = 180,
     step_seconds: int = 60,
     ts_col: str = "ts",
+    extended: bool = False,
 ) -> DataFrame:
     """A12 parity: statistical features over rolling windows of the
     phasic/tonic (or any signal) columns — the reference delegates to
@@ -207,6 +208,29 @@ def compute_eda_features(
     a constant window — added r14, VERDICT r13 item 4) — over
     ``F.window`` sliding windows. No UDF: one shuffle per feature frame,
     streaming-ready verbatim.
+
+    ``extended=True`` adds the rest of flirt's ``get_stats`` set — the
+    order- and mean-dependent features a plain aggregate can't express:
+    ``energy`` (sum v²), ``lineintegral`` (in-window sum |Δv|),
+    ``n_above_mean`` / ``n_below_mean``, ``n_sign_changes`` (flirt
+    semantics: sign changes of the RAW series), ``peaks`` (strict
+    in-window local maxima), ``entropy`` (Shannon in nats over value
+    multiplicities, flirt's ``np.unique`` -> ``scipy.stats.entropy``
+    form), and ``perm_entropy`` (Bandt-Pompe order 3 / delay 1,
+    normalized — the exact pattern census, encoded relationally from
+    the three pairwise stable-order comparisons of (v, lead v,
+    lead² v)). Only ``svd_entropy`` from flirt's set is omitted (the
+    3x3 closed-form eigensolve isn't worth the expression tree).
+    Spark-first shape: everything reduces in the SAME single groupBy —
+    the multiplicity censuses both entropies need are ANALYTIC count
+    windows partitioned by (subject, window, value | pattern), a
+    superset of the group key, so the one hash partitioning satisfies
+    every ClusteredDistribution (subset-key rule) and each census adds
+    a Sort, never an Exchange: ONE Exchange total, measured (per-row
+    term -(p·ln p)/cnt sums to -Σ p ln p). Batch-only (the analytic
+    windows are unbounded over the group, so the streaming twin keeps
+    the base set). NOT flagged on by default: the base set is what 13
+    rounds of oracles pin.
     """
     # whole-second trend axis: slope per second, robust to sub-second
     # jitter in the sample timestamps
@@ -243,6 +267,76 @@ def compute_eda_features(
             f"{c}_rms", f"{c}_sum", f"{c}_slope", f"{c}_iqr",
             f"{c}_pct05", f"{c}_pct95", f"{c}_skewness", f"{c}_kurtosis",
         ))]
+    if extended:
+        from pyspark.sql import Window as W
+
+        w_ord = W.partitionBy("subject_id", "__w").orderBy(ts_col)
+        w_all = W.partitionBy("subject_id", "__w")
+        for c in value_cols:
+            v = F.col(c)
+            lagv = F.lag(v).over(w_ord)
+            leadv = F.lead(v).over(w_ord)
+            lead2 = F.lead(v, 2).over(w_ord)
+            mu = F.avg(v).over(w_all)
+            # Bandt-Pompe order-3 pattern id: the three pairwise
+            # stable-order comparisons (strict less beats equal — ties
+            # keep index order, numpy argsort-stable parity) uniquely
+            # identify the permutation of (v, v+1, v+2)
+            pat = F.when(leadv.isNotNull() & lead2.isNotNull(),
+                         (leadv < v).cast("int") * 4
+                         + (lead2 < v).cast("int") * 2
+                         + (lead2 < leadv).cast("int"))
+            df = (
+                df
+                .withColumn(f"__d_{c}", F.abs(v - lagv))
+                .withColumn(f"__pk_{c}",
+                            ((lagv < v) & (leadv < v)).cast("int"))
+                .withColumn(f"__sc_{c}",
+                            (F.signum(v) != F.signum(lagv)).cast("int"))
+                .withColumn(f"__am_{c}", (v > mu).cast("long"))
+                .withColumn(f"__bm_{c}", (v < mu).cast("long"))
+                .withColumn(f"__pat_{c}", pat)
+            )
+            # Entropy terms as ANALYTIC multiplicity counts: the value-
+            # and pattern-census windows partition by a SUPERSET of
+            # (subject, __w), so the one hash partitioning satisfies
+            # every ClusteredDistribution here (subset-key rule) — each
+            # census adds a Sort, never an Exchange. Per-row
+            # contribution -(p ln p)/cnt sums to -Σ_v p ln p in the
+            # same single groupBy as everything else.
+            n_all = F.count(F.lit(1)).over(w_all)
+            cnt_v = F.count(F.lit(1)).over(
+                W.partitionBy("subject_id", "__w", c))
+            p_v = cnt_v / n_all
+            n_pat = F.count(F.col(f"__pat_{c}")).over(w_all)
+            cnt_p = F.count(F.lit(1)).over(
+                W.partitionBy("subject_id", "__w", f"__pat_{c}"))
+            p_p = cnt_p / n_pat
+            df = df.withColumn(
+                f"__ent_{c}", -(p_v * F.log(p_v)) / cnt_v
+            ).withColumn(
+                f"__pent_{c}",
+                F.when(F.col(f"__pat_{c}").isNotNull(),
+                       -(p_p * F.log2(p_p)) / (cnt_p * F.log2(F.lit(6.0)))))
+            aggs += [
+                F.sum(v * v).alias(f"{c}_energy"),
+                F.coalesce(F.sum(f"__d_{c}"), F.lit(0.0))
+                .alias(f"{c}_lineintegral"),
+                F.coalesce(F.sum(f"__pk_{c}"), F.lit(0)).cast("double")
+                .alias(f"{c}_peaks"),
+                F.coalesce(F.sum(f"__sc_{c}"), F.lit(0)).cast("double")
+                .alias(f"{c}_n_sign_changes"),
+                F.sum(f"__am_{c}").cast("double").alias(f"{c}_n_above_mean"),
+                F.sum(f"__bm_{c}").cast("double").alias(f"{c}_n_below_mean"),
+                F.sum(f"__ent_{c}").alias(f"{c}_entropy"),
+                F.sum(f"__pent_{c}").alias(f"{c}_perm_entropy"),
+            ]
+            feat_cols = feat_cols + [
+                f"{c}_energy", f"{c}_lineintegral", f"{c}_peaks",
+                f"{c}_n_sign_changes", f"{c}_n_above_mean",
+                f"{c}_n_below_mean", f"{c}_entropy", f"{c}_perm_entropy",
+            ]
+
     return (
         df.groupBy("subject_id", "__w")
         .agg(*aggs)

@@ -247,6 +247,56 @@ class TestA12Features:
         assert np.isnan(row["tonic_skewness"])
         assert np.isnan(row["tonic_kurtosis"])
 
+    def test_extended_features_vs_numpy(self, spark):
+        """extended=True (the rest of flirt's get_stats — order/mean-
+        dependent) vs per-window NumPy references, every sliding
+        window. Quantized values force multiplicities (entropy) and
+        ties (stable Bandt-Pompe patterns); negatives force sign
+        changes."""
+        from physioview_spark.functions.kernels_hrv import _perm_entropy
+        from physioview_spark.operators.eda_metrics import (
+            compute_eda_features,
+        )
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        n = 200
+        rng = np.random.default_rng(23)
+        vals = np.round(rng.standard_normal(n) * 2.0, 1)  # ties + signs
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(n)],
+            "phasic": vals,
+        })
+        out = compute_eda_features(
+            spark.createDataFrame(pdf), value_cols=["phasic"],
+            window_seconds=60, step_seconds=30, extended=True).toPandas()
+        out["start_s"] = (out["window_start"] - base).dt.total_seconds()
+        checked = 0
+        for _, row in out.iterrows():
+            s0 = row["start_s"]
+            x = vals[(np.arange(n) >= s0) & (np.arange(n) < s0 + 60)]
+            if len(x) < 4:
+                continue
+            checked += 1
+            assert abs(row["phasic_energy"] - np.sum(x ** 2)) < 1e-9
+            assert abs(row["phasic_lineintegral"]
+                       - np.sum(np.abs(np.diff(x)))) < 1e-9
+            interior = x[1:-1]
+            assert row["phasic_peaks"] == float(np.sum(
+                (interior > x[:-2]) & (interior > x[2:])))
+            assert row["phasic_n_sign_changes"] == float(np.sum(
+                np.diff(np.sign(x)) != 0))
+            mu = x.mean()
+            assert row["phasic_n_above_mean"] == float(np.sum(x > mu))
+            assert row["phasic_n_below_mean"] == float(np.sum(x < mu))
+            _, counts = np.unique(x, return_counts=True)
+            p = counts / counts.sum()
+            assert abs(row["phasic_entropy"]
+                       - float(-(p * np.log(p)).sum())) < 1e-9
+            assert abs(row["phasic_perm_entropy"]
+                       - _perm_entropy(x)) < 1e-9
+        assert checked >= 5
+
 
 class TestHaloChunkedKernels:
     def test_chunked_equals_whole_recording(self, spark):
