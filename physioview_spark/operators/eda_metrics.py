@@ -219,8 +219,11 @@ def compute_eda_features(
     form), and ``perm_entropy`` (Bandt-Pompe order 3 / delay 1,
     normalized — the exact pattern census, encoded relationally from
     the three pairwise stable-order comparisons of (v, lead v,
-    lead² v)). Only ``svd_entropy`` from flirt's set is omitted (the
-    3x3 closed-form eigensolve isn't worth the expression tree).
+    lead² v)), and ``svd_entropy`` (order 3 / delay 1: the embedding's
+    3x3 Gram matrix is six lagged-product sums; its eigenvalues come
+    from the closed-form trigonometric 3x3 eigensolve as a pure
+    projection on the aggregated window frame — FULL flirt ``get_stats``
+    parity, nothing omitted).
     Spark-first shape: everything reduces in the SAME single groupBy —
     the multiplicity censuses both entropies need are ANALYTIC count
     windows partitioned by (subject, window, value | pattern), a
@@ -318,6 +321,22 @@ def compute_eda_features(
                 f"__pent_{c}",
                 F.when(F.col(f"__pat_{c}").isNotNull(),
                        -(p_p * F.log2(p_p)) / (cnt_p * F.log2(F.lit(6.0)))))
+            # svd_entropy inputs: the 3x3 Gram matrix G = YᵀY of the
+            # order-3/delay-1 embedding is six sums of lagged products
+            # over the embedding rows (= rows with a complete pattern)
+            df = (df.withColumn(f"__l1_{c}", leadv)
+                    .withColumn(f"__l2_{c}", lead2))
+            emb = F.col(f"__pat_{c}").isNotNull()
+            l1, l2 = F.col(f"__l1_{c}"), F.col(f"__l2_{c}")
+            gsum = lambda e: F.sum(F.when(emb, e))  # noqa: E731
+            aggs += [
+                gsum(v * v).alias(f"__g11_{c}"),
+                gsum(l1 * l1).alias(f"__g22_{c}"),
+                gsum(l2 * l2).alias(f"__g33_{c}"),
+                gsum(v * l1).alias(f"__g12_{c}"),
+                gsum(v * l2).alias(f"__g13_{c}"),
+                gsum(l1 * l2).alias(f"__g23_{c}"),
+            ]
             aggs += [
                 F.sum(v * v).alias(f"{c}_energy"),
                 F.coalesce(F.sum(f"__d_{c}"), F.lit(0.0))
@@ -335,17 +354,60 @@ def compute_eda_features(
                 f"{c}_energy", f"{c}_lineintegral", f"{c}_peaks",
                 f"{c}_n_sign_changes", f"{c}_n_above_mean",
                 f"{c}_n_below_mean", f"{c}_entropy", f"{c}_perm_entropy",
+                f"{c}_svd_entropy",
             ]
 
-    return (
-        df.groupBy("subject_id", "__w")
-        .agg(*aggs)
-        .select(
-            "subject_id",
-            F.col("__w.start").alias("window_start"),
-            F.col("__w.end").alias("window_end"),
-            "n", *feat_cols,
-        )
+    agg_df = df.groupBy("subject_id", "__w").agg(*aggs)
+
+    if extended:
+        # svd_entropy from the aggregated Gram sums: closed-form
+        # eigenvalues of the symmetric 3x3 (trigonometric method),
+        # singular values = sqrt(eigenvalues of YᵀY), Shannon entropy of
+        # the normalized spectrum / log2(3). Runs on the WINDOW frame
+        # (thousands of rows, not samples) — pure projection, no
+        # shuffle, no Python.
+        for c in value_cols:
+            g11, g22, g33 = (F.col(f"__g{i}_{c}") for i in (11, 22, 33))
+            g12, g13, g23 = (F.col(f"__g{i}_{c}") for i in (12, 13, 23))
+            q = (g11 + g22 + g33) / 3.0
+            p2 = ((g11 - q) ** 2 + (g22 - q) ** 2 + (g33 - q) ** 2
+                  + 2.0 * (g12 ** 2 + g13 ** 2 + g23 ** 2))
+            p = F.sqrt(p2 / 6.0)
+            # B = (G - qI)/p; r = det(B)/2, clamped into acos' domain
+            b11, b22, b33 = (g11 - q) / p, (g22 - q) / p, (g33 - q) / p
+            b12, b13, b23 = g12 / p, g13 / p, g23 / p
+            det_b = (b11 * (b22 * b33 - b23 * b23)
+                     - b12 * (b12 * b33 - b23 * b13)
+                     + b13 * (b12 * b23 - b22 * b13))
+            r = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), det_b / 2.0))
+            phi = F.acos(r) / 3.0
+            two_pi_3 = 2.0943951023931953
+            l1 = q + 2.0 * p * F.cos(phi)
+            l3 = q + 2.0 * p * F.cos(phi + two_pi_3)
+            l2 = 3.0 * q - l1 - l3
+            # G is PSD: negative eigenvalues are rounding -> clamp to 0
+            sv = [F.sqrt(F.greatest(e, F.lit(0.0))) for e in (l1, l2, l3)]
+            tot = sv[0] + sv[1] + sv[2]
+            h = -sum(
+                (F.when(s > 0, (s / tot) * F.log2(s / tot))
+                 .otherwise(F.lit(0.0))) for s in sv) / F.log2(F.lit(3.0))
+            # degenerate spectra: p == 0 means G = qI (three equal
+            # singular values -> H = 1 when q > 0, undefined when the
+            # embedding is empty or all-zero)
+            agg_df = agg_df.withColumn(
+                f"{c}_svd_entropy",
+                F.when(g11.isNull(), F.lit(None).cast("double"))
+                .when((p2 <= 0) & (q > 0), F.lit(1.0))
+                .when((p2 <= 0), F.lit(None).cast("double"))
+                .otherwise(h))
+        agg_df = agg_df.drop(*[f"__g{i}_{c}" for c in value_cols
+                               for i in (11, 22, 33, 12, 13, 23)])
+
+    return agg_df.select(
+        "subject_id",
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        "n", *feat_cols,
     )
 
 

@@ -295,6 +295,10 @@ class TestA12Features:
                        - float(-(p * np.log(p)).sum())) < 1e-9
             assert abs(row["phasic_perm_entropy"]
                        - _perm_entropy(x)) < 1e-9
+            # trig closed-form 3x3 eigensolve vs LAPACK SVD
+            from physioview_spark.functions.kernels_hrv import _svd_entropy
+            assert abs(row["phasic_svd_entropy"]
+                       - _svd_entropy(x)) < 1e-6
         assert checked >= 5
 
 
