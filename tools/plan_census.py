@@ -57,6 +57,11 @@ _PATTERNS = {
     "bnlj": r"BroadcastNestedLoopJoin",
     "cartesian": r"CartesianProduct",
     "batch_udf": r"BatchEvalPython",
+    # informational, no hard invariant: imperative (object-based)
+    # aggregation — exact percentile/median/mode force it; a query
+    # silently dropping out of whole-stage-codegen HashAggregate into
+    # ObjectHashAggregate is a perf drift worth noticing (r14)
+    "obj_agg": r"ObjectHashAggregate",
 }
 
 
