@@ -225,6 +225,63 @@ class TestAsofTieSemantics:
             asof_join(left, right, on="k", by="subject_id")
 
 
+@st.composite
+def interp_case(draw):
+    n_left = draw(st.integers(1, 8))
+    n_right = draw(st.integers(1, 8))
+    left_keys = draw(st.lists(st.integers(0, 40).map(float),
+                              min_size=n_left, max_size=n_left,
+                              unique=True))
+    # unique right keys: interp_join's documented precondition
+    right_keys = sorted(draw(st.lists(
+        st.integers(0, 40).map(float), min_size=n_right,
+        max_size=n_right, unique=True)))
+    right_vals = draw(st.lists(st.integers(-50, 50).map(float),
+                               min_size=n_right, max_size=n_right))
+    return left_keys, right_keys, right_vals
+
+
+def _interp_model(lk, xs, ys):
+    """scipy interp1d(kind='linear', fill_value='extrapolate') without
+    scipy: np.interp interior, edge-pair extrapolation outside."""
+    if len(xs) == 1:
+        return ys[0]
+    if lk <= xs[0]:
+        x0, x1, y0, y1 = xs[0], xs[1], ys[0], ys[1]
+    elif lk >= xs[-1]:
+        x0, x1, y0, y1 = xs[-2], xs[-1], ys[-2], ys[-1]
+    else:
+        return float(np.interp(lk, xs, ys))
+    return y0 + (y1 - y0) * (lk - x0) / (x1 - x0)
+
+
+class TestInterpVsModel:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(interp_case())
+    def test_matches_interp1d_semantics(self, spark, case):
+        """K22 interp_join vs the interp1d-extrapolate model: interior
+        blending, exact-key hits, and edge-pair extrapolation on BOTH
+        sides, randomized — including left keys outside the right range
+        and coincident keys."""
+        from physioview_spark.operators.asof import interp_join
+
+        left_keys, xs, ys = case
+        sl = spark.createDataFrame([("a", k) for k in left_keys],
+                                   "subject_id string, k double")
+        sr = spark.createDataFrame(
+            [("a", x, y) for x, y in zip(xs, ys)],
+            "subject_id string, k double, v double")
+        got = {r["k"]: r["v_interp"]
+               for r in interp_join(sl, sr.repartition(5), on="k",
+                                    value_col="v",
+                                    by="subject_id").collect()}
+        for lk in left_keys:
+            want = _interp_model(lk, xs, ys)
+            assert got[lk] == pytest.approx(want, rel=1e-9, abs=1e-9), (
+                f"k={lk}: got {got[lk]}, model {want} (xs={xs}, ys={ys})")
+
+
 class TestMetricsInvariants:
     def test_missing_identity_and_pct_bounds(self, spark):
         """n_missing == max(0, n_expected - n_detected); percentages in
