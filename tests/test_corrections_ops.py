@@ -301,6 +301,32 @@ class TestA12Features:
                        - _svd_entropy(x)) < 1e-6
         assert checked >= 5
 
+    def test_extended_tiny_windows_ansi_safe(self, spark):
+        """1-2 row windows: empty pattern/embedding censuses must yield
+        NULLs (not ANSI divide-by-zero — the guards are lazy CaseWhen
+        branches), counts coalesce to 0, single-value entropy is 0."""
+        from physioview_spark.operators.eda_metrics import (
+            compute_eda_features,
+        )
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "ts": [base, base + pd.Timedelta(seconds=1)],
+            "phasic": [1.0, 3.0],
+        })
+        out = compute_eda_features(
+            spark.createDataFrame(pdf), value_cols=["phasic"],
+            window_seconds=60, step_seconds=30,
+            extended=True).toPandas().sort_values("n")
+        two = out[out["n"] == 2].iloc[0]
+        assert two["phasic_lineintegral"] == 2.0
+        assert two["phasic_peaks"] == 0.0
+        assert two["phasic_n_sign_changes"] == 0.0
+        assert abs(two["phasic_entropy"] - np.log(2.0)) < 1e-12
+        assert pd.isna(two["phasic_perm_entropy"])  # no complete pattern
+        assert pd.isna(two["phasic_svd_entropy"])   # empty embedding
+
 
 class TestHaloChunkedKernels:
     def test_chunked_equals_whole_recording(self, spark):
