@@ -99,6 +99,15 @@ _CHANGED_IN_ROUND = {
     # Identical output for annotation-less files (pytest-pinned), but
     # the reached bytes changed.
     "edf_ingest_channels": 14,
+    # r14 late: module-level additions to operators/eda_metrics.py
+    # (eda_window_stats_np + EXTENDED_FEATURES, shared by the new
+    # streaming extended twin) taint <module-level> per
+    # tools/changed_queries.py — conservative entries for the three
+    # other eda_metrics reachers; all r12-tier and inside the window by
+    # staleness, so the over-approximation costs zero slots.
+    "eda_quality_segments": 14,
+    "eda_summary_rollup": 14,
+    "kernel_eda_quality_metrics": 14,
 }
 
 

@@ -411,6 +411,70 @@ def compute_eda_features(
     )
 
 
+def eda_window_stats_np(x: "np.ndarray", sec: "np.ndarray") -> dict:
+    """One window of :func:`compute_eda_features`'s base + extended
+    feature set in NumPy — the per-window kernel the stateful streaming
+    twin (streaming/rolling.py ``streaming_eda_features_extended``)
+    emits when a tumbling window closes. MUST stay value-identical to
+    the relational batch forms (batch==stream parity is test-pinned):
+    sample std, exact linear-interpolation percentiles, population
+    skew/kurt (NaN on constant), regr_slope (None on constant axis),
+    and the r14 extended set. ``x`` ordered by ``sec``."""
+    import numpy as np
+
+    from physioview_spark.functions.kernels_hrv import (
+        _perm_entropy, _svd_entropy,
+    )
+
+    n = len(x)
+    mu = float(np.mean(x))
+    d = x - mu
+    m2 = float(np.mean(d ** 2))
+    p5, p25, p75, p95 = (float(v) for v in
+                         np.percentile(x, [5.0, 25.0, 75.0, 95.0]))
+    var_sec = float(np.var(sec))
+    slope = (float(np.sum((sec - sec.mean()) * d) / (var_sec * n))
+             if var_sec > 0 else None)
+    diff = np.diff(x)
+    interior = x[1:-1]
+    _, counts = np.unique(x, return_counts=True)
+    pv = counts / counts.sum()
+    out = {
+        "mean": mu,
+        "std": float(np.std(x, ddof=1)) if n > 1 else float("nan"),
+        "min": float(np.min(x)), "max": float(np.max(x)),
+        "range": float(np.max(x) - np.min(x)),
+        "rms": float(np.sqrt(np.mean(x ** 2))),
+        "sum": float(np.sum(x)),
+        "slope": slope,
+        "iqr": p75 - p25, "pct05": p5, "pct95": p95,
+        "skewness": float(np.mean(d ** 3) / m2 ** 1.5)
+        if m2 > 0 else float("nan"),
+        "kurtosis": float(np.mean(d ** 4) / m2 ** 2 - 3.0)
+        if m2 > 0 else float("nan"),
+        "energy": float(np.sum(x ** 2)),
+        "lineintegral": float(np.sum(np.abs(diff))),
+        "peaks": float(np.sum((interior > x[:-2]) & (interior > x[2:])))
+        if n >= 3 else 0.0,
+        "n_sign_changes": float(np.sum(np.diff(np.sign(x)) != 0)),
+        "n_above_mean": float(np.sum(x > mu)),
+        "n_below_mean": float(np.sum(x < mu)),
+        "entropy": float(-np.sum(pv * np.log(pv))),
+        "perm_entropy": _perm_entropy(x) if n >= 3 else None,
+        "svd_entropy": _svd_entropy(x) if n >= 3 else None,
+    }
+    return out
+
+
+EXTENDED_FEATURES = [
+    "mean", "std", "min", "max", "range", "rms", "sum", "slope",
+    "iqr", "pct05", "pct95", "skewness", "kurtosis",
+    "energy", "lineintegral", "peaks", "n_sign_changes",
+    "n_above_mean", "n_below_mean", "entropy", "perm_entropy",
+    "svd_entropy",
+]
+
+
 def eda_summary(metrics: DataFrame,
                 samples: DataFrame | None = None,
                 tonic_col: str = "tonic") -> DataFrame:

@@ -8,7 +8,8 @@ Streaming (watermark + event-time windows) — live ingest becomes a
 """
 
 from physioview_spark.streaming.rolling import (
-    await_stream, streaming_eda_features, streaming_rolling_sqa,
+    await_stream, streaming_eda_features,
+    streaming_eda_features_extended, streaming_rolling_sqa,
     streaming_seconds_hr, streaming_segment_sqa,
     with_watermark_if_streaming,
 )
@@ -20,7 +21,8 @@ from physioview_spark.streaming.documents import (
 
 __all__ = [
     "await_stream",
-    "streaming_eda_features", "streaming_rolling_sqa",
+    "streaming_eda_features", "streaming_eda_features_extended",
+    "streaming_rolling_sqa",
     "streaming_seconds_hr", "streaming_segment_sqa",
     "with_watermark_if_streaming", "streaming_ibis",
     "drop_near_dup_state", "near_dup_batch_processor",

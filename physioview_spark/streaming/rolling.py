@@ -156,6 +156,114 @@ def streaming_eda_features(
     )
 
 
+def streaming_eda_features_extended(
+    samples: DataFrame,
+    value_cols: list[str] = ("phasic", "tonic"),
+    window_seconds: int = 180,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """A12 extended streaming twin over TUMBLING windows.
+
+    The extended feature set (entropies, peaks, line integral — see
+    operators/eda_metrics.py ``extended=True``) is order-dependent, so
+    its batch form uses unbounded analytic windows that Structured
+    Streaming cannot run incrementally. The streaming shape is instead
+    the engine's stateful pattern (streaming/stateful.py): key by
+    (subject, tumbling window id), buffer the window's samples in keyed
+    state (bounded: window_seconds x sample rate, e.g. 180 s x 4 Hz =
+    720 floats/col), and emit ONE row per window when the event-time
+    watermark closes it — computed by the same NumPy kernel
+    (operators/eda_metrics.py ``eda_window_stats_np``) the batch parity
+    test pins against the relational forms. Batch input falls back to
+    ``compute_eda_features(extended=True)`` with step = window
+    (tumbling), so batch==stream comparisons are one call on each side.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    from physioview_spark.operators.eda_metrics import (
+        EXTENDED_FEATURES, compute_eda_features, eda_window_stats_np,
+    )
+
+    value_cols = list(value_cols)
+    if not samples.isStreaming:
+        return compute_eda_features(
+            samples, value_cols=value_cols,
+            window_seconds=window_seconds, step_seconds=window_seconds,
+            ts_col=ts_col, extended=True)
+
+    out_schema = ("subject_id string, window_start timestamp, "
+                  "window_end timestamp, n long, " + ", ".join(
+                      f"{c}_{f} double" for c in value_cols
+                      for f in EXTENDED_FEATURES))
+    # full-microsecond timestamps in state: the order-dependent features
+    # must see the exact sample order, and integer seconds tie at any
+    # sub-1 Hz-resolution rate (the batch twin orders by ts_col)
+    state_schema = ("us array<long>, " + ", ".join(
+        f"v_{i} array<double>" for i in range(len(value_cols))))
+    win_us = int(window_seconds * 1_000_000)
+
+    def func(key, pdf_iter, state: GroupState):
+        subject, wid = key
+        if state.hasTimedOut:
+            us, *vals = state.get
+            state.remove()
+            us = np.asarray(us, dtype=np.int64)
+            order = np.argsort(us, kind="stable")
+            # batch __sec is integer-second truncation of the timestamp
+            secs = (us[order] // 1_000_000).astype(np.float64)
+            row = {
+                "subject_id": subject,
+                "window_start": pd.Timestamp(int(wid) * win_us, unit="us"),
+                "window_end": pd.Timestamp((int(wid) + 1) * win_us,
+                                           unit="us"),
+                "n": len(order),
+            }
+            for c, v in zip(value_cols, vals):
+                x = np.asarray(v, dtype=np.float64)[order]
+                stats = eda_window_stats_np(x, secs)
+                row.update({f"{c}_{f}": stats[f]
+                            for f in EXTENDED_FEATURES})
+            yield pd.DataFrame([row])
+            return
+        us, *vals = (state.get if state.exists
+                     else ([], *[[] for _ in value_cols]))
+        us = list(us)
+        vals = [list(v) for v in vals]
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            t = pdf[ts_col].astype("datetime64[us]").astype("int64")
+            us.extend(int(x) for x in t)
+            for i, c in enumerate(value_cols):
+                vals[i].extend(pdf[c].astype(float).tolist())
+        state.update((us, *vals))
+        # close the window once the event-time watermark passes its end
+        state.setTimeoutTimestamp((int(wid) + 1) * window_seconds * 1000)
+
+    wid = F.floor(
+        F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+            F.col(ts_col)) / F.lit(win_us))
+    return (
+        samples.withWatermark(ts_col, watermark)
+        # materialized column, not a groupBy alias — the stateful
+        # operator resolves grouping attributes, not expressions
+        .withColumn("__wid", wid)
+        .groupBy("subject_id", "__wid")
+        .applyInPandasWithState(
+            func, out_schema, state_schema,
+            "append", GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_seconds_hr(
     beats: DataFrame,
     watermark: str = "30 seconds",

@@ -139,6 +139,63 @@ class TestWindowedParity:
         got_s = got_s.where(F.col("window_start") < F.lit(REAL_END))
         assert _collect_sorted(got_b, cols) == _collect_sorted(got_s, cols)
 
+    def test_eda_extended_batch_vs_stream(self, spark, tmp_path):
+        """A12 extended twin: the order-dependent extended feature set
+        cannot run as incremental analytic windows, so the streaming
+        shape buffers each TUMBLING window in keyed state and emits on
+        watermark close (applyInPandasWithState) — every closed window
+        must match the relational batch gear value-for-value, including
+        the three entropies and the closed-form svd."""
+        from physioview_spark.streaming import (
+            streaming_eda_features_extended,
+        )
+
+        rng = np.random.default_rng(31)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        n = 4 * 600  # 10 min at 4 Hz
+        rows = []
+        for s in range(2):
+            phasic = np.round(rng.standard_normal(n) * 0.2, 2)  # ties
+            for i in range(n):
+                rows.append((f"s{s}",
+                             pd.Timestamp(base + np.timedelta64(
+                                 int(i * 1e6 / 4), "us")),
+                             float(phasic[i])))
+            rows.append((f"s{s}",
+                         pd.Timestamp(base + np.timedelta64(2, "h")),
+                         0.0))  # watermark-advancing sentinel
+        sch = "subject_id string, ts timestamp, phasic double"
+        pdf = pd.DataFrame(rows, columns=["subject_id", "ts", "phasic"])
+        p = str(tmp_path / "eda_ext")
+        spark.createDataFrame(pdf, sch).repartition(3).write.parquet(p)
+
+        got_b = streaming_eda_features_extended(
+            spark.read.parquet(p), value_cols=["phasic"])
+        q = (streaming_eda_features_extended(
+                spark.readStream.schema(sch).parquet(p),
+                value_cols=["phasic"])
+             .writeStream.format("memory").queryName("eda_ext")
+             .outputMode("append").trigger(availableNow=True).start())
+        await_stream(q, 120)
+        got_s = spark.table("eda_ext")
+
+        cut = F.lit(pd.Timestamp("2024-01-01 00:10:00"))
+        b = (got_b.where(F.col("window_start") < cut)
+             .orderBy("subject_id", "window_start").toPandas())
+        s = (got_s.where(F.col("window_start") < cut)
+             .orderBy("subject_id", "window_start").toPandas())
+        assert len(b) == len(s) >= 6
+        # column ORDER differs (batch groups base-then-extended); the
+        # SET must match and every value must agree by name
+        assert set(b.columns) == set(s.columns)
+        for c in sorted(b.columns):
+            if b[c].dtype == object or "window" in c or c == "subject_id":
+                assert list(b[c]) == list(s[c]), c
+            else:
+                np.testing.assert_allclose(
+                    b[c].to_numpy(dtype=float), s[c].to_numpy(dtype=float),
+                    rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c)
+
     def test_eda_features_batch_vs_stream(self, spark, tmp_path):
         """A12 parity: the rolling EDA feature frame must be identical
         under batch and availableNow streaming (incl. the percentile and
