@@ -34,80 +34,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # before your change), record round+1 so the pre-edit green cannot
 # satisfy the entry.
 _CHANGED_IN_ROUND = {
-    # (r06-r11 entries all attested green at their rounds — pruned; the
-    # nine r11 entries went inert when CORRECTNESS_r11.json recorded
-    # their passes.)
-    # r12 edits needing NO entries, with receipts:
-    # - llm/dedup.py + llm/text.py comment rewords (ADVICE r11 low
-    #   items): AST-identical to the r11-attested bytes (verified:
-    #   ast.dump equality pre/post commit 7bd0010) — comments never
-    #   reach the code object, so the r11 greens still attest the
-    #   executable bytes.
-    # - multimodal_blocks_near_dups is NEW (never-verified -> served
-    #   ahead of the r09 tier mechanically); multimodal_video_near_dups
-    #   retired (see plans/queries_llm.py).
-    # r13: blocks="auto" gear on hamming_banded_pairs (VERDICT r12
-    # item 3) — tools/changed_queries.py flags exactly these five as
-    # reaching the edited defs (auto_blocks / hamming_banded_pairs /
-    # simhash_near_dups / image_near_dups). CORRECTNESS_r13.json does
-    # not exist yet, so the edit round is 13 itself.
-    "doc_simhash_near_dups": 13,
-    "multimodal_audio_near_dups": 13,
-    "multimodal_blocks_near_dups": 13,
-    "multimodal_image_dedup_decisions": 13,
-    "multimodal_image_near_dups": 13,
-    # r13: oracle-side tz hardening — the streaming watermark cutoff
-    # compared TIMESTAMPTZ to a naive TIMESTAMP in DuckDB, which shifts
-    # with the host TZ env (found by the full non-UTC oracle sweep:
-    # 522 vs 520 rows under America/New_York). Engine bytes untouched;
-    # the oracle now compares epochs numerically.
-    "streaming_segment_counts": 13,
-    # r13: deterministic as-of tie-breaking (operators/asof.py) — the
-    # sf0.1 oracle sweep caught arbitrary winners among duplicate right
-    # timestamps (13 flipped matches); ties now resolve to the largest
-    # right-value tuple, oracle rewritten to the matching row_number
-    # form. r14 re-edited asof_join (ADVICE r13: matched row carried as
-    # ONE struct payload so tied NULL values stay row-consistent; tie
-    # sort keys restricted to orderable types), so the same four queries
-    # jump the queue again — the r13 green attests the r13 bytes, not
-    # these. Bumping 13 -> 14 made the horizon-12 SURVEY block
-    # unreproducible by design; it was demoted per the documented
-    # procedure (markers stripped, kept as history).
+    # (r06-r13 entries all attested green at their rounds — pruned per
+    # VERDICT r14 item 6 once the horizon-13 SURVEY block demoted to
+    # history in r15; the only remaining pinned horizon is 14, whose
+    # committed block was generated AFTER this prune.)
+    # r14: asof_join struct-payload tie carry (ADVICE r13) — four
+    # reachers re-attested r14; interp_join conservative entry via the
+    # module-level taint. All inert since CORRECTNESS_r14 recorded
+    # their passes; kept while the pinned horizon-14 block lists them.
     "asof_latest_order": 14,
     "asof_tolerance_match": 14,
     "beat_edits_applied": 14,
     "e4_ingest_aligned": 14,
-    # r14: operators/asof.py module-level taint (new _orderable helper +
-    # types import) reaches interp_join per tools/changed_queries.py;
-    # interp_join's own body is unchanged, but the conservative entry is
-    # free — order_value_interp is r11-tier and due at the window head
-    # anyway.
     "order_value_interp": 14,
-    # r14: A11 closed — flirt's `stat` HRV domain added (VERDICT r13
-    # item 3): 16 nni_* statistical features in kernels_hrv.py, the
-    # declared projection widened by seven of them, fixture oracle
-    # regenerated via tools/make_fixture_oracles.py.
-    "kernel_hrv_features": 14,
-    # r14: A12 closed — skewness/kurtosis added to compute_eda_features
-    # (VERDICT r13 item 4); oracle recomputes the population moments
-    # two-pass (DuckDB's skewness/kurtosis are sample-corrected).
-    "eda_rolling_features": 14,
-    # r14: EDF+ annotations support (sources/edf.py) — read_edf_bytes
-    # now EXCLUDES 'EDF Annotations' channels from the signal list
-    # (they are ASCII TALs, not int16 samples; scaling them yields
-    # garbage) and read_edf_annotations/load_annotations parse them.
-    # Identical output for annotation-less files (pytest-pinned), but
-    # the reached bytes changed.
-    "edf_ingest_channels": 14,
     # r14 late: module-level additions to operators/eda_metrics.py
-    # (eda_window_stats_np + EXTENDED_FEATURES, shared by the new
-    # streaming extended twin) taint <module-level> per
-    # tools/changed_queries.py — conservative entries for the three
-    # other eda_metrics reachers; all r12-tier and inside the window by
-    # staleness, so the over-approximation costs zero slots.
+    # (eda_window_stats_np + EXTENDED_FEATURES) tainted <module-level>;
+    # conservative entries for the eda_metrics reachers, green r14.
     "eda_quality_segments": 14,
     "eda_summary_rollup": 14,
     "kernel_eda_quality_metrics": 14,
+    # r15 (ADVICE r14 items 1-2): flirt-parity fixes in the stat
+    # kernels — nni_n_sign_changes now counts RAW-series sign changes
+    # (was mean-centered) and peaks gained find_peaks' plateau
+    # handling (kernels_hrv.py + the relational run census in
+    # compute_eda_features extended=True). kernel_hrv_features'
+    # declared projection excludes both features (its pinned fixture
+    # oracle still matches — verified), but the reached bytes changed;
+    # eda_rolling_features reaches compute_eda_features (base set —
+    # output unchanged, conservative entry). CORRECTNESS_r15.json does
+    # not exist yet, so the edit round is 15 itself.
+    "kernel_hrv_features": 15,
+    "eda_rolling_features": 15,
+    # r15 (ADVICE r14 item 3): write_edf_bytes raises early on
+    # n_records == 0 — edf_ingest_channels reaches the fixture writer.
+    "edf_ingest_channels": 15,
 }
 
 

@@ -174,6 +174,23 @@ def _svd_entropy(x: np.ndarray, order: int = 3, delay: int = 1) -> float:
     return float(-np.sum(p * np.log2(p)) / np.log2(order))
 
 
+def find_peaks_count(x: np.ndarray) -> int:
+    """Number of interior local maxima with scipy.signal.find_peaks'
+    plateau semantics (a maximal run of equal values strictly above
+    both neighboring distinct values counts ONCE; runs touching either
+    edge never count) — the form flirt's ``get_stats`` calls.
+    Implemented by run-compressing the series (scipy-free): a run is a
+    peak iff its value exceeds both neighboring runs' values."""
+    x = np.asarray(x, dtype=float)
+    if len(x) < 3:
+        return 0
+    vals = x[np.concatenate(([True], x[1:] != x[:-1]))]
+    if len(vals) < 3:
+        return 0
+    interior = vals[1:-1]
+    return int(np.sum((interior > vals[:-2]) & (interior > vals[2:])))
+
+
 def hrv_stat_domain(nn_ms: np.ndarray) -> dict:
     """flirt's ``stat`` domain over the NN series (non-duplicative
     subset — mean/std/min/max/range already ship from the td domain).
@@ -184,7 +201,10 @@ def hrv_stat_domain(nn_ms: np.ndarray) -> dict:
     percentiles are NumPy's linear-interpolation quantiles; entropy is
     Shannon over unique-value multiplicities in nats (flirt feeds
     ``np.unique`` counts to ``scipy.stats.entropy``); peaks counts
-    strict local maxima (plateaus excluded)."""
+    local maxima with find_peaks' plateau handling; sign changes are
+    of the RAW series (flirt: ``np.sum(np.diff(np.sign(data)) != 0)``
+    — a zero sample therefore contributes a change on each side; both
+    fixed to the flirt forms r15, ADVICE r14 items 1-2)."""
     nn = np.asarray(nn_ms, dtype=float)
     nn = nn[~np.isnan(nn)]
     if len(nn) < 2:
@@ -195,12 +215,8 @@ def hrv_stat_domain(nn_ms: np.ndarray) -> dict:
     p5, p25, p75, p95 = (float(v) for v in
                          np.percentile(nn, [5.0, 25.0, 75.0, 95.0]))
     diff = np.diff(nn)
-    centered = d[d != 0.0]  # zeros sit ON the mean: no sign to change
     _, counts = np.unique(nn, return_counts=True)
     pv = counts / counts.sum()
-    interior = nn[1:-1]
-    peaks = int(np.sum((interior > nn[:-2]) & (interior > nn[2:]))) \
-        if len(nn) >= 3 else 0
     return {
         "nni_skewness": float(np.mean(d ** 3) / m2 ** 1.5)
         if m2 > 0 else np.nan,
@@ -215,9 +231,8 @@ def hrv_stat_domain(nn_ms: np.ndarray) -> dict:
         "nni_lineintegral": float(np.sum(np.abs(diff))),
         "nni_n_above_mean": float(np.sum(nn > mu)),
         "nni_n_below_mean": float(np.sum(nn < mu)),
-        "nni_n_sign_changes": float(
-            np.sum(np.diff(np.sign(centered)) != 0)),
-        "nni_peaks": float(peaks),
+        "nni_n_sign_changes": float(np.sum(np.diff(np.sign(nn)) != 0)),
+        "nni_peaks": float(find_peaks_count(nn)),
         "nni_entropy": float(-np.sum(pv * np.log(pv))),
         "nni_perm_entropy": _perm_entropy(nn),
         "nni_svd_entropy": _svd_entropy(nn),

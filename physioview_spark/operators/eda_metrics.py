@@ -213,8 +213,15 @@ def compute_eda_features(
     order- and mean-dependent features a plain aggregate can't express:
     ``energy`` (sum v²), ``lineintegral`` (in-window sum |Δv|),
     ``n_above_mean`` / ``n_below_mean``, ``n_sign_changes`` (flirt
-    semantics: sign changes of the RAW series), ``peaks`` (strict
-    in-window local maxima), ``entropy`` (Shannon in nats over value
+    semantics: sign changes of the RAW series), ``peaks`` (in-window
+    local maxima with scipy ``find_peaks`` plateau semantics — a
+    maximal run of equal values strictly above both neighboring
+    distinct values counts once, encoded as a relational run census:
+    run ids by a running sum of change flags, then per-run bool-or of
+    the row-level "previous/next distinct value is lower" flags over
+    the (subject, window, run) analytic window — a superset of the
+    group key, so still zero extra Exchanges; ADVICE r14 item 2),
+    ``entropy`` (Shannon in nats over value
     multiplicities, flirt's ``np.unique`` -> ``scipy.stats.entropy``
     form), and ``perm_entropy`` (Bandt-Pompe order 3 / delay 1,
     normalized — the exact pattern census, encoded relationally from
@@ -289,17 +296,37 @@ def compute_eda_features(
                          (leadv < v).cast("int") * 4
                          + (lead2 < v).cast("int") * 2
                          + (lead2 < leadv).cast("int"))
+            # find_peaks plateau semantics, relationally: run ids by a
+            # running sum of value-change flags; (lagv < v) is nonzero
+            # ONLY at a run's first row (mid-run lagv == v) and
+            # (leadv < v) only at its last, so a run is a peak iff both
+            # flags bool-or true over the (subject, __w, run) window —
+            # counted once via the run-start indicator. Edge runs have
+            # a NULL-side flag and never count, like scipy.
             df = (
                 df
                 .withColumn(f"__d_{c}", F.abs(v - lagv))
-                .withColumn(f"__pk_{c}",
-                            ((lagv < v) & (leadv < v)).cast("int"))
+                .withColumn(
+                    f"__rs_{c}",
+                    (lagv.isNull() | (lagv != v)).cast("int"))
+                .withColumn(
+                    f"__run_{c}",
+                    F.sum(f"__rs_{c}").over(
+                        w_ord.rowsBetween(W.unboundedPreceding, 0)))
+                .withColumn(f"__lok_{c}", (lagv < v).cast("int"))
+                .withColumn(f"__rok_{c}", (leadv < v).cast("int"))
                 .withColumn(f"__sc_{c}",
                             (F.signum(v) != F.signum(lagv)).cast("int"))
                 .withColumn(f"__am_{c}", (v > mu).cast("long"))
                 .withColumn(f"__bm_{c}", (v < mu).cast("long"))
                 .withColumn(f"__pat_{c}", pat)
             )
+            w_run = W.partitionBy("subject_id", "__w", f"__run_{c}")
+            df = df.withColumn(
+                f"__pk_{c}",
+                F.col(f"__rs_{c}")
+                * F.max(f"__lok_{c}").over(w_run)
+                * F.max(f"__rok_{c}").over(w_run))
             # Entropy terms as ANALYTIC multiplicity counts: the value-
             # and pattern-census windows partition by a SUPERSET of
             # (subject, __w), so the one hash partitioning satisfies
@@ -423,7 +450,7 @@ def eda_window_stats_np(x: "np.ndarray", sec: "np.ndarray") -> dict:
     import numpy as np
 
     from physioview_spark.functions.kernels_hrv import (
-        _perm_entropy, _svd_entropy,
+        _perm_entropy, _svd_entropy, find_peaks_count,
     )
 
     n = len(x)
@@ -436,7 +463,6 @@ def eda_window_stats_np(x: "np.ndarray", sec: "np.ndarray") -> dict:
     slope = (float(np.sum((sec - sec.mean()) * d) / (var_sec * n))
              if var_sec > 0 else None)
     diff = np.diff(x)
-    interior = x[1:-1]
     _, counts = np.unique(x, return_counts=True)
     pv = counts / counts.sum()
     out = {
@@ -454,8 +480,7 @@ def eda_window_stats_np(x: "np.ndarray", sec: "np.ndarray") -> dict:
         if m2 > 0 else float("nan"),
         "energy": float(np.sum(x ** 2)),
         "lineintegral": float(np.sum(np.abs(diff))),
-        "peaks": float(np.sum((interior > x[:-2]) & (interior > x[2:])))
-        if n >= 3 else 0.0,
+        "peaks": float(find_peaks_count(x)),
         "n_sign_changes": float(np.sum(np.diff(np.sign(x)) != 0)),
         "n_above_mean": float(np.sum(x > mu)),
         "n_below_mean": float(np.sum(x < mu)),

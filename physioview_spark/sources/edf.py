@@ -173,6 +173,14 @@ def write_edf_bytes(signals: list[dict], record_duration: float = 1.0,
     :func:`read_edf_annotations`."""
     n_records = int(min(len(s["data"]) / (s["fs"] * record_duration)
                         for s in signals))
+    if n_records == 0:
+        # Clear error up front: with every signal shorter than one data
+        # record the writer has nothing to emit, and the annotation
+        # chunking below would otherwise die on per_rec[-1] / max(())
+        # (ADVICE r14 item 3).
+        raise ValueError(
+            "no complete data records: every signal must span at least "
+            f"one record_duration ({record_duration:g} s)")
 
     ann_chunks: list[bytes] = []
     if annotations is not None:

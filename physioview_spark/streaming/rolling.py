@@ -160,24 +160,34 @@ def streaming_eda_features_extended(
     samples: DataFrame,
     value_cols: list[str] = ("phasic", "tonic"),
     window_seconds: int = 180,
+    step_seconds: int | None = None,
     ts_col: str = "ts",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """A12 extended streaming twin over TUMBLING windows.
+    """A12 extended streaming twin over tumbling OR sliding windows.
 
     The extended feature set (entropies, peaks, line integral — see
     operators/eda_metrics.py ``extended=True``) is order-dependent, so
     its batch form uses unbounded analytic windows that Structured
     Streaming cannot run incrementally. The streaming shape is instead
     the engine's stateful pattern (streaming/stateful.py): key by
-    (subject, tumbling window id), buffer the window's samples in keyed
-    state (bounded: window_seconds x sample rate, e.g. 180 s x 4 Hz =
+    (subject, window id), buffer the window's samples in keyed state
+    (bounded: window_seconds x sample rate, e.g. 180 s x 4 Hz =
     720 floats/col), and emit ONE row per window when the event-time
     watermark closes it — computed by the same NumPy kernel
     (operators/eda_metrics.py ``eda_window_stats_np``) the batch parity
-    test pins against the relational forms. Batch input falls back to
-    ``compute_eda_features(extended=True)`` with step = window
-    (tumbling), so batch==stream comparisons are one call on each side.
+    test pins against the relational forms.
+
+    ``step_seconds`` < ``window_seconds`` (the batch gear's default
+    180s/60s geometry — r15, VERDICT r14 item 4) replicates each sample
+    into its covering windows BEFORE the stateful groupBy (exactly
+    ``F.window``'s epoch-aligned assignment, via an exact-integer
+    ``sequence(floordiv(t-win,step)+1, floordiv(t,step))`` explode), so
+    the same tumbling machinery runs per overlapping window. State and
+    shuffle grow by the bounded overlap factor window/step (x3 at the
+    default geometry). Default ``None`` keeps tumbling. Batch input
+    falls back to ``compute_eda_features(extended=True)`` at the same
+    geometry, so batch==stream comparisons are one call on each side.
     """
     import numpy as np
     import pandas as pd
@@ -191,10 +201,14 @@ def streaming_eda_features_extended(
     )
 
     value_cols = list(value_cols)
+    if step_seconds is None:
+        step_seconds = window_seconds
+    if step_seconds > window_seconds:
+        raise ValueError("step_seconds must be <= window_seconds")
     if not samples.isStreaming:
         return compute_eda_features(
             samples, value_cols=value_cols,
-            window_seconds=window_seconds, step_seconds=window_seconds,
+            window_seconds=window_seconds, step_seconds=step_seconds,
             ts_col=ts_col, extended=True)
 
     out_schema = ("subject_id string, window_start timestamp, "
@@ -207,6 +221,7 @@ def streaming_eda_features_extended(
     state_schema = ("us array<long>, " + ", ".join(
         f"v_{i} array<double>" for i in range(len(value_cols))))
     win_us = int(window_seconds * 1_000_000)
+    step_us = int(step_seconds * 1_000_000)
 
     def func(key, pdf_iter, state: GroupState):
         subject, wid = key
@@ -219,8 +234,9 @@ def streaming_eda_features_extended(
             secs = (us[order] // 1_000_000).astype(np.float64)
             row = {
                 "subject_id": subject,
-                "window_start": pd.Timestamp(int(wid) * win_us, unit="us"),
-                "window_end": pd.Timestamp((int(wid) + 1) * win_us,
+                "window_start": pd.Timestamp(int(wid) * step_us,
+                                             unit="us"),
+                "window_end": pd.Timestamp(int(wid) * step_us + win_us,
                                            unit="us"),
                 "n": len(order),
             }
@@ -244,18 +260,26 @@ def streaming_eda_features_extended(
                 vals[i].extend(pdf[c].astype(float).tolist())
         state.update((us, *vals))
         # close the window once the event-time watermark passes its end
-        state.setTimeoutTimestamp((int(wid) + 1) * window_seconds * 1000)
+        state.setTimeoutTimestamp((int(wid) * step_us + win_us) // 1000)
 
-    wid = F.floor(
-        F.timestamp_diff(
-            "MICROSECOND",
-            F.lit("1970-01-01 00:00:00").cast("timestamp"),
-            F.col(ts_col)) / F.lit(win_us))
+    t_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        F.col(ts_col))
+    # exact-integer floor division (no double rounding at 1e15 us):
+    # floordiv(a, b) = (a - pmod(a, b)) / b, pmod >= 0
+    fdiv = lambda a, b: ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")  # noqa: E731,E501
+    # covering epoch-aligned window ids: starts s = k*step with
+    # t - win < s <= t — identical to F.window's batch assignment
+    wids = (F.sequence(fdiv(t_us - F.lit(win_us), step_us) + F.lit(1),
+                       fdiv(t_us, step_us))
+            if step_seconds < window_seconds
+            else F.array(fdiv(t_us, step_us)))
     return (
         samples.withWatermark(ts_col, watermark)
         # materialized column, not a groupBy alias — the stateful
         # operator resolves grouping attributes, not expressions
-        .withColumn("__wid", wid)
+        .withColumn("__wid", F.explode(wids))
         .groupBy("subject_id", "__wid")
         .applyInPandasWithState(
             func, out_schema, state_schema,

@@ -281,9 +281,19 @@ class TestA12Features:
             assert abs(row["phasic_energy"] - np.sum(x ** 2)) < 1e-9
             assert abs(row["phasic_lineintegral"]
                        - np.sum(np.abs(np.diff(x)))) < 1e-9
-            interior = x[1:-1]
-            assert row["phasic_peaks"] == float(np.sum(
-                (interior > x[:-2]) & (interior > x[2:])))
+            # independent find_peaks emulation (scipy _local_maxima_1d
+            # walk): plateau runs count once, edge plateaus never
+            npk, i = 0, 1
+            while i < len(x) - 1:
+                if x[i - 1] < x[i]:
+                    j = i
+                    while j < len(x) - 1 and x[j + 1] == x[i]:
+                        j += 1
+                    if j < len(x) - 1 and x[j + 1] < x[i]:
+                        npk += 1
+                    i = j
+                i += 1
+            assert row["phasic_peaks"] == float(npk)
             assert row["phasic_n_sign_changes"] == float(np.sum(
                 np.diff(np.sign(x)) != 0))
             mu = x.mean()
@@ -326,6 +336,29 @@ class TestA12Features:
         assert abs(two["phasic_entropy"] - np.log(2.0)) < 1e-12
         assert pd.isna(two["phasic_perm_entropy"])  # no complete pattern
         assert pd.isna(two["phasic_svd_entropy"])   # empty embedding
+
+    def test_extended_peaks_plateau_semantics(self, spark):
+        """find_peaks plateau parity (ADVICE r14 item 2): a flat-topped
+        run counts once; edge plateaus never count; the relational run
+        census matches the NumPy twin exactly."""
+        from physioview_spark.functions.kernels_hrv import find_peaks_count
+        from physioview_spark.operators.eda_metrics import (
+            compute_eda_features,
+        )
+
+        vals = np.array([9.0, 9.0, 1.0, 7.0, 7.0, 7.0, 2.0, 8.0,
+                         3.0, 3.0, 5.0, 5.0, 4.0, 6.0, 6.0])
+        assert find_peaks_count(vals) == 3  # 7-plateau, 8, 5-plateau
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        pdf = pd.DataFrame({
+            "subject_id": "s1",
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(len(vals))],
+            "phasic": vals,
+        })
+        out = compute_eda_features(
+            spark.createDataFrame(pdf), value_cols=["phasic"],
+            window_seconds=60, step_seconds=60, extended=True).toPandas()
+        assert out.loc[0, "phasic_peaks"] == 3.0
 
 
 class TestHaloChunkedKernels:

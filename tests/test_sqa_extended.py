@@ -177,6 +177,19 @@ class TestHRV:
         assert f["nni_lineintegral"] == pytest.approx(
             np.sum(np.abs(np.diff(nn))), rel=1e-12)
         assert f["nni_n_above_mean"] + f["nni_n_below_mean"] == len(nn)
+        # flirt raw-sign form: all-positive NN series -> 0 changes
+        # (the pre-r15 mean-centered form emitted ~n/2; ADVICE r14 item 1)
+        assert f["nni_n_sign_changes"] == 0.0
+        mixed = hrv_features(
+            np.array([5.0, -3.0, 2.0, 0.0, 4.0]), domains=("stat",))
+        # signs [1,-1,1,0,1]: flirt counts the 0 crossing twice -> 4
+        assert mixed["nni_n_sign_changes"] == 4.0
+        # find_peaks plateau semantics (ADVICE r14 item 2): the flat
+        # top [7,7] counts ONCE; the edge plateau [9,9] never counts
+        plat = hrv_features(
+            np.array([9.0, 9.0, 1.0, 7.0, 7.0, 2.0, 8.0, 3.0]),
+            domains=("stat",))
+        assert plat["nni_peaks"] == 2.0  # the 7-plateau and the lone 8
         # all values distinct -> Shannon entropy over multiplicities = ln n
         assert f["nni_entropy"] == pytest.approx(np.log(len(nn)), rel=1e-12)
         # brute-force Bandt-Pompe census (order 3, delay 1)

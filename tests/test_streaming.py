@@ -196,6 +196,69 @@ class TestWindowedParity:
                     b[c].to_numpy(dtype=float), s[c].to_numpy(dtype=float),
                     rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c)
 
+    def test_eda_extended_sliding_batch_vs_stream(self, spark, tmp_path):
+        """A12 extended twin at the batch gear's SLIDING geometry
+        (r15, VERDICT r14 item 4): each sample is replicated into its
+        covering epoch-aligned windows before the stateful groupBy, so
+        every closed overlapping window must match the relational batch
+        gear value-for-value (x3 overlap at 180/60; here 120/40)."""
+        from physioview_spark.streaming import (
+            streaming_eda_features_extended,
+        )
+
+        rng = np.random.default_rng(47)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        n = 2 * 480  # 8 min at 2 Hz
+        rows = []
+        for s in range(2):
+            phasic = np.round(rng.standard_normal(n) * 0.2, 2)  # ties
+            # keep ties (entropy census) but pull window means off the
+            # 0.01 grid: with all-quantized values a window's exact
+            # mean can LAND on a sample value, and then `x > mean`
+            # flips with the engines' different summation orders (a
+            # knife edge in the semantics, not a bug — one window here
+            # hit it)
+            phasic[::7] += 1e-3 * np.sqrt(2.0)
+            for i in range(n):
+                rows.append((f"s{s}",
+                             pd.Timestamp(base + np.timedelta64(
+                                 int(i * 1e6 / 2), "us")),
+                             float(phasic[i])))
+            rows.append((f"s{s}",
+                         pd.Timestamp(base + np.timedelta64(2, "h")),
+                         0.0))  # watermark-advancing sentinel
+        sch = "subject_id string, ts timestamp, phasic double"
+        pdf = pd.DataFrame(rows, columns=["subject_id", "ts", "phasic"])
+        p = str(tmp_path / "eda_ext_slide")
+        spark.createDataFrame(pdf, sch).repartition(3).write.parquet(p)
+
+        kw = dict(value_cols=["phasic"], window_seconds=120,
+                  step_seconds=40)
+        got_b = streaming_eda_features_extended(
+            spark.read.parquet(p), **kw)
+        q = (streaming_eda_features_extended(
+                spark.readStream.schema(sch).parquet(p), **kw)
+             .writeStream.format("memory").queryName("eda_ext_slide")
+             .outputMode("append").trigger(availableNow=True).start())
+        await_stream(q, 120)
+        got_s = spark.table("eda_ext_slide")
+
+        cut = F.lit(pd.Timestamp("2024-01-01 00:08:00"))
+        b = (got_b.where(F.col("window_start") < cut)
+             .orderBy("subject_id", "window_start").toPandas())
+        s = (got_s.where(F.col("window_start") < cut)
+             .orderBy("subject_id", "window_start").toPandas())
+        # overlapping windows: ~ (480 s span / 40 s step) per subject
+        assert len(b) == len(s) >= 20
+        assert set(b.columns) == set(s.columns)
+        for c in sorted(b.columns):
+            if b[c].dtype == object or "window" in c or c == "subject_id":
+                assert list(b[c]) == list(s[c]), c
+            else:
+                np.testing.assert_allclose(
+                    b[c].to_numpy(dtype=float), s[c].to_numpy(dtype=float),
+                    rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c)
+
     def test_eda_features_batch_vs_stream(self, spark, tmp_path):
         """A12 parity: the rolling EDA feature frame must be identical
         under batch and availableNow streaming (incl. the percentile and

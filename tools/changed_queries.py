@@ -278,7 +278,13 @@ def _strip_docstrings(tree: ast.AST) -> ast.AST:
     ``ast.dump`` equality calls a docstring reword BEHAVIORAL — but
     they never affect computation, so a green attestation still covers
     the bytes (r14: a hamming_banded_pairs docstring note flagged all
-    five reachers for re-attestation over zero executable change)."""
+    five reachers for re-attestation over zero executable change).
+
+    ASSUMPTION (ADVICE r14 item 4): no code in the package reads
+    ``__doc__`` at runtime or drives behavior from doctests — if it
+    did, a docstring edit WOULD change behavior while classifying
+    DOC-ONLY. ``main`` greps the package for ``__doc__`` access and
+    refuses the DOC-ONLY downgrade for files that hit."""
     for node in ast.walk(tree):
         if isinstance(node, (ast.Module, ast.FunctionDef,
                              ast.AsyncFunctionDef, ast.ClassDef)):
@@ -312,16 +318,23 @@ def classify_changes(ref: str):
         if ast.dump(old_t) == ast.dump(new_t):
             out[p] = ("COMMENT-ONLY", set(), False)
             continue
+        # __doc__-introspection guard (ADVICE r14 item 4): a file that
+        # reads __doc__ at runtime CAN change behavior via a docstring
+        # edit, so it never earns docstring-insensitive treatment —
+        # fall through to plain BEHAVIORAL per-def comparison.
+        reads_doc = "__doc__" in old_src or "__doc__" in new_src
         # fresh parses: _strip_docstrings mutates, and old_t/new_t feed
         # the per-def comparison below
-        if ast.dump(_strip_docstrings(ast.parse(old_src))) == \
+        if not reads_doc and \
+                ast.dump(_strip_docstrings(ast.parse(old_src))) == \
                 ast.dump(_strip_docstrings(ast.parse(new_src))):
             out[p] = ("DOC-ONLY", set(), False)
             continue
         # mixed files: per-def and module-level comparison is also
         # docstring-insensitive, so a def whose only change is its
         # docstring doesn't taint its reachers
-        old_t, new_t = _strip_docstrings(old_t), _strip_docstrings(new_t)
+        if not reads_doc:
+            old_t, new_t = _strip_docstrings(old_t), _strip_docstrings(new_t)
         oldd = {n: ast.dump(d) for n, d in _top_defs(old_t).items()}
         newd = {n: ast.dump(d) for n, d in _top_defs(new_t).items()}
         def_changed = {n for n in oldd.keys() | newd.keys()
