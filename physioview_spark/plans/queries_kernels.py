@@ -115,15 +115,13 @@ def kernel_eda_scr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("kernel_seconds_hr")
-def kernel_seconds_hr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 get_seconds over detected beats on synthetic ECG."""
-    from physioview_spark.functions.spark_kernels import annotate_cardiac
-    from physioview_spark.operators.metrics import get_seconds
-
-    df = _synth_frame(spark, "ecg", fs=250.0, duration=30.0, subjects=1)
-    annotated = annotate_cardiac(df, fs=250.0, detector="pantompkins")
-    return get_seconds(annotated, fs=250.0, with_ts=False)
+# (kernel_seconds_hr retired r15 — driver-green r06-r14; the second of
+# A5's three redundant attestations, swap-funding the edf_annotations
+# gate (VERDICT r14 items 1+3 precedent: the r12 video-leg retirement).
+# get_seconds keeps its true SQL twin in seconds_hr_context and the
+# annotate_cardiac composition keeps kernel_cardiac_sqa_ecg +
+# kernel_hrv_features; the retired composition also stays covered by
+# tests/test_sqa_metrics.py.)
 
 
 @q("kernel_beat_correction")
@@ -398,6 +396,62 @@ def edf_ingest_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ecg.unionByName(acc).unionByName(al)
             .select("subject_id", "channel", "n_rows", "mean_value", "fs")
             .orderBy("subject_id", "channel"))
+
+
+@q("edf_annotations", """
+SELECT subject_id, CAST(onset_s AS DOUBLE) AS onset_s,
+       CAST(duration_s AS DOUBLE) AS duration_s, annotation
+FROM (VALUES
+  ('edfann_a', 0.0,  NULL, 'recording start'),
+  ('edfann_a', 0.5,  1.25, 'artifact'),
+  ('edfann_a', 1.75, NULL, 'beat café'),
+  ('edfann_a', 3.2,  0.8,  'segment end'),
+  ('edfann_b', 0.25, 2.0,  'eda scr'),
+  ('edfann_b', 2.5,  NULL, 'marker'),
+  ('edfann_b', 3.9,  0.1,  'end')
+) AS t(subject_id, onset_s, duration_s, annotation)
+""")
+def edf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 EDF+ annotations driver gate (VERDICT r14 item 3): round-trip
+    known (onset, duration, text) triples through the EDF+ TAL writer
+    (sources/edf.py write_edf_bytes — per-record TALs, timekeeping TAL,
+    EDF+C marker) and the distributed reader (load_annotations:
+    binaryFile + mapInPandas). The oracle states the expected triples
+    literally — an independent SQL recomputation of a byte-format parse
+    is impossible, but the expected rows are exact by construction
+    (%g-formatted decimals parse back to the identical doubles; UTF-8
+    text exercised). Reference parity: pyedflib readAnnotations()
+    triples through the reference's EDF stack (physioview.py:1098
+    neighborhood loads Actiwave EDFs; EDF+ TALs per the published
+    EDF+ spec, Kemp 2003)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from physioview_spark.sources.edf import load_annotations, write_edf_bytes
+
+    anns = {
+        "edfann_a": [(0.0, None, "recording start"),
+                     (0.5, 1.25, "artifact"),
+                     (1.75, None, "beat café"),
+                     (3.2, 0.8, "segment end")],
+        "edfann_b": [(0.25, 2.0, "eda scr"),
+                     (2.5, None, "marker"),
+                     (3.9, 0.1, "end")],
+    }
+    d = tempfile.mkdtemp(prefix="edfannq_")
+    for i, (subj, triples) in enumerate(sorted(anns.items())):
+        rng = np.random.RandomState(59 + i)
+        signals = [
+            {"label": "ECG0", "fs": 64, "data": rng.normal(0, 1, 64 * 4),
+             "dim": "uV"},
+            {"label": "EDA", "fs": 4, "data": rng.normal(5, 1, 4 * 4)},
+        ]
+        with open(os.path.join(d, f"{subj}.edf"), "wb") as fh:
+            fh.write(write_edf_bytes(signals, annotations=triples))
+    return (load_annotations(spark, d)
+            .orderBy("subject_id", "onset_s", "annotation"))
 
 
 @q("resample_grid_stats")

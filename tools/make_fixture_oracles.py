@@ -24,7 +24,7 @@ FIXTURE_QUERIES = [
     "kernel_cardiac_sqa_ecg",
     "kernel_cardiac_rolling_ppg",
     "kernel_eda_scr",
-    "kernel_seconds_hr",
+    # kernel_seconds_hr retired r15 (redundant A5 attestation)
     "kernel_beat_correction",
     "kernel_hrv_features",
     # kernel_eda_quality_metrics and kernel_acc_auc have TRUE DuckDB
