@@ -343,7 +343,7 @@ def compute_hrv(
         + [T.StructField(f, T.DoubleType(), True) for f in FEATURE_NAMES]
     )
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ix = np.sort(pdf["sample_idx"].to_numpy())
         nn = np.diff(ix) / fs * 1000.0
         feats = hrv_features(nn)
@@ -512,7 +512,7 @@ def apply_kernel_chunked(
         exploded = exploded.repartition(
             group_partitions, F.col(by), F.col("__chunk"))
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         chunk = key[1]
         pdf = pdf.sort_values("sample_idx").reset_index(drop=True)
         res = kernel(pdf[value_col].to_numpy())
