@@ -164,6 +164,21 @@ class TestEdfSource:
         p2, _ = self._make_edf(tmp_path)
         assert load_annotations(spark, p2).count() == 0
 
+    def test_write_edf_rejects_sub_record_signals(self):
+        """ADVICE r14 item 3: every signal shorter than one data record
+        means zero complete records — a clear early ValueError, not an
+        IndexError deep in the annotation chunking."""
+        import pytest
+
+        from physioview_spark.sources import write_edf_bytes
+
+        short = [{"label": "ECG0", "fs": 128,
+                  "data": np.zeros(64), "dim": "uV"}]  # 0.5 s at 1 s/rec
+        with pytest.raises(ValueError, match="no complete data records"):
+            write_edf_bytes(short, annotations=[(0.0, None, "x")])
+        with pytest.raises(ValueError, match="no complete data records"):
+            write_edf_bytes(short)
+
     def test_channel_fs_probe(self, tmp_path, spark):
         from physioview_spark.sources import get_channel_fs
 

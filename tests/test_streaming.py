@@ -259,6 +259,22 @@ class TestWindowedParity:
                     b[c].to_numpy(dtype=float), s[c].to_numpy(dtype=float),
                     rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c)
 
+    def test_eda_extended_rejects_step_above_window(self, spark):
+        """Gapped geometries (step > window) silently DROP samples from
+        every window; the extended twin refuses them explicitly."""
+        import pytest
+
+        from physioview_spark.streaming import (
+            streaming_eda_features_extended,
+        )
+
+        df = spark.createDataFrame(
+            [], "subject_id string, ts timestamp, phasic double")
+        with pytest.raises(ValueError, match="step_seconds"):
+            streaming_eda_features_extended(
+                df, value_cols=["phasic"], window_seconds=60,
+                step_seconds=120)
+
     def test_eda_features_batch_vs_stream(self, spark, tmp_path):
         """A12 parity: the rolling EDA feature frame must be identical
         under batch and availableNow streaming (incl. the percentile and
