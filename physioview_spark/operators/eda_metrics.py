@@ -393,40 +393,87 @@ def compute_eda_features(
         # the normalized spectrum / log2(3). Runs on the WINDOW frame
         # (thousands of rows, not samples) — pure projection, no
         # shuffle, no Python.
+        #
+        # Each step is a MATERIALIZED withColumn alias, not an inlined
+        # Column expression: the eigensolve references q/p/tot many
+        # times each, and textual inlining explodes the expression
+        # tree combinatorially — measured r15 as a scale-INVARIANT
+        # ~6.5 s/plan constant (analysis + a janino 64KB codegen
+        # failure falling back to interpreted). CollapseProject keeps
+        # adjacent Projects separate when a non-cheap alias is
+        # referenced more than once, so the chain stays linear.
         for c in value_cols:
+            t = f"__sv{c}_"
             g11, g22, g33 = (F.col(f"__g{i}_{c}") for i in (11, 22, 33))
             g12, g13, g23 = (F.col(f"__g{i}_{c}") for i in (12, 13, 23))
-            q = (g11 + g22 + g33) / 3.0
-            p2 = ((g11 - q) ** 2 + (g22 - q) ** 2 + (g33 - q) ** 2
-                  + 2.0 * (g12 ** 2 + g13 ** 2 + g23 ** 2))
-            p = F.sqrt(p2 / 6.0)
-            # B = (G - qI)/p; r = det(B)/2, clamped into acos' domain
-            b11, b22, b33 = (g11 - q) / p, (g22 - q) / p, (g33 - q) / p
-            b12, b13, b23 = g12 / p, g13 / p, g23 / p
-            det_b = (b11 * (b22 * b33 - b23 * b23)
-                     - b12 * (b12 * b33 - b23 * b13)
-                     + b13 * (b12 * b23 - b22 * b13))
-            r = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), det_b / 2.0))
-            phi = F.acos(r) / 3.0
+            cc = lambda name: F.col(t + name)  # noqa: E731
             two_pi_3 = 2.0943951023931953
-            l1 = q + 2.0 * p * F.cos(phi)
-            l3 = q + 2.0 * p * F.cos(phi + two_pi_3)
-            l2 = 3.0 * q - l1 - l3
-            # G is PSD: negative eigenvalues are rounding -> clamp to 0
-            sv = [F.sqrt(F.greatest(e, F.lit(0.0))) for e in (l1, l2, l3)]
-            tot = sv[0] + sv[1] + sv[2]
-            h = -sum(
-                (F.when(s > 0, (s / tot) * F.log2(s / tot))
-                 .otherwise(F.lit(0.0))) for s in sv) / F.log2(F.lit(3.0))
-            # degenerate spectra: p == 0 means G = qI (three equal
-            # singular values -> H = 1 when q > 0, undefined when the
-            # embedding is empty or all-zero)
-            agg_df = agg_df.withColumn(
-                f"{c}_svd_entropy",
-                F.when(g11.isNull(), F.lit(None).cast("double"))
-                .when((p2 <= 0) & (q > 0), F.lit(1.0))
-                .when((p2 <= 0), F.lit(None).cast("double"))
-                .otherwise(h))
+            agg_df = (
+                agg_df
+                .withColumn(t + "q", (g11 + g22 + g33) / 3.0)
+                .withColumn(
+                    t + "p2",
+                    (g11 - cc("q")) ** 2 + (g22 - cc("q")) ** 2
+                    + (g33 - cc("q")) ** 2
+                    + 2.0 * (g12 ** 2 + g13 ** 2 + g23 ** 2))
+                .withColumn(t + "p", F.sqrt(cc("p2") / 6.0))
+                # B = (G - qI)/p; r = det(B)/2, clamped into acos' domain
+                .withColumn(t + "b11", (g11 - cc("q")) / cc("p"))
+                .withColumn(t + "b22", (g22 - cc("q")) / cc("p"))
+                .withColumn(t + "b33", (g33 - cc("q")) / cc("p"))
+                .withColumn(t + "b12", g12 / cc("p"))
+                .withColumn(t + "b13", g13 / cc("p"))
+                .withColumn(t + "b23", g23 / cc("p"))
+                .withColumn(
+                    t + "detb",
+                    cc("b11") * (cc("b22") * cc("b33")
+                                 - cc("b23") * cc("b23"))
+                    - cc("b12") * (cc("b12") * cc("b33")
+                                   - cc("b23") * cc("b13"))
+                    + cc("b13") * (cc("b12") * cc("b23")
+                                   - cc("b22") * cc("b13")))
+                .withColumn(
+                    t + "phi",
+                    F.acos(F.least(F.lit(1.0),
+                                   F.greatest(F.lit(-1.0),
+                                              cc("detb") / 2.0))) / 3.0)
+                .withColumn(t + "l1",
+                            cc("q") + 2.0 * cc("p") * F.cos(cc("phi")))
+                .withColumn(t + "l3",
+                            cc("q") + 2.0 * cc("p")
+                            * F.cos(cc("phi") + two_pi_3))
+                .withColumn(t + "l2",
+                            3.0 * cc("q") - cc("l1") - cc("l3"))
+                # G is PSD: negative eigenvalues are rounding -> clamp
+                .withColumn(t + "s1",
+                            F.sqrt(F.greatest(cc("l1"), F.lit(0.0))))
+                .withColumn(t + "s2",
+                            F.sqrt(F.greatest(cc("l2"), F.lit(0.0))))
+                .withColumn(t + "s3",
+                            F.sqrt(F.greatest(cc("l3"), F.lit(0.0))))
+                .withColumn(t + "tot", cc("s1") + cc("s2") + cc("s3"))
+                .withColumn(
+                    t + "h",
+                    -sum((F.when(cc(s) > 0,
+                                 (cc(s) / cc("tot"))
+                                 * F.log2(cc(s) / cc("tot")))
+                          .otherwise(F.lit(0.0)))
+                         for s in ("s1", "s2", "s3"))
+                    / F.log2(F.lit(3.0)))
+                # degenerate spectra: p == 0 means G = qI (three equal
+                # singular values -> H = 1 when q > 0, undefined when
+                # the embedding is empty or all-zero)
+                .withColumn(
+                    f"{c}_svd_entropy",
+                    F.when(g11.isNull(), F.lit(None).cast("double"))
+                    .when((cc("p2") <= 0) & (cc("q") > 0), F.lit(1.0))
+                    .when(cc("p2") <= 0, F.lit(None).cast("double"))
+                    .otherwise(cc("h")))
+                .drop(*[t + n for n in (
+                    "q", "p2", "p", "b11", "b22", "b33", "b12", "b13",
+                    "b23", "detb", "phi", "l1", "l2", "l3", "s1", "s2",
+                    "s3", "tot", "h")])
+            )
         agg_df = agg_df.drop(*[f"__g{i}_{c}" for c in value_cols
                                for i in (11, 22, 33, 12, 13, 23)])
 

@@ -1055,3 +1055,43 @@ class TestAutoBlocksProperties:
                       10**6, 10**7, 10**8, 10**9):
                 assert auto_blocks(n, bits=bits, max_hamming=mh) == \
                     brute(n, bits, mh), (n, bits, mh)
+
+
+class TestFindPeaksProperties:
+    """find_peaks_count (the flirt-parity plateau-aware peak counter,
+    ADVICE r14 item 2) vs an independent brute-force transcription of
+    scipy.signal._local_maxima_1d's walk."""
+
+    @staticmethod
+    def _scipy_walk(x):
+        npk, i = 0, 1
+        while i < len(x) - 1:
+            if x[i - 1] < x[i]:
+                j = i
+                while j < len(x) - 1 and x[j + 1] == x[i]:
+                    j += 1
+                if j < len(x) - 1 and x[j + 1] < x[i]:
+                    npk += 1
+                i = j
+            i += 1
+        return npk
+
+    @given(st.lists(st.integers(-3, 3), min_size=0, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_matches_scipy_walk_on_quantized(self, vals):
+        """Small integer alphabets maximize plateau/tie density — the
+        regime where the run-compressed form and the strict form
+        diverge."""
+        from physioview_spark.functions.kernels_hrv import find_peaks_count
+
+        x = np.asarray(vals, dtype=float)
+        assert find_peaks_count(x) == self._scipy_walk(x)
+
+    @given(st.lists(st.floats(-1e6, 1e6, allow_nan=False),
+                    min_size=0, max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_matches_scipy_walk_on_floats(self, vals):
+        from physioview_spark.functions.kernels_hrv import find_peaks_count
+
+        x = np.asarray(vals, dtype=float)
+        assert find_peaks_count(x) == self._scipy_walk(x)
