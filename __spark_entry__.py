@@ -68,6 +68,20 @@ _CHANGED_IN_ROUND = {
     # r15 (ADVICE r14 item 3): write_edf_bytes raises early on
     # n_records == 0 — edf_ingest_channels reaches the fixture writer.
     "edf_ingest_channels": 15,
+    # r15 perf: get_missing rewrite — one partially-aggregated pass over
+    # the sample frame feeds spine+ts (_seg_samples/_segment_spine), the
+    # half-slice extents joins become segment arithmetic, and detected
+    # counts merge into the window-median aggregation (33 -> 17 shuffle
+    # exchanges). Semantics unchanged (oracle re-green post-edit); the
+    # three get_missing reachers re-attest.
+    "sqa_missing_segments": 15,
+    "cardiac_summary_rollup": 15,
+    "kernel_cardiac_sqa_ecg": 15,
+    # r15 scale fix: top_revenue_nations dropped the explicit broadcast
+    # hint on customer (grows with SF — AQE now self-selects broadcast
+    # locally, SMJ past the threshold); r12-tier, inside the window by
+    # staleness alone.
+    "top_revenue_nations": 15,
 }
 
 

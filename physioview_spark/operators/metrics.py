@@ -18,8 +18,9 @@ Spark-first design: the reference's per-segment Python loop with mutable
 following frame for backfill), so the whole computation is one shuffle on
 ``(subject_id, segment)`` plus ordered windows per subject — no Python, no
 collect, scales per-subject to arbitrary cohort sizes. Only beat rows (a few
-per second) enter the window stages; the dense sample frame is touched once
-for per-subject extents.
+per second) enter the window stages; the dense sample frame is scanned once
+and immediately collapsed map-side to a per-(subject, segment) aggregate
+that feeds both the segment spine and the timestamp column.
 """
 
 from __future__ import annotations
@@ -51,29 +52,61 @@ def _arr_median(arr: Column) -> Column:
     )
 
 
-def _subject_extents(samples: DataFrame, fs: float, seg_size: int) -> DataFrame:
-    """Per-subject sample count, segment count and per-segment spine.
+def _seg_samples(
+    samples: DataFrame, fs: float, seg_size: int, with_ts: bool,
+    with_artifacts: bool = False,
+) -> DataFrame:
+    """ONE partially-aggregated pass over the (potentially dense) sample
+    frame: per-(subject, segment) max index and — when requested — first
+    timestamp and artifact count.  Everything ``get_missing`` (and, with
+    ``with_artifacts``, ``compute_metrics``) needs from the raw samples
+    derives from this small frame, so the full-size input is scanned and
+    shuffled once, after a map-side combine that collapses each scan
+    partition to its distinct segments.
+    """
+    seg_len = int(fs * seg_size)
+    aggs = [F.max("sample_idx").alias("seg_max_idx")]
+    if with_ts:
+        # ts is monotone in sample_idx, so min(ts) = first-sample ts
+        aggs.append(F.min("ts").alias("ts"))
+    if with_artifacts:
+        aggs.append(
+            F.sum(F.when(F.col("artifact") == 1, 1).otherwise(0))
+            .alias("n_artifact")
+        )
+    seg = (F.floor(F.col("sample_idx") / seg_len) + 1).cast("long").alias("segment")
+    out = samples.groupBy(B, seg).agg(*aggs)
+    # Downstream references prune different columns (spine wants
+    # seg_max_idx, the ts join wants ts, compute_metrics wants
+    # n_artifact), which defeats ReuseExchange — without a persist each
+    # reference would re-expand the aggregate and re-scan the full
+    # sample frame. The frame is ~rows/seg_len, trivially cacheable.
+    from pyspark import StorageLevel
+
+    return out.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _segment_spine(seg_samples: DataFrame, seg_len: int) -> DataFrame:
+    """Per-subject segment spine from the pre-aggregated segment frame.
 
     ``n_seg = ceil(n_samples / (fs*seg_size))`` — the reference's segment
     spine covers every segment, including beat-free ones
-    (reference: pipeline/SQA.py:243-244).
+    (reference: pipeline/SQA.py:243-244).  Grid length from the max index,
+    not the row count — identical on a dense frame, correct when the
+    caller passes a sparse one; reads the tiny per-segment aggregate
+    instead of re-scanning the sample frame.
     """
-    seg_len = int(fs * seg_size)
     return (
-        samples.groupBy(B)
-        # grid length from the index, not the row count: identical on a
-        # dense frame, correct when the caller passes a sparse one
-        .agg((F.max("sample_idx") + 1).alias("n_samples"))
+        seg_samples.groupBy(B)
+        .agg((F.max("seg_max_idx") + 1).alias("n_samples"))
         .withColumn("n_seg", F.ceil(F.col("n_samples") / seg_len))
         .withColumn("segment", F.explode(F.sequence(F.lit(1), F.col("n_seg"))))
         .withColumn(
-            "seg_start", ((F.col("segment") - 1) * seg_len).cast("long")
+            "seg_n_samples",
+            F.least(F.col("n_samples"), F.col("segment") * seg_len).cast("long")
+            - ((F.col("segment") - 1) * seg_len),
         )
-        .withColumn(
-            "seg_end",
-            F.least(F.col("n_samples"), F.col("segment") * seg_len).cast("long"),
-        )
-        .withColumn("seg_n_samples", F.col("seg_end") - F.col("seg_start"))
+        .select(B, "segment", "n_seg", "seg_n_samples")
     )
 
 
@@ -121,8 +154,8 @@ def get_artifacts(
     return out.select(*cols)
 
 
-def _window_median_hrs(beats: DataFrame, win_size: int = 5) -> DataFrame:
-    """Per-beat sliding 5-beat window median HR, artifact-free windows only.
+def _windowed_beats(beats: DataFrame, win_size: int = 5) -> DataFrame:
+    """Per-beat sliding 5-beat window median HR + validity columns.
 
     Mirrors ``_window_medians`` (reference: pipeline/SQA.py:1751-1764): a
     window is the beat and its next ``win_size-1`` beats *within the same
@@ -130,6 +163,9 @@ def _window_median_hrs(beats: DataFrame, win_size: int = 5) -> DataFrame:
     ignores null IBIs (the recording's first beat has none), so an
     all-null window yields a null median that still counts as "a window
     existed" — that distinction gates the reference's fallback chain.
+    Returns every beat row with ``med_hr`` and a ``__valid`` flag rather
+    than filtering, so callers can aggregate window medians AND raw beat
+    counts in the same pass (one shuffle on ``(subject, segment)``).
     """
     w = (
         Window.partitionBy(B, "segment")
@@ -140,14 +176,15 @@ def _window_median_hrs(beats: DataFrame, win_size: int = 5) -> DataFrame:
         beats.withColumn("__n", F.count(F.lit(1)).over(w))
         .withColumn("__any_art", F.max(F.col("artifact") == 1).over(w))
         .withColumn("med_hr", _arr_median(F.collect_list(_sdiv(F.lit(60000.0), F.col("ibi_ms"))).over(w)))
-        .where((F.col("__n") == win_size) & ~F.coalesce("__any_art", F.lit(False)))
-        .select(B, "segment", "med_hr")
+        .withColumn(
+            "__valid",
+            (F.col("__n") == win_size) & ~F.coalesce("__any_art", F.lit(False)),
+        )
     )
 
 
 def _half_slice_median_hrs(
     beats: DataFrame,
-    extents: DataFrame,
     fs: float,
     seg_size: int,
     which: str,
@@ -157,24 +194,29 @@ def _half_slice_median_hrs(
     segment — the reference's adjacent-segment fallback slices
     (reference: pipeline/SQA.py:560-570; note the slice length is in rows,
     not seconds — behavior preserved).
+
+    Segment bounds are pure arithmetic — no join with the extents frame.
+    ``seg_start = (segment-1)*seg_len`` always; for ``seg_end`` the nominal
+    ``segment*seg_len`` equals the reference's ``min(n_samples, ...)`` clamp
+    on every segment except the final one (``n_seg = ceil`` guarantees
+    ``n_samples > (n_seg-1)*seg_len``), and the final segment's "last half"
+    output is discarded by ``get_missing``'s ``segment+1`` shift — its key
+    lands outside the spine — so the clamp is unobservable.  That caller
+    contract is what makes this join-free form exact.
     """
     k = int(seg_size * 0.5)
-    ext = extents.select(B, "segment", "seg_start", "seg_end")
-    j = beats.join(ext, on=[B, "segment"])
+    seg_len = int(fs * seg_size)
     if which == "last":
-        j = j.where(F.col("sample_idx") >= F.col("seg_end") - k)
+        j = beats.where(
+            F.col("sample_idx") >= F.col("segment") * seg_len - k
+        )
     else:
-        j = j.where(F.col("sample_idx") < F.col("seg_start") + k)
-    w = (
-        Window.partitionBy(B, "segment")
-        .orderBy("sample_idx")
-        .rowsBetween(0, win_size - 1)
-    )
+        j = beats.where(
+            F.col("sample_idx") < (F.col("segment") - 1) * seg_len + k
+        )
     return (
-        j.withColumn("__n", F.count(F.lit(1)).over(w))
-        .withColumn("__any_art", F.max(F.col("artifact") == 1).over(w))
-        .withColumn("med_hr", _arr_median(F.collect_list(_sdiv(F.lit(60000.0), F.col("ibi_ms"))).over(w)))
-        .where((F.col("__n") == win_size) & ~F.coalesce("__any_art", F.lit(False)))
+        _windowed_beats(j, win_size)
+        .where(F.col("__valid"))
         .groupBy(B, "segment")
         .agg(
             F.median("med_hr").alias(f"{which}_half_med"),
@@ -185,7 +227,7 @@ def _half_slice_median_hrs(
 
 def get_missing(
     samples: DataFrame, fs: float, seg_size: int = 60, with_ts: bool = True,
-    reuse_beats: bool = True,
+    reuse_beats: bool = True, seg_samples: DataFrame | None = None,
 ) -> DataFrame:
     """Per-segment N Detected / N Expected / N Missing / % Missing.
 
@@ -194,35 +236,46 @@ def get_missing(
     backfill = ``first(ignorenulls)`` over following segments (valid because
     after carry-forward the nulls form a prefix).
 
-    ``reuse_beats``: the sparse beat frame is referenced by FOUR
-    downstream aggregates (own-segment medians, prev/next half-slice
-    medians, detected counts); without reuse Catalyst re-expands —
-    and re-scans — the whole upstream lineage per reference. Persisting
-    it (MEMORY_AND_DISK, spill-safe; beat rows only, far smaller than
-    the sample stream) computes the expensive beat extraction once:
-    ~25% faster end-to-end at sf0.1. Spark's ContextCleaner drops the
-    cached blocks when the frame is garbage collected.
+    ``reuse_beats``: the sparse beat frame is referenced by THREE
+    downstream aggregates (own-segment medians + detected counts in one
+    pass, prev/next half-slice medians); without reuse Catalyst
+    re-expands — and re-scans — the whole upstream lineage per reference.
+    Persisting it (MEMORY_AND_DISK, spill-safe; beat rows only, far
+    smaller than the sample stream) computes the expensive beat
+    extraction once: ~25% faster end-to-end at sf0.1. Spark's
+    ContextCleaner drops the cached blocks when the frame is garbage
+    collected.
+
+    The dense sample frame is read once and immediately collapsed to a
+    per-(subject, segment) aggregate (``_seg_samples``) that feeds both
+    the segment spine and the timestamp column — at corpus scale that is
+    the only full-size shuffle, and it is map-side-combined down to
+    ~rows/seg_len before crossing the wire.  ``compute_metrics`` passes a
+    pre-built ``seg_samples`` (same keys, extra artifact sums) so ITS
+    artifact counts ride the same single scan.
     """
+    seg_len = int(fs * seg_size)
     beats = _beats_frame(samples, fs, seg_size)
     if reuse_beats:
         from pyspark import StorageLevel
 
         beats = beats.persist(StorageLevel.MEMORY_AND_DISK)
-    extents = _subject_extents(samples, fs, seg_size)
+    if seg_samples is None:
+        seg_samples = _seg_samples(samples, fs, seg_size, with_ts)
+    spine = _segment_spine(seg_samples, seg_len)
 
-    seg_meds = _window_median_hrs(beats).groupBy(B, "segment").agg(
-        F.median("med_hr").alias("seg_med"), F.count(F.lit(1)).alias("seg_n_win")
+    # Own-segment window medians AND detected-beat counts in ONE
+    # aggregation: ``__valid`` masks invalid windows out of the median /
+    # window count while every beat row still feeds ``n_detected``.
+    wb = _windowed_beats(beats)
+    seg_meds = wb.groupBy(B, "segment").agg(
+        F.median(F.when(F.col("__valid"), F.col("med_hr"))).alias("seg_med"),
+        F.count(F.when(F.col("__valid"), F.lit(1))).alias("seg_n_win"),
+        F.count(F.lit(1)).alias("n_detected"),
     )
-    prev_half = _half_slice_median_hrs(beats, extents, fs, seg_size, "last")
-    next_half = _half_slice_median_hrs(beats, extents, fs, seg_size, "first")
+    prev_half = _half_slice_median_hrs(beats, fs, seg_size, "last")
+    next_half = _half_slice_median_hrs(beats, fs, seg_size, "first")
 
-    detected = beats.groupBy(B, "segment").agg(
-        F.count(F.lit(1)).alias("n_detected")
-    )
-
-    spine = extents.select(
-        B, "segment", "n_seg", "seg_n_samples"
-    )
     m = (
         spine.join(seg_meds, [B, "segment"], "left")
         .join(
@@ -233,7 +286,6 @@ def get_missing(
             next_half.withColumn("segment", F.col("segment") - 1),
             [B, "segment"], "left",
         )
-        .join(detected, [B, "segment"], "left")
         .withColumn("n_detected", F.coalesce("n_detected", F.lit(0)))
     )
     # Fallback chain: own windows > prev-half windows > next-half windows;
@@ -283,13 +335,9 @@ def get_missing(
     )
     cols = [B, "segment", "n_detected", "n_expected", "n_missing", "pct_missing"]
     if with_ts:
-        ts = samples.groupBy(
-            B,
-            (F.floor(F.col("sample_idx") / int(fs * seg_size)) + 1)
-            .cast("long")
-            .alias("segment"),
-        ).agg(F.min("ts").alias("ts"))
-        m = m.join(ts, [B, "segment"], "left")
+        # first-sample ts per segment rides the SAME _seg_samples pass
+        # that built the spine — no second scan of the sample frame
+        m = m.join(seg_samples.select(B, "segment", "ts"), [B, "segment"], "left")
         cols = [B, "segment", "ts"] + cols[2:]
     return m.select(*cols)
 
@@ -301,14 +349,29 @@ def compute_metrics(
     min_hr: float = 40.0,
     with_ts: bool = True,
 ) -> DataFrame:
-    """Segmented SQA metric frame = get_missing join get_artifacts + Invalid.
+    """Segmented SQA metric frame = get_missing + artifact counts + Invalid.
 
     Invalid: fewer detected beats than ``min_hr`` implies for the segment,
     or more than 220 (reference: pipeline/SQA.py:193-196).
+
+    The artifact sums ride get_missing's single ``_seg_samples`` scan
+    (``with_artifacts=True``) instead of a second ``get_artifacts`` pass
+    over the full sample frame; ``pct_artifact`` is recomputed from
+    get_missing's ``n_detected``, which equals get_artifacts' per-segment
+    beat count by construction (both count ``beat == 1`` rows).  Segments
+    on the spine with no sample rows keep null ``n_artifact``/
+    ``pct_artifact``, matching the former left join.
     """
-    missing = get_missing(samples, fs, seg_size, with_ts=with_ts)
-    artifacts = get_artifacts(samples, fs, seg_size, with_ts=False).drop("n_detected")
-    out = missing.join(artifacts, [B, "segment"], "left")
+    ss = _seg_samples(samples, fs, seg_size, with_ts, with_artifacts=True)
+    missing = get_missing(
+        samples, fs, seg_size, with_ts=with_ts, seg_samples=ss
+    )
+    out = missing.join(
+        ss.select(B, "segment", "n_artifact"), [B, "segment"], "left"
+    ).withColumn(
+        "pct_artifact",
+        F.round(_sdiv(F.col("n_artifact"), F.col("n_detected")) * 100.0, 2),
+    )
     out = out.withColumn(
         "invalid",
         F.when(
@@ -342,7 +405,7 @@ def compute_metrics_rolling(
     win_len = int(fs * rolling_window)
     beats = _beats_frame(samples, fs, seg_size).drop("segment")
     extents = samples.groupBy(B).agg(
-        # grid length from the index (see _subject_extents)
+        # grid length from the index (see _segment_spine)
         (F.max("sample_idx") + 1).alias("n_samples"),
         *([F.min("ts").alias("__ts0")] if with_ts else []),
     ).withColumn("n_win", F.ceil(F.col("n_samples") / step_len))
@@ -459,7 +522,7 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
     )
     spine = (
         samples.groupBy(B)
-        # grid length from the index (see _subject_extents)
+        # grid length from the index (see _segment_spine)
         .agg((F.max("sample_idx") + 1).alias("n_samples"))
         .withColumn("n_sec", F.ceil(F.col("n_samples") / fs_i))
         .withColumn("sec", F.explode(F.sequence(F.lit(0), F.col("n_sec") - 1)))

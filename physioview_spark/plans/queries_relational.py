@@ -87,8 +87,10 @@ def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-level join input shrinks ~4x, and (b) the per-nation
     ``COUNT(DISTINCT o_orderkey)`` degenerates to a plain ``count`` —
     one lineitem shuffle total instead of a join shuffle plus a distinct
-    expand. Dimension sides broadcast (at 100 TB the fact table shuffles
-    exactly once, on its natural key)."""
+    expand. nation (25 rows, SF-invariant) carries an explicit broadcast
+    hint; customer GROWS with SF, so its join is left to AQE — broadcast
+    at bench scale, sort-merge past the threshold (the same self-selection
+    the x100 receipt shows for order_priority_counts' semi-join)."""
     li = read(spark, sf_dir, "lineitem")
     o = read(spark, sf_dir, "orders")
     c = read(spark, sf_dir, "customer")
@@ -100,7 +102,7 @@ def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
