@@ -282,6 +282,158 @@ class TestInterpVsModel:
                 f"k={lk}: got {got[lk]}, model {want} (xs={xs}, ys={ys})")
 
 
+# ------------------------------------------- A2 expected-beat model test
+
+def _hu(x, nd=0):
+    """Spark F.round = BigDecimal HALF_UP on the double's SHORTEST repr
+    (Double.toString); Python repr is the same shortest round-trip."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None:
+        return None
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _med(vals):
+    """Exact median, nulls dropped, None for empty — _arr_median's rule."""
+    vals = sorted(v for v in vals if v is not None)
+    if not vals:
+        return None
+    n = len(vals)
+    return vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2.0
+
+
+def _win_medians(rows, win=5):
+    """5-beat forward windows over (artifact, hr) rows; artifact-free full
+    windows only; a window of all-null HRs still yields one (None) entry —
+    reference _window_medians semantics (SQA.py:1751-1764)."""
+    out = []
+    for i in range(len(rows)):
+        w = rows[i:i + win]
+        if len(w) == win and not any(a for a, _ in w):
+            out.append(_med([h for _, h in w]))
+    return out
+
+
+def _missing_model(beats, arts, fs, seg_size):
+    """Pure-python reference model of get_missing (SQA.py:503-629) with the
+    CLAMPED last-segment end — the semantics the arithmetic rewrite in
+    _half_slice_median_hrs must preserve observably."""
+    import math
+
+    seg_len = int(fs * seg_size)
+    k = int(seg_size * 0.5)
+    n_samples = beats[-1] + 1
+    n_seg = math.ceil(n_samples / seg_len)
+    hrs = [None] + [60000.0 / ((beats[j] - beats[j - 1]) / fs * 1000.0)
+                    for j in range(1, len(beats))]
+
+    seg_med, seg_n, last_med, last_n, first_med, first_n, det = (
+        {}, {}, {}, {}, {}, {}, {})
+    for s in range(1, n_seg + 1):
+        st_, en = (s - 1) * seg_len, min(n_samples, s * seg_len)
+        rows = [(arts[j], hrs[j]) for j in range(len(beats))
+                if st_ <= beats[j] < s * seg_len]
+        det[s] = len(rows)
+        m = _win_medians(rows)
+        seg_n[s], seg_med[s] = len(m), _med(m)
+        lm = _win_medians([(arts[j], hrs[j]) for j in range(len(beats))
+                           if st_ <= beats[j] < s * seg_len
+                           and beats[j] >= en - k])
+        last_n[s], last_med[s] = len(lm), _med(lm)
+        fm = _win_medians([(arts[j], hrs[j]) for j in range(len(beats))
+                           if st_ <= beats[j] < s * seg_len
+                           and beats[j] < st_ + k])
+        first_n[s], first_med[s] = len(fm), _med(fm)
+
+    out, exp_hr = {}, None
+    raw_expected = {}
+    for s in range(1, n_seg + 1):
+        if seg_n.get(s, 0) > 0:
+            raw = seg_med[s]
+        elif last_n.get(s - 1, 0) > 0:
+            raw = last_med[s - 1]
+        elif first_n.get(s + 1, 0) > 0:
+            raw = first_med[s + 1]
+        else:
+            raw = None
+        if raw is not None:
+            exp_hr = raw
+        f = None if exp_hr is None else _hu(exp_hr * (seg_size / 60.0))
+        if s == n_seg and f is not None:
+            sns = min(n_samples, s * seg_len) - (s - 1) * seg_len
+            f = _hu(f * (sns / fs / seg_size))
+        raw_expected[s] = f
+    # leading backfill: first non-null at-or-after s
+    for s in range(1, n_seg + 1):
+        n_exp = next((raw_expected[t] for t in range(s, n_seg + 1)
+                      if raw_expected[t] is not None), None)
+        n_exp = None if n_exp is None else int(n_exp)
+        # Spark/DuckDB GREATEST skip nulls: greatest(0, NULL) = 0, so a
+        # null-expected segment reports 0 missing (and a null pct)
+        n_miss = 0 if n_exp is None else max(0, n_exp - det[s])
+        pct = (None if not n_exp
+               else _hu(n_miss / n_exp * 100.0, 2))
+        out[s] = (det[s], n_exp, n_miss, pct)
+    return out
+
+
+@st.composite
+def sparse_beat_subjects(draw):
+    """1-2 subjects of sparse beat rows over up to ~10 segments at fs=1,
+    seg_size=10 — tiny hostile geometries: <5-beat segments, beat-free
+    segments, all-artifact windows, 1-beat subjects, partial finals."""
+    subjects = {}
+    for sid in range(draw(st.integers(1, 2))):
+        idx = sorted(draw(st.sets(st.integers(0, 95), min_size=1,
+                                  max_size=40)))
+        arts = [draw(st.booleans()) for _ in idx]
+        subjects[f"s{sid}"] = (idx, arts)
+    return subjects
+
+
+class TestMissingModel:
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(sparse_beat_subjects())
+    def test_get_missing_matches_reference_model(self, spark, subjects):
+        """get_missing == the pure-python reference loop on randomized
+        sparse frames — pins the r15 rewrite (join-free half-slice bounds,
+        merged detected counts, _seg_samples spine) against the CLAMPED
+        reference semantics on geometries the sf tables never hit."""
+        from physioview_spark.operators.metrics import get_missing
+
+        rows = []
+        for sid, (idx, arts) in subjects.items():
+            for i, a in zip(idx, arts):
+                rows.append((sid, i, 1.0, 1.0 if a else None))
+        df = spark.createDataFrame(
+            rows, "subject_id string, sample_idx long, beat double, "
+                  "artifact double")
+        got = {(r["subject_id"], r["segment"]):
+               (r["n_detected"], r["n_expected"], r["n_missing"],
+                r["pct_missing"])
+               for r in get_missing(df, fs=1.0, seg_size=10,
+                                    with_ts=False).collect()}
+        want = {}
+        for sid, (idx, arts) in subjects.items():
+            for s, tup in _missing_model(idx, arts, 1.0, 10).items():
+                want[(sid, s)] = tup
+        assert set(got) == set(want)
+        for key in want:
+            gd, ge, gm, gp = got[key]
+            wd, we, wm, wp = want[key]
+            assert gd == wd, (key, "n_detected", got[key], want[key])
+            assert ge == we, (key, "n_expected", got[key], want[key])
+            assert gm == wm, (key, "n_missing", got[key], want[key])
+            if wp is None:
+                assert gp is None, (key, got[key], want[key])
+            else:
+                assert gp == pytest.approx(wp, abs=0.006), (
+                    key, got[key], want[key])
+
+
 class TestMetricsInvariants:
     def test_missing_identity_and_pct_bounds(self, spark):
         """n_missing == max(0, n_expected - n_detected); percentages in
