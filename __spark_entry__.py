@@ -82,6 +82,12 @@ _CHANGED_IN_ROUND = {
     # locally, SMJ past the threshold); r12-tier, inside the window by
     # staleness alone.
     "top_revenue_nations": 15,
+    # r15 perf: compute_metrics_rolling — window medians and raw counts
+    # merge into one (subject, mw) aggregation (was two + a join), and
+    # the per-subject extents persist so the sample frame is scanned
+    # once. Oracles re-green post-edit.
+    "sqa_rolling_metrics": 15,
+    "kernel_cardiac_rolling_ppg": 15,
 }
 
 

@@ -409,6 +409,12 @@ def compute_metrics_rolling(
         (F.max("sample_idx") + 1).alias("n_samples"),
         *([F.min("ts").alias("__ts0")] if with_ts else []),
     ).withColumn("n_win", F.ceil(F.col("n_samples") / step_len))
+    # referenced by both the fan-out join and the window spine, with
+    # different column prunings — persist so the full sample frame is
+    # scanned once for the per-subject extents (one row per subject)
+    from pyspark import StorageLevel
+
+    extents = extents.persist(StorageLevel.MEMORY_AND_DISK)
 
     # windows containing sample i: s in [ceil((i-win_len+1)/step), floor(i/step)]
     lo = F.greatest(
@@ -424,19 +430,24 @@ def compute_metrics_rolling(
     w5 = Window.partitionBy(B, "mw").orderBy("sample_idx").rowsBetween(0, 4)
     # an IBI is only in-window if the previous beat is also in the window
     wprev = Window.partitionBy(B, "mw").orderBy("sample_idx")
+    # window medians AND raw counts in ONE aggregation over the exploded
+    # frame (one shuffle on (subject, mw) instead of two + a join):
+    # ``__valid`` masks invalid windows out of the median / window count
+    # while every exploded row still feeds n_detected / n_artifact
     meds = (
         exploded.withColumn("__rn", F.row_number().over(wprev))
         .withColumn("ibi_in", F.when(F.col("__rn") > 1, F.col("ibi_ms")))
         .withColumn("__n", F.count(F.lit(1)).over(w5))
         .withColumn("__any_art", F.max(F.col("artifact") == 1).over(w5))
         .withColumn("med_hr", _arr_median(F.collect_list(_sdiv(F.lit(60000.0), F.col("ibi_in"))).over(w5)))
+        .withColumn(
+            "__valid",
+            (F.col("__n") == 5) & ~F.coalesce("__any_art", F.lit(False)),
+        )
     )
-    win_meds = (
-        meds.where((F.col("__n") == 5) & ~F.coalesce("__any_art", F.lit(False)))
-        .groupBy(B, "mw")
-        .agg(F.median("med_hr").alias("win_med"), F.count(F.lit(1)).alias("n_win5"))
-    )
-    counts = exploded.groupBy(B, "mw").agg(
+    win_meds = meds.groupBy(B, "mw").agg(
+        F.median(F.when(F.col("__valid"), F.col("med_hr"))).alias("win_med"),
+        F.count(F.when(F.col("__valid"), F.lit(1))).alias("n_win5"),
         F.count(F.lit(1)).alias("n_detected"),
         F.sum(F.when(F.col("artifact") == 1, 1).otherwise(0)).alias("n_artifact"),
     )
@@ -446,7 +457,6 @@ def compute_metrics_rolling(
 
     m = (
         spine.join(win_meds, [B, "mw"], "left")
-        .join(counts, [B, "mw"], "left")
         .withColumn("n_detected", F.coalesce("n_detected", F.lit(0)))
         .withColumn("n_artifact", F.coalesce("n_artifact", F.lit(0)))
         .withColumn(
