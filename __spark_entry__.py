@@ -88,6 +88,10 @@ _CHANGED_IN_ROUND = {
     # once. Oracles re-green post-edit.
     "sqa_rolling_metrics": 15,
     "kernel_cardiac_rolling_ppg": 15,
+    # r15 perf: get_seconds — per-second beat counts ride the context-
+    # window aggregation (wsec == sec mask), spine+ts from one persisted
+    # per-second pass. Oracle re-green at sf0.01 + sf0.1.
+    "seconds_hr_context": 15,
 }
 
 

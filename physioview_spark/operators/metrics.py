@@ -517,6 +517,13 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
     previous+current second (reference: pipeline/SQA.py:683-689); the
     harmonic mean of HRs reduces to ``60000 / mean(IBI)``. A beat's IBI
     belongs to a window only when its predecessor beat is inside too.
+
+    One partially-aggregated pass over the sample frame feeds the second
+    spine AND the per-second timestamps (persisted — the two downstream
+    references prune different columns), and the per-second beat counts
+    ride the context-window aggregation via a ``wsec == sec`` mask (every
+    beat appears in the exploded frame exactly once at its own second), so
+    the beats fan-out shuffles once.
     """
     fs_i = int(fs)
     w = Window.partitionBy(B).orderBy("sample_idx")
@@ -530,10 +537,20 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
         .withColumn("prev_idx", F.lag("sample_idx").over(w))
         .withColumn("sec", F.floor(F.col("sample_idx") / fs_i))
     )
+    sec_aggs = [F.max("sample_idx").alias("sec_max_idx")]
+    if with_ts:
+        sec_aggs.append(F.min("ts").alias("ts"))
+    sec_samples = samples.groupBy(
+        B, F.floor(F.col("sample_idx") / fs_i).alias("sec")
+    ).agg(*sec_aggs)
+    if with_ts:
+        from pyspark import StorageLevel
+
+        sec_samples = sec_samples.persist(StorageLevel.MEMORY_AND_DISK)
     spine = (
-        samples.groupBy(B)
+        sec_samples.groupBy(B)
         # grid length from the index (see _segment_spine)
-        .agg((F.max("sample_idx") + 1).alias("n_samples"))
+        .agg((F.max("sec_max_idx") + 1).alias("n_samples"))
         .withColumn("n_sec", F.ceil(F.col("n_samples") / fs_i))
         .withColumn("sec", F.explode(F.sequence(F.lit(0), F.col("n_sec") - 1)))
         .select(B, "sec")
@@ -548,22 +565,21 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
             F.when(F.col("prev_idx") >= F.col("win_start_idx"), F.col("ibi_ms")),
         )
         .groupBy(B, F.col("wsec").alias("sec"))
-        .agg(F.avg("ibi_in").alias("mean_ibi"))
+        .agg(
+            F.avg("ibi_in").alias("mean_ibi"),
+            F.count(F.when(F.col("wsec") == F.col("sec"), F.lit(1)))
+            .alias("n_beats"),
+        )
     )
-    current = beats.groupBy(B, "sec").agg(F.count(F.lit(1)).alias("n_beats"))
     out = (
         spine.join(window_stats, [B, "sec"], "left")
-        .join(current, [B, "sec"], "left")
         .withColumn("n_beats", F.coalesce("n_beats", F.lit(0)))
         .withColumn("mean_hr", _sdiv(F.lit(60000.0), F.col("mean_ibi")))
         .withColumn("second", F.col("sec") + 1)
     )
     cols = [B, "second", "mean_hr", "mean_ibi", "n_beats"]
     if with_ts:
-        ts = samples.groupBy(
-            B, F.floor(F.col("sample_idx") / fs_i).alias("sec")
-        ).agg(F.min("ts").alias("ts"))
-        out = out.join(ts, [B, "sec"], "left")
+        out = out.join(sec_samples.select(B, "sec", "ts"), [B, "sec"], "left")
         cols = [B, "second", "ts", "mean_hr", "mean_ibi", "n_beats"]
     return out.select(*cols)
 

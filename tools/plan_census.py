@@ -83,7 +83,16 @@ def compute(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     queries, _ = e._registry()
     out: dict[str, dict[str, int]] = {}
     for name in sorted(queries):
+        # several operators persist() reused sub-frames during plan
+        # CONSTRUCTION; Spark's CacheManager then substitutes
+        # InMemoryRelation into any LATER plan containing an equal
+        # subtree, making node counts depend on what compiled earlier
+        # in the session (a prior census entry, or — in the test — a
+        # declared query another test module already ran). Clearing
+        # per-query makes every census entry the fresh-session plan.
+        spark.catalog.clearCache()
         out[name] = census_of(queries[name](spark, sf_dir))
+    spark.catalog.clearCache()
     return out
 
 
