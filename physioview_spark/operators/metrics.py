@@ -154,21 +154,23 @@ def get_artifacts(
     return out.select(*cols)
 
 
-def _windowed_beats(beats: DataFrame, win_size: int = 5) -> DataFrame:
+def _windowed_beats(
+    beats: DataFrame, win_size: int = 5, keys: tuple[str, ...] = ("segment",)
+) -> DataFrame:
     """Per-beat sliding 5-beat window median HR + validity columns.
 
     Mirrors ``_window_medians`` (reference: pipeline/SQA.py:1751-1764): a
     window is the beat and its next ``win_size-1`` beats *within the same
-    segment*; windows containing any artifact are skipped; the median
-    ignores null IBIs (the recording's first beat has none), so an
-    all-null window yields a null median that still counts as "a window
+    (subject, keys) group*; windows containing any artifact are skipped;
+    the median ignores null IBIs (the recording's first beat has none), so
+    an all-null window yields a null median that still counts as "a window
     existed" — that distinction gates the reference's fallback chain.
     Returns every beat row with ``med_hr`` and a ``__valid`` flag rather
     than filtering, so callers can aggregate window medians AND raw beat
-    counts in the same pass (one shuffle on ``(subject, segment)``).
+    counts in the same pass (one shuffle on ``(subject, keys)``).
     """
     w = (
-        Window.partitionBy(B, "segment")
+        Window.partitionBy(B, *keys)
         .orderBy("sample_idx")
         .rowsBetween(0, win_size - 1)
     )
@@ -183,51 +185,9 @@ def _windowed_beats(beats: DataFrame, win_size: int = 5) -> DataFrame:
     )
 
 
-def _half_slice_median_hrs(
-    beats: DataFrame,
-    fs: float,
-    seg_size: int,
-    which: str,
-    win_size: int = 5,
-) -> DataFrame:
-    """Median HRs over the last/first ``int(seg_size*0.5)`` *rows* of each
-    segment — the reference's adjacent-segment fallback slices
-    (reference: pipeline/SQA.py:560-570; note the slice length is in rows,
-    not seconds — behavior preserved).
-
-    Segment bounds are pure arithmetic — no join with the extents frame.
-    ``seg_start = (segment-1)*seg_len`` always; for ``seg_end`` the nominal
-    ``segment*seg_len`` equals the reference's ``min(n_samples, ...)`` clamp
-    on every segment except the final one (``n_seg = ceil`` guarantees
-    ``n_samples > (n_seg-1)*seg_len``), and the final segment's "last half"
-    output is discarded by ``get_missing``'s ``segment+1`` shift — its key
-    lands outside the spine — so the clamp is unobservable.  That caller
-    contract is what makes this join-free form exact.
-    """
-    k = int(seg_size * 0.5)
-    seg_len = int(fs * seg_size)
-    if which == "last":
-        j = beats.where(
-            F.col("sample_idx") >= F.col("segment") * seg_len - k
-        )
-    else:
-        j = beats.where(
-            F.col("sample_idx") < (F.col("segment") - 1) * seg_len + k
-        )
-    return (
-        _windowed_beats(j, win_size)
-        .where(F.col("__valid"))
-        .groupBy(B, "segment")
-        .agg(
-            F.median("med_hr").alias(f"{which}_half_med"),
-            F.count(F.lit(1)).alias(f"{which}_half_n"),
-        )
-    )
-
-
 def get_missing(
     samples: DataFrame, fs: float, seg_size: int = 60, with_ts: bool = True,
-    reuse_beats: bool = True, seg_samples: DataFrame | None = None,
+    seg_samples: DataFrame | None = None,
 ) -> DataFrame:
     """Per-segment N Detected / N Expected / N Missing / % Missing.
 
@@ -236,15 +196,13 @@ def get_missing(
     backfill = ``first(ignorenulls)`` over following segments (valid because
     after carry-forward the nulls form a prefix).
 
-    ``reuse_beats``: the sparse beat frame is referenced by THREE
-    downstream aggregates (own-segment medians + detected counts in one
-    pass, prev/next half-slice medians); without reuse Catalyst
-    re-expands — and re-scans — the whole upstream lineage per reference.
-    Persisting it (MEMORY_AND_DISK, spill-safe; beat rows only, far
-    smaller than the sample stream) computes the expensive beat
-    extraction once: ~25% faster end-to-end at sf0.1. Spark's
-    ContextCleaner drops the cached blocks when the frame is garbage
-    collected.
+    Single-reference design: the sparse beat frame is consumed by exactly
+    ONE downstream pipeline (each beat row explodes into its window tags,
+    then one windowed aggregation produces every median family and the
+    detected counts), so no persist is needed — Catalyst sees one lineage
+    and the expensive beat extraction runs once by construction.  (The
+    pre-r15 form referenced beats four times and needed a MEMORY_AND_DISK
+    persist to avoid re-expansion.)
 
     The dense sample frame is read once and immediately collapsed to a
     per-(subject, segment) aggregate (``_seg_samples``) that feeds both
@@ -256,36 +214,64 @@ def get_missing(
     """
     seg_len = int(fs * seg_size)
     beats = _beats_frame(samples, fs, seg_size)
-    if reuse_beats:
-        from pyspark import StorageLevel
-
-        beats = beats.persist(StorageLevel.MEMORY_AND_DISK)
     if seg_samples is None:
         seg_samples = _seg_samples(samples, fs, seg_size, with_ts)
     spine = _segment_spine(seg_samples, seg_len)
 
-    # Own-segment window medians AND detected-beat counts in ONE
-    # aggregation: ``__valid`` masks invalid windows out of the median /
-    # window count while every beat row still feeds ``n_detected``.
-    wb = _windowed_beats(beats)
-    seg_meds = wb.groupBy(B, "segment").agg(
-        F.median(F.when(F.col("__valid"), F.col("med_hr"))).alias("seg_med"),
-        F.count(F.when(F.col("__valid"), F.lit(1))).alias("seg_n_win"),
-        F.count(F.lit(1)).alias("n_detected"),
+    # ONE window pass for all three median families. Each beat row
+    # explodes into its window tags — tag 0 = the own-segment 5-beat
+    # windows, and the reference's adjacent-segment fallback slices over
+    # the last/first ``int(seg_size*0.5)`` *rows* of each segment
+    # (reference: pipeline/SQA.py:560-570; tag 1 = last half, consumed
+    # by segment+1; tag 2 = first half, consumed by segment-1) — so the
+    # beats lineage is referenced ONCE and windowed on (subject,
+    # segment, tag): one Exchange of <= 2x the beat rows instead of
+    # three Exchanges plus three spine joins. A single groupBy on the
+    # TARGET segment then pivots the tags into columns; ``__valid``
+    # masks invalid windows out of the medians / window counts while
+    # every tag-0 row still feeds ``n_detected``.
+    #
+    # Slice bounds are pure arithmetic — no join with an extents frame.
+    # ``seg_start = (segment-1)*seg_len`` always; for ``seg_end`` the
+    # nominal ``segment*seg_len`` equals the reference's
+    # ``min(n_samples, ...)`` clamp on every segment except the final
+    # one (``n_seg = ceil`` guarantees ``n_samples > (n_seg-1)*
+    # seg_len``), and the final segment's "last half" windows land on
+    # target ``n_seg + 1`` — outside the spine, dropped by the join —
+    # so the clamp is unobservable. That shift contract is what makes
+    # the join-free form exact.
+    k = int(seg_size * 0.5)
+    tagged = beats.withColumn(
+        "tag",
+        F.explode(F.array_compact(F.array(
+            F.lit(0),
+            F.when(
+                F.col("sample_idx") >= F.col("segment") * seg_len - k,
+                F.lit(1)),
+            F.when(
+                F.col("sample_idx") < (F.col("segment") - 1) * seg_len + k,
+                F.lit(2)),
+        ))),
     )
-    prev_half = _half_slice_median_hrs(beats, fs, seg_size, "last")
-    next_half = _half_slice_median_hrs(beats, fs, seg_size, "first")
+    wb = _windowed_beats(tagged, keys=("segment", "tag"))
+    v = F.col("__valid")
+    t0, t1, t2 = (F.col("tag") == i for i in (0, 1, 2))
+    target = (
+        F.col("segment")
+        + F.when(t1, 1).when(t2, -1).otherwise(0)
+    ).alias("segment")
+    seg_agg = wb.groupBy(B, target).agg(
+        F.median(F.when(v & t0, F.col("med_hr"))).alias("seg_med"),
+        F.count(F.when(v & t0, F.lit(1))).alias("seg_n_win"),
+        F.count(F.when(t0, F.lit(1))).alias("n_detected"),
+        F.median(F.when(v & t1, F.col("med_hr"))).alias("last_half_med"),
+        F.count(F.when(v & t1, F.lit(1))).alias("last_half_n"),
+        F.median(F.when(v & t2, F.col("med_hr"))).alias("first_half_med"),
+        F.count(F.when(v & t2, F.lit(1))).alias("first_half_n"),
+    )
 
     m = (
-        spine.join(seg_meds, [B, "segment"], "left")
-        .join(
-            prev_half.withColumn("segment", F.col("segment") + 1),
-            [B, "segment"], "left",
-        )
-        .join(
-            next_half.withColumn("segment", F.col("segment") - 1),
-            [B, "segment"], "left",
-        )
+        spine.join(seg_agg, [B, "segment"], "left")
         .withColumn("n_detected", F.coalesce("n_detected", F.lit(0)))
     )
     # Fallback chain: own windows > prev-half windows > next-half windows;
