@@ -318,8 +318,8 @@ def _win_medians(rows, win=5):
 
 def _missing_model(beats, arts, fs, seg_size):
     """Pure-python reference model of get_missing (SQA.py:503-629) with the
-    CLAMPED last-segment end — the semantics the arithmetic rewrite in
-    _half_slice_median_hrs must preserve observably."""
+    CLAMPED last-segment end — the semantics get_missing's join-free
+    tagged-window slice arithmetic must preserve observably."""
     import math
 
     seg_len = int(fs * seg_size)
