@@ -87,10 +87,15 @@ def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-level join input shrinks ~4x, and (b) the per-nation
     ``COUNT(DISTINCT o_orderkey)`` degenerates to a plain ``count`` —
     one lineitem shuffle total instead of a join shuffle plus a distinct
-    expand. nation (25 rows, SF-invariant) carries an explicit broadcast
-    hint; customer GROWS with SF, so its join is left to AQE — broadcast
-    at bench scale, sort-merge past the threshold (the same self-selection
-    the x100 receipt shows for order_priority_counts' semi-join)."""
+    expand. The order-level stream is then aggregated AGAIN to one row
+    per customer BEFORE the customer join (orders:customer is ~10:1, so
+    the custkey shuffle carries ~10x fewer rows; summing per-customer
+    counts equals counting joined order rows because the inner join
+    drops unmatched custkeys identically either way). nation (25 rows,
+    SF-invariant) carries an explicit broadcast hint; customer GROWS
+    with SF, so its join is left to AQE — broadcast at bench scale,
+    sort-merge past the threshold (the same self-selection the x100
+    receipt shows for order_priority_counts' semi-join)."""
     li = read(spark, sf_dir, "lineitem")
     o = read(spark, sf_dir, "orders")
     c = read(spark, sf_dir, "customer")
@@ -100,14 +105,21 @@ def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("order_rev"))
     )
-    return (
+    per_cust = (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("order_rev").alias("cust_rev"),
+            F.count("o_orderkey").alias("cust_orders"),
+        )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum("order_rev"), 2).alias("revenue"),
-            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("cust_rev"), 2).alias("revenue"),
+            F.sum("cust_orders").alias("n_orders"),
         )
     )
 
