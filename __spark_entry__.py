@@ -70,9 +70,10 @@ _CHANGED_IN_ROUND = {
     "edf_ingest_channels": 15,
     # r15 perf: get_missing rewrite — one partially-aggregated pass over
     # the sample frame feeds spine+ts (_seg_samples/_segment_spine), the
-    # half-slice extents joins become segment arithmetic, and detected
-    # counts merge into the window-median aggregation (33 -> 17 shuffle
-    # exchanges). Semantics unchanged (oracle re-green post-edit); the
+    # half-slice joins become segment arithmetic, and all three median
+    # families + detected counts ride ONE tagged window pass (census
+    # 33 -> 8 shuffle exchanges). Semantics unchanged (oracle re-green
+    # post-edit at both SFs + the hypothesis reference-model test); the
     # three get_missing reachers re-attest.
     "sqa_missing_segments": 15,
     "cardiac_summary_rollup": 15,
