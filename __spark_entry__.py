@@ -92,7 +92,19 @@ _CHANGED_IN_ROUND = {
     # r15 perf: get_seconds — per-second beat counts ride the context-
     # window aggregation (wsec == sec mask), spine+ts from one persisted
     # per-second pass. Oracle re-green at sf0.01 + sf0.1.
-    "seconds_hr_context": 15,
+    # r16 (ADVICE r15 item 2): the wsec == sec own-second mask is now
+    # materialized BEFORE the groupBy so the count cannot bind "sec" to
+    # the grouping alias — output-identical on the pinned Spark (oracle
+    # re-green), but the bytes changed after CORRECTNESS_r15 recorded
+    # its pass, so the green no longer attests them.
+    "seconds_hr_context": 16,
+    # r16 (VERDICT r15 item 8): IntervalCorrector._estimate gained an
+    # explicit empty-FIFO guard returning nan without numpy's
+    # empty-slice RuntimeWarning — nan propagation (all comparisons
+    # False) is unchanged, full suite green with -W error::RuntimeWarning
+    # on the correction tests. kernel_beat_correction is r14-tier and
+    # inside the r16 window by staleness alone (no window cost).
+    "kernel_beat_correction": 16,
 }
 
 

@@ -83,12 +83,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # 1/5/15-min load averages at emit time: r15's driver snapshot and a
+    # first x100 pass both showed load-contaminated points that vanished
+    # on quiet re-runs (PLANS.md), so every bench artifact records the
+    # machine state it was taken under (VERDICT r15 item 4).
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg": loadavg,
     }))
 
 

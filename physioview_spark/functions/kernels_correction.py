@@ -66,6 +66,12 @@ class IntervalCorrector:
     # --- helpers -----------------------------------------------------------
     @staticmethod
     def _estimate(prev_ibis) -> float:
+        # The FIFO slices (q[:-1] / q[1:]) are empty while fewer than two
+        # beats have been seen; np.median([]) is nan but warns. Return the
+        # nan explicitly — every comparison against a nan estimate is
+        # False, which is the behavior the state machine already relies on.
+        if len(prev_ibis) == 0:
+            return float("nan")
         return float(np.median(prev_ibis))
 
     def _flag(self, ibi: float, prev_ibis) -> str:

@@ -63,6 +63,18 @@ def _seg_samples(
     derives from this small frame, so the full-size input is scanned and
     shuffled once, after a map-side combine that collapses each scan
     partition to its distinct segments.
+
+    Persist lifecycle: the returned frame is ``persist()``-ed at plan
+    construction and intentionally NOT unpersisted — the cache entry
+    lives in the session-global ``CacheManager`` until the DataFrame is
+    garbage-collected (Spark's ContextCleaner then drops the blocks), so
+    repeated operator calls cost one ~rows/seg_len cached frame each
+    until GC. Two session-wide consequences for callers: (1) any later
+    plan containing an EQUAL subtree silently becomes an
+    InMemoryRelation — plan-shape-sensitive tooling must
+    ``spark.catalog.clearCache()`` first (tools/plan_census.py does);
+    (2) a caller that wants deterministic release can capture the
+    returned frame and ``unpersist()`` it after its action completes.
     """
     seg_len = int(fs * seg_size)
     aggs = [F.max("sample_idx").alias("seg_max_idx")]
@@ -271,6 +283,13 @@ def get_missing(
     )
 
     m = (
+        # JOIN CONTRACT (load-bearing): seg_agg contains out-of-spine
+        # targets BY DESIGN — tag-1 rows of the final segment land on
+        # target n_seg+1 and tag-2 rows of segment 1 land on target 0;
+        # this left join from the spine is what discards them (and what
+        # makes the unclamped seg_end bound above exact). If the join
+        # type or the spine's coverage ever changes, add an explicit
+        # ``target BETWEEN 1 AND n_seg`` filter on seg_agg first.
         spine.join(seg_agg, [B, "segment"], "left")
         .withColumn("n_detected", F.coalesce("n_detected", F.lit(0)))
     )
@@ -397,7 +416,10 @@ def compute_metrics_rolling(
     ).withColumn("n_win", F.ceil(F.col("n_samples") / step_len))
     # referenced by both the fan-out join and the window spine, with
     # different column prunings — persist so the full sample frame is
-    # scanned once for the per-subject extents (one row per subject)
+    # scanned once for the per-subject extents (one row per subject).
+    # Same lifecycle as _seg_samples: released by ContextCleaner GC, not
+    # an explicit unpersist — see the _seg_samples docstring for the
+    # session-global CacheManager consequences.
     from pyspark import StorageLevel
 
     extents = extents.persist(StorageLevel.MEMORY_AND_DISK)
@@ -530,6 +552,8 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
         B, F.floor(F.col("sample_idx") / fs_i).alias("sec")
     ).agg(*sec_aggs)
     if with_ts:
+        # Persist lifecycle: GC-released, session-global CacheManager —
+        # see the _seg_samples docstring.
         from pyspark import StorageLevel
 
         sec_samples = sec_samples.persist(StorageLevel.MEMORY_AND_DISK)
@@ -550,11 +574,15 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
             "ibi_in",
             F.when(F.col("prev_idx") >= F.col("win_start_idx"), F.col("ibi_ms")),
         )
+        # A beat appears in the exploded frame exactly once at its OWN
+        # second; materialize that mask before the groupBy — inside the
+        # agg, "sec" would collide with the `wsec AS sec` grouping alias
+        # and correctness would hinge on child-column resolution order.
+        .withColumn("own_sec", F.col("wsec") == F.col("sec"))
         .groupBy(B, F.col("wsec").alias("sec"))
         .agg(
             F.avg("ibi_in").alias("mean_ibi"),
-            F.count(F.when(F.col("wsec") == F.col("sec"), F.lit(1)))
-            .alias("n_beats"),
+            F.count(F.when(F.col("own_sec"), F.lit(1))).alias("n_beats"),
         )
     )
     out = (

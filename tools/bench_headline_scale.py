@@ -127,9 +127,13 @@ def main() -> None:
         r["per_row_ratio"] = round(r["ratio"] / args.mult, 2)
     total1 = round(sum(r["x1"] for r in results.values()), 3)
     totaln = round(sum(r[f"x{args.mult}"] for r in results.values()), 3)
+    # Load averages at emit time: the r15 first x100 pass showed phantom
+    # 8-15x ratios under load that vanished quiet — receipts must carry
+    # the machine state they were taken under (VERDICT r15 item 4).
     print(json.dumps({"mult": args.mult, "total_x1": total1,
                       f"total_x{args.mult}": totaln,
-                      "results": results}))
+                      "results": results,
+                      "loadavg": [round(x, 2) for x in os.getloadavg()]}))
 
 
 if __name__ == "__main__":
