@@ -64,7 +64,7 @@ _CHANGED_IN_ROUND = {
     # output unchanged, conservative entry). CORRECTNESS_r15.json does
     # not exist yet, so the edit round is 15 itself.
     "kernel_hrv_features": 15,
-    "eda_rolling_features": 15,
+    # (eda_rolling_features' r15 entry superseded by its r16 entry below)
     # r15 (ADVICE r14 item 3): write_edf_bytes raises early on
     # n_records == 0 — edf_ingest_channels reaches the fixture writer.
     "edf_ingest_channels": 15,
@@ -98,6 +98,14 @@ _CHANGED_IN_ROUND = {
     # re-green), but the bytes changed after CORRECTNESS_r15 recorded
     # its pass, so the green no longer attests them.
     "seconds_hr_context": 16,
+    # r16 (VERDICT r15 item 3 follow-through): compute_eda_features'
+    # trend regressor is now window-relative — regr_slope on epoch-scale
+    # seconds cancelled ~8 digits and broke 1e-9 batch==stream parity at
+    # the new non-divisor sliding geometry. Slope is shift-invariant so
+    # outputs are value-identical up to conditioning (oracles re-green);
+    # the two compute_eda_features reachers re-attest.
+    "eda_rolling_features": 16,
+    "eda_extended_features": 16,
     # r16 (VERDICT r15 item 8): IntervalCorrector._estimate gained an
     # explicit empty-FIFO guard returning nan without numpy's
     # empty-slice RuntimeWarning — nan propagation (all comparisons

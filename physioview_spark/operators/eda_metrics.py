@@ -252,6 +252,20 @@ def compute_eda_features(
     df = samples.withColumn("__sec", sec).withColumn(
         "__w", F.window(ts_col, f"{window_seconds} seconds",
                         f"{step_seconds} seconds"))
+    # WINDOW-RELATIVE regressor: regr_slope is shift-invariant in x, but
+    # its co-moment accumulation on epoch-scale seconds (~1.7e9 with a
+    # window-sized spread) cancels ~8 significant digits — enough to
+    # break 1e-9 batch==stream parity against the centered NumPy kernel
+    # (caught by the non-divisor geometry in tests/test_streaming.py).
+    # Subtracting the window's own start (constant per group) keeps the
+    # value exact and the regressor O(window_seconds).
+    df = df.withColumn(
+        "__sec",
+        F.col("__sec") - F.timestamp_diff(
+            "SECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col("__w.start").cast("timestamp_ntz"),
+        ).cast("double"))
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in value_cols:
         v = F.col(c)

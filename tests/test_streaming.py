@@ -196,12 +196,21 @@ class TestWindowedParity:
                     b[c].to_numpy(dtype=float), s[c].to_numpy(dtype=float),
                     rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c)
 
-    def test_eda_extended_sliding_batch_vs_stream(self, spark, tmp_path):
-        """A12 extended twin at the batch gear's SLIDING geometry
-        (r15, VERDICT r14 item 4): each sample is replicated into its
-        covering epoch-aligned windows before the stateful groupBy, so
-        every closed overlapping window must match the relational batch
-        gear value-for-value (x3 overlap at 180/60; here 120/40)."""
+    @pytest.mark.parametrize("window_s,step_s", [
+        (120, 40),   # overlap x3, divisor geometry (the r15 pin)
+        (180, 60),   # the batch gear's default geometry
+        (100, 30),   # NON-divisor: window % step != 0 — the epoch-aligned
+                     # floordiv explode is exactly where a window-assignment
+                     # off-by-one would hide (VERDICT r15 item 3)
+    ])
+    def test_eda_extended_sliding_batch_vs_stream(
+            self, spark, tmp_path, window_s, step_s):
+        """A12 extended twin at SLIDING geometries (r15, VERDICT r14
+        item 4; r16 adds the default and a non-divisor geometry per
+        VERDICT r15 item 3): each sample is replicated into its covering
+        epoch-aligned windows before the stateful groupBy, so every
+        closed overlapping window must match the relational batch gear
+        value-for-value."""
         from physioview_spark.streaming import (
             streaming_eda_features_extended,
         )
@@ -232,24 +241,25 @@ class TestWindowedParity:
         p = str(tmp_path / "eda_ext_slide")
         spark.createDataFrame(pdf, sch).repartition(3).write.parquet(p)
 
-        kw = dict(value_cols=["phasic"], window_seconds=120,
-                  step_seconds=40)
+        kw = dict(value_cols=["phasic"], window_seconds=window_s,
+                  step_seconds=step_s)
         got_b = streaming_eda_features_extended(
             spark.read.parquet(p), **kw)
+        qname = f"eda_ext_slide_{window_s}_{step_s}"
         q = (streaming_eda_features_extended(
                 spark.readStream.schema(sch).parquet(p), **kw)
-             .writeStream.format("memory").queryName("eda_ext_slide")
+             .writeStream.format("memory").queryName(qname)
              .outputMode("append").trigger(availableNow=True).start())
         await_stream(q, 120)
-        got_s = spark.table("eda_ext_slide")
+        got_s = spark.table(qname)
 
         cut = F.lit(pd.Timestamp("2024-01-01 00:08:00"))
         b = (got_b.where(F.col("window_start") < cut)
              .orderBy("subject_id", "window_start").toPandas())
         s = (got_s.where(F.col("window_start") < cut)
              .orderBy("subject_id", "window_start").toPandas())
-        # overlapping windows: ~ (480 s span / 40 s step) per subject
-        assert len(b) == len(s) >= 20
+        # overlapping windows: >= (480 s span / step) per subject
+        assert len(b) == len(s) >= 2 * (480 // step_s)
         assert set(b.columns) == set(s.columns)
         for c in sorted(b.columns):
             if b[c].dtype == object or "window" in c or c == "subject_id":
