@@ -82,7 +82,11 @@ _CHANGED_IN_ROUND = {
     # hint on customer (grows with SF — AQE now self-selects broadcast
     # locally, SMJ past the threshold); r12-tier, inside the window by
     # staleness alone.
-    "top_revenue_nations": 15,
+    # r16: the orders join gains an explicit merge hint — AQE's
+    # compressed-footer size estimate broadcast a 15M-row orders at
+    # x100 (14.1 s vs 5.8 s hinted; sf0.1 neutral). Fact tables must
+    # not ride size-estimate broadcasts. Oracle re-green; re-attests.
+    "top_revenue_nations": 16,
     # r15 perf: compute_metrics_rolling — window medians and raw counts
     # merge into one (subject, mw) aggregation (was two + a join), and
     # the per-subject extents persist so the sample frame is scanned

@@ -95,7 +95,18 @@ def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF-invariant) carries an explicit broadcast hint; customer GROWS
     with SF, so its join is left to AQE — broadcast at bench scale,
     sort-merge past the threshold (the same self-selection the x100
-    receipt shows for order_priority_counts' semi-join)."""
+    receipt shows for order_priority_counts' semi-join).
+
+    The ORDERS join carries an explicit ``merge`` hint (r16): orders is
+    fact-scale, and AQE's size estimate comes from compressed parquet
+    footers — at x100 it read a 15M-row table as under the 64 MB
+    broadcast threshold and built a multi-GB HashedRelation (14.1 s
+    wall vs 5.8 s with the hint; sf0.1 is hint-neutral at 0.50 vs
+    0.53 s — PLANS.md r16 receipt). A table that grows with SF must
+    never ride a size-estimate broadcast; the per_order stream is
+    already partitioned on the join key from its groupBy, so the SMJ
+    sorts in place. On bucketed storage (tools/bench_bucketing.py) the
+    same SMJ runs with ZERO exchanges — the 100 TB deployment answer."""
     li = read(spark, sf_dir, "lineitem")
     o = read(spark, sf_dir, "orders")
     c = read(spark, sf_dir, "customer")
@@ -106,7 +117,7 @@ def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("order_rev"))
     )
     per_cust = (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        per_order.join(o.hint("merge"), per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(
             F.sum("order_rev").alias("cust_rev"),

@@ -1,0 +1,175 @@
+"""Storage-layout receipt for the x100 heavy hitter (VERDICT r15 item 7).
+
+`top_revenue_nations` is the one headline query whose x100 wall is
+dominated by shuffle exchanges that no PLAN change can remove: the
+lineitem pre-aggregation shuffles on l_orderkey, the orders join
+shuffles both sides on the order key, and the customer join shuffles
+on the cust key. At 100 TB the lever is STORAGE — bucket the fact
+tables on their join keys so the exchanges never happen:
+
+- lineitem  bucketed+sorted by l_orderkey  -> groupBy(l_orderkey) needs
+  no exchange, and the orders join reads both sides pre-partitioned;
+- orders    bucketed+sorted by o_orderkey  -> zero-exchange SMJ with
+  the pre-aggregated lineitem stream;
+- customer  bucketed+sorted by c_custkey   -> the custkey join only
+  shuffles the (already tiny) per-customer aggregate to the bucket
+  count; the big scan side stays in place.
+
+This tool builds the same xN corpus as tools/bench_headline_scale.py,
+writes bucketed copies via saveAsTable (bucketing metadata lives in the
+catalog, so the bucketed variant reads spark.table(...)), runs the SAME
+logical query body against flat parquet and against the bucketed
+tables, and reports wall times plus the shuffle-exchange count of each
+physical plan. Usage:
+
+    python tools/bench_bucketing.py [--mult 100] [--runs 2] [--buckets 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from physioview_spark.session import get_spark
+
+WORK = "/tmp/pv_bucket"
+
+
+def top_revenue_nations_body(li: DataFrame, o: DataFrame, c: DataFrame,
+                             n: DataFrame) -> DataFrame:
+    """Mirror of plans/queries_relational.top_revenue_nations's body,
+    parameterized by input frames so the SAME logical plan can run over
+    flat parquet or bucketed tables. Keep in sync with the query (the
+    receipt is meaningless if the shapes diverge)."""
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("order_rev"))
+    )
+    per_cust = (
+        per_order.join(o.hint("merge"), per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("order_rev").alias("cust_rev"),
+            F.count("o_orderkey").alias("cust_orders"),
+        )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("cust_rev"), 2).alias("revenue"),
+            F.sum("cust_orders").alias("n_orders"),
+        )
+    )
+
+
+def time_best(df_fn, runs: int) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df_fn().collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=100)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--buckets", type=int, default=32)
+    args = ap.parse_args()
+
+    spark = get_spark(extra_conf={
+        "spark.driver.memory": "16g",
+        "spark.sql.warehouse.dir": f"{WORK}/warehouse",
+    })
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tools.bench_headline_scale import build_corpus
+
+    corpus = f"{WORK}/x{args.mult}"
+    if not os.path.exists(f"{corpus}/lineitem.parquet"):
+        t0 = time.time()
+        build_corpus(spark, args.mult, corpus)
+        print(f"built x{args.mult} corpus in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
+    flat = {t: spark.read.parquet(f"{corpus}/{t}.parquet")
+            for t in ("lineitem", "orders", "customer", "nation")}
+
+    # bucketed copies: saveAsTable is required — bucketing metadata lives
+    # in the catalog, not in the parquet footers
+    keys = {"lineitem": "l_orderkey", "orders": "o_orderkey",
+            "customer": "c_custkey"}
+    for t, key in keys.items():
+        name = f"{t}_b{args.buckets}"
+        if not spark.catalog.tableExists(name):
+            # the catalog is in-memory per process but the warehouse dir
+            # persists — clear a stale location from a previous run
+            import shutil
+            shutil.rmtree(f"{WORK}/warehouse/{name}", ignore_errors=True)
+            t0 = time.time()
+            (flat[t].write.bucketBy(args.buckets, key).sortBy(key)
+             .mode("overwrite").saveAsTable(name))
+            print(f"bucketed {t} ({args.buckets} buckets, sorted by {key}) "
+                  f"in {time.time() - t0:.1f}s", file=sys.stderr)
+    bucketed = {t: spark.table(f"{t}_b{args.buckets}") for t in keys}
+    bucketed["nation"] = flat["nation"]
+
+    out: dict[str, dict] = {}
+    for label, tabs in (("flat", flat), ("bucketed", bucketed)):
+        mk = lambda tt=tabs: top_revenue_nations_body(
+            tt["lineitem"], tt["orders"], tt["customer"], tt["nation"])
+        warm = mk()
+        warm.collect()  # warm: codegen + page cache (also finalizes AQE)
+        plan = warm._jdf.queryExecution().executedPlan().toString()
+        print(f"--- {label} executed plan (joins/exchanges) ---",
+              file=sys.stderr)
+        for line in plan.splitlines():
+            if any(k in line for k in (
+                    "Exchange", "SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin")):
+                print(line[:150], file=sys.stderr)
+        out[label] = {
+            "best_sec": time_best(mk, args.runs),
+            "exchanges": len(re.findall(r"\bExchange hashpartitioning",
+                                        plan)),
+        }
+    out["flat"]["rows"] = top_revenue_nations_body(
+        flat["lineitem"], flat["orders"], flat["customer"],
+        flat["nation"]).count()
+    out["bucketed"]["rows"] = top_revenue_nations_body(
+        bucketed["lineitem"], bucketed["orders"], bucketed["customer"],
+        bucketed["nation"]).count()
+
+    # results must agree bit-for-bit on the sorted tuple set
+    a = sorted(map(tuple, top_revenue_nations_body(
+        flat["lineitem"], flat["orders"], flat["customer"],
+        flat["nation"]).collect()))
+    b = sorted(map(tuple, top_revenue_nations_body(
+        bucketed["lineitem"], bucketed["orders"], bucketed["customer"],
+        bucketed["nation"]).collect()))
+    out["results_match"] = a == b
+
+    print(json.dumps({
+        "mult": args.mult, "buckets": args.buckets, "runs": args.runs,
+        **out,
+        "speedup": round(out["flat"]["best_sec"]
+                         / out["bucketed"]["best_sec"], 2),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }))
+
+
+if __name__ == "__main__":
+    main()
