@@ -34,25 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # before your change), record round+1 so the pre-edit green cannot
 # satisfy the entry.
 _CHANGED_IN_ROUND = {
-    # (r06-r13 entries all attested green at their rounds — pruned per
-    # VERDICT r14 item 6 once the horizon-13 SURVEY block demoted to
-    # history in r15; the only remaining pinned horizon is 14, whose
-    # committed block was generated AFTER this prune.)
-    # r14: asof_join struct-payload tie carry (ADVICE r13) — four
-    # reachers re-attested r14; interp_join conservative entry via the
-    # module-level taint. All inert since CORRECTNESS_r14 recorded
-    # their passes; kept while the pinned horizon-14 block lists them.
-    "asof_latest_order": 14,
-    "asof_tolerance_match": 14,
-    "beat_edits_applied": 14,
-    "e4_ingest_aligned": 14,
-    "order_value_interp": 14,
-    # r14 late: module-level additions to operators/eda_metrics.py
-    # (eda_window_stats_np + EXTENDED_FEATURES) tainted <module-level>;
-    # conservative entries for the eda_metrics reachers, green r14.
-    "eda_quality_segments": 14,
-    "eda_summary_rollup": 14,
-    "kernel_eda_quality_metrics": 14,
+    # (r06-r14 entries all attested green at their rounds — pruned per
+    # VERDICT r14/r15 item 6 as their pinned SURVEY blocks demoted to
+    # history; the only pinned horizon is now 15, whose committed block
+    # was generated AFTER the r14 prune. Inert entries are bookkeeping
+    # only — pruning them never changes the serve order.)
     # r15 (ADVICE r14 items 1-2): flirt-parity fixes in the stat
     # kernels — nni_n_sign_changes now counts RAW-series sign changes
     # (was mean-centered) and peaks gained find_peaks' plateau
