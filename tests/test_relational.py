@@ -305,10 +305,17 @@ class TestPlanContracts:
 
     def test_top_revenue_nations_broadcasts(self, spark, sf_dir):
         plan = self._plan(spark, "top_revenue_nations", sf_dir)
-        assert plan.count("BroadcastExchange") >= 2
-        # exactly one exchange touches the fact table pre-aggregation;
-        # bounded total shuffle count guards against plan regressions
-        assert plan.count("Exchange hashpartitioning") <= 3, plan
+        # nation is always broadcast; customer may be (AQE's call at
+        # this scale). The ORDERS join must be the pinned SortMergeJoin
+        # (r16): AQE's compressed-footer estimate broadcast the 15M-row
+        # x100 orders table (14.1 s vs 5.8 s — PLANS.md r16 receipt),
+        # and at cluster scale that broadcast is an OOM. The SMJ costs
+        # one extra bench-scale exchange (orders' sort side; the
+        # lineitem-agg side reuses its groupBy partitioning) — removed
+        # entirely on bucketed storage (tools/bench_bucketing.py).
+        assert plan.count("BroadcastExchange") >= 1
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 4, plan
 
     def test_asof_join_single_shuffle(self, spark, sf_dir):
         plan = self._plan(spark, "asof_latest_order", sf_dir)
