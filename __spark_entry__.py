@@ -68,6 +68,12 @@ _CHANGED_IN_ROUND = {
     # hint on customer (grows with SF — AQE now self-selects broadcast
     # locally, SMJ past the threshold); r12-tier, inside the window by
     # staleness alone.
+    # r16 perf: order_priority_counts' EXISTS collapses to
+    # max(l_shipdate) > o_orderdate per orderkey — lineitem partial-
+    # aggregates map-side before the shuffle (~4:1). Results identical
+    # at sf0.1 and x100 (asserted), oracle re-green; in-window by
+    # staleness (r14-tier, not deferred), so no slot cost.
+    "order_priority_counts": 16,
     # r16: the orders join gains an explicit merge hint — AQE's
     # compressed-footer size estimate broadcast a 15M-row orders at
     # x100 (14.1 s vs 5.8 s hinted; sf0.1 neutral). Fact tables must

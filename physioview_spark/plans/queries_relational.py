@@ -144,19 +144,33 @@ WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '2000-01
 GROUP BY o_orderpriority
 """)
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join (EXISTS) + aggregate — TPC-H Q4 shape."""
+    """Semi-join (EXISTS) + aggregate — TPC-H Q4 shape.
+
+    The EXISTS predicate only compares l_shipdate against the outer
+    row's o_orderdate, so per orderkey it reduces to
+    ``max(l_shipdate) > o_orderdate`` — lineitem collapses to one row
+    per order in a partial (map-side-combined) aggregate BEFORE the
+    shuffle, cutting the exchange ~4:1 (the lineitem:orders fan-in),
+    and the semi join becomes an inner join against unique keys with
+    the comparison folded into the join condition. r16 receipt
+    (PLANS.md): sf0.1 0.748 -> 0.597 s, x100 2.574 -> 2.183 s,
+    results identical at both scales. No join hint: the aggregate's
+    size comes from runtime shuffle stats (not the compressed-footer
+    estimate that mis-broadcast orders in top_revenue_nations), so
+    AQE's choice here is trustworthy — it picks SMJ at x100."""
     o = read(spark, sf_dir, "orders")
     li = read(spark, sf_dir, "lineitem")
     o_f = o.where(
         (F.col("o_orderdate") >= ntz_lit("1998-01-01"))
         & (F.col("o_orderdate") < ntz_lit("2000-01-01"))
     )
-    joined = o_f.join(
-        li,
-        (o_f.o_orderkey == li.l_orderkey) & (li.l_shipdate > o_f.o_orderdate),
-        "left_semi",
+    li_max = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__max_ship"))
+    return (
+        o_f.join(li_max, o_f.o_orderkey == li_max.l_orderkey, "inner")
+        .where(F.col("__max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 # ---------------------------------------------------------------------------
