@@ -92,6 +92,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse an existing corpus dir instead of "
+                    "rebuilding — the build itself drives loadavg past "
+                    "10 and contaminates the timed pass that follows "
+                    "(r16 measurement-hygiene note in PLANS.md)")
     args = ap.parse_args()
 
     # the xN corpus emulates N executors' data on ONE local JVM — give
@@ -106,10 +111,12 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for mult in (1, args.mult):
         d = f"{WORK}/x{mult}"
-        shutil.rmtree(d, ignore_errors=True)
-        t0 = time.time()
-        build_corpus(spark, mult, d)
-        print(f"built x{mult} in {time.time() - t0:.1f}s", file=sys.stderr)
+        if not (args.reuse and os.path.isdir(f"{d}/lineitem.parquet")):
+            shutil.rmtree(d, ignore_errors=True)
+            t0 = time.time()
+            build_corpus(spark, mult, d)
+            print(f"built x{mult} in {time.time() - t0:.1f}s",
+                  file=sys.stderr)
         for name in HEADLINE:
             drain = (lambda df: df.collect()) if name in SMALL_OUTPUT \
                 else (lambda df: df.count())
