@@ -317,6 +317,23 @@ class TestPlanContracts:
         assert "SortMergeJoin" in plan, plan
         assert plan.count("Exchange hashpartitioning") <= 4, plan
 
+    def test_bucketing_tool_body_in_sync(self, spark, sf_dir):
+        """tools/bench_bucketing.py mirrors top_revenue_nations' body so
+        the storage-layout receipt can run the same logical plan over
+        bucketed tables; a drift between the two would silently make
+        the receipt measure a different query. Pin value equality."""
+        import __spark_entry__ as e
+        from physioview_spark.plans.common import read
+        from tools.bench_bucketing import top_revenue_nations_body
+
+        engine = e.queries()["top_revenue_nations"](spark, sf_dir)
+        tool = top_revenue_nations_body(
+            read(spark, sf_dir, "lineitem"), read(spark, sf_dir, "orders"),
+            read(spark, sf_dir, "customer"), read(spark, sf_dir, "nation"))
+        assert engine.columns == tool.columns
+        assert sorted(map(tuple, engine.collect())) == \
+            sorted(map(tuple, tool.collect()))
+
     def test_asof_join_single_shuffle(self, spark, sf_dir):
         plan = self._plan(spark, "asof_latest_order", sf_dir)
         # union-window as-of: partitions once on (user, key); no
