@@ -28,7 +28,10 @@ def beat_trains(draw, min_beats=8, max_beats=120):
     return ix, fs
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 class TestCorrectionProperties:
+    # numpy RuntimeWarnings are errors here: the correction kernel's
+    # empty-FIFO paths must stay explicitly guarded (VERDICT r15 item 8)
     @settings(max_examples=40, deadline=None)
     @given(beat_trains())
     def test_corrected_beats_monotone_and_bounded(self, train):

@@ -10,7 +10,10 @@ from physioview_spark.functions.kernels_correction import correct_interval
 from physioview_spark.functions.kernels_hrv import hrv_features
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 class TestCorrection:
+    # numpy RuntimeWarnings are errors here: the correction kernel's
+    # empty-FIFO paths must stay explicitly guarded (VERDICT r15 item 8)
     FS = 250.0
 
     def test_clean_rhythm_unchanged(self):
