@@ -37,9 +37,29 @@ SMALL_OUTPUT = {
 }
 
 
+def _wait_for_quiet(threshold: float, max_wait: float) -> float:
+    """Spin-wait until the 1-min loadavg drops below ``threshold`` (or
+    ``max_wait`` seconds elapse). BENCH_r16 recorded 13.998 s under
+    loadavg 6.15 while the quiet truth was ~7.3 s — best-of-3 cannot fix
+    contamination that outlives all three passes, so the snapshot now
+    refuses to start on a busy machine (VERDICT r16 item 2). Returns the
+    seconds actually waited so the artifact can record it."""
+    waited = 0.0
+    step = 10.0
+    while os.getloadavg()[0] > threshold and waited < max_wait:
+        time.sleep(step)
+        waited += step
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    quiet_wait = _wait_for_quiet(
+        threshold=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "1.5")),
+        max_wait=float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_MAX", "300")),
+    )
 
     from physioview_spark.session import get_spark
     import __spark_entry__ as e
@@ -67,10 +87,15 @@ def main() -> None:
     # (PLANS.md "bench variance"), so N=3 by default.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    # Per-pass (wall, loadavg-1m) pairs: when the spin-wait gate times out
+    # on a machine that never quiets, these make the artifact self-
+    # diagnosing pass-by-pass instead of only at emit time.
+    passes: dict[str, list[list[float]]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         best = None
+        passes[name] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
@@ -79,6 +104,7 @@ def main() -> None:
             else:
                 df.count()
             dt = time.perf_counter() - t0
+            passes[name].append([round(dt, 3), round(os.getloadavg()[0], 2)])
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
@@ -95,6 +121,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "loadavg": loadavg,
+        "quiet_wait_sec": round(quiet_wait, 1),
+        "passes": passes,
     }))
 
 
