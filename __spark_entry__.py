@@ -34,81 +34,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # before your change), record round+1 so the pre-edit green cannot
 # satisfy the entry.
 _CHANGED_IN_ROUND = {
-    # (r06-r14 entries all attested green at their rounds — pruned per
-    # VERDICT r14/r15 item 6 as their pinned SURVEY blocks demoted to
-    # history; the only pinned horizon is now 15, whose committed block
-    # was generated AFTER the r14 prune. Inert entries are bookkeeping
+    # (r06-r16 entries all attested green at their rounds — pruned per
+    # VERDICT r14/r15/r16 item 6 as their pinned SURVEY blocks demoted
+    # to history; tools/rotation_report.py 16 classified all 13 prior
+    # entries inert before this prune. Inert entries are bookkeeping
     # only — pruning them never changes the serve order.)
-    # r15 (ADVICE r14 items 1-2): flirt-parity fixes in the stat
-    # kernels — nni_n_sign_changes now counts RAW-series sign changes
-    # (was mean-centered) and peaks gained find_peaks' plateau
-    # handling (kernels_hrv.py + the relational run census in
-    # compute_eda_features extended=True). kernel_hrv_features'
-    # declared projection excludes both features (its pinned fixture
-    # oracle still matches — verified), but the reached bytes changed;
-    # eda_rolling_features reaches compute_eda_features (base set —
-    # output unchanged, conservative entry). CORRECTNESS_r15.json does
-    # not exist yet, so the edit round is 15 itself.
-    "kernel_hrv_features": 15,
-    # (eda_rolling_features' r15 entry superseded by its r16 entry below)
-    # r15 (ADVICE r14 item 3): write_edf_bytes raises early on
-    # n_records == 0 — edf_ingest_channels reaches the fixture writer.
-    "edf_ingest_channels": 15,
-    # r15 perf: get_missing rewrite — one partially-aggregated pass over
-    # the sample frame feeds spine+ts (_seg_samples/_segment_spine), the
-    # half-slice joins become segment arithmetic, and all three median
-    # families + detected counts ride ONE tagged window pass (census
-    # 33 -> 8 shuffle exchanges). Semantics unchanged (oracle re-green
-    # post-edit at both SFs + the hypothesis reference-model test); the
-    # three get_missing reachers re-attest.
-    "sqa_missing_segments": 15,
-    "cardiac_summary_rollup": 15,
-    "kernel_cardiac_sqa_ecg": 15,
-    # r15 scale fix: top_revenue_nations dropped the explicit broadcast
-    # hint on customer (grows with SF — AQE now self-selects broadcast
-    # locally, SMJ past the threshold); r12-tier, inside the window by
-    # staleness alone.
-    # r16 perf: order_priority_counts' EXISTS collapses to
-    # max(l_shipdate) > o_orderdate per orderkey — lineitem partial-
-    # aggregates map-side before the shuffle (~4:1). Results identical
-    # at sf0.1 and x100 (asserted), oracle re-green; in-window by
-    # staleness (r14-tier, not deferred), so no slot cost.
-    "order_priority_counts": 16,
-    # r16: the orders join gains an explicit merge hint — AQE's
-    # compressed-footer size estimate broadcast a 15M-row orders at
-    # x100 (14.1 s vs 5.8 s hinted; sf0.1 neutral). Fact tables must
-    # not ride size-estimate broadcasts. Oracle re-green; re-attests.
-    "top_revenue_nations": 16,
-    # r15 perf: compute_metrics_rolling — window medians and raw counts
-    # merge into one (subject, mw) aggregation (was two + a join), and
-    # the per-subject extents persist so the sample frame is scanned
-    # once. Oracles re-green post-edit.
-    "sqa_rolling_metrics": 15,
-    "kernel_cardiac_rolling_ppg": 15,
-    # r15 perf: get_seconds — per-second beat counts ride the context-
-    # window aggregation (wsec == sec mask), spine+ts from one persisted
-    # per-second pass. Oracle re-green at sf0.01 + sf0.1.
-    # r16 (ADVICE r15 item 2): the wsec == sec own-second mask is now
-    # materialized BEFORE the groupBy so the count cannot bind "sec" to
-    # the grouping alias — output-identical on the pinned Spark (oracle
-    # re-green), but the bytes changed after CORRECTNESS_r15 recorded
-    # its pass, so the green no longer attests them.
-    "seconds_hr_context": 16,
-    # r16 (VERDICT r15 item 3 follow-through): compute_eda_features'
-    # trend regressor is now window-relative — regr_slope on epoch-scale
-    # seconds cancelled ~8 digits and broke 1e-9 batch==stream parity at
-    # the new non-divisor sliding geometry. Slope is shift-invariant so
-    # outputs are value-identical up to conditioning (oracles re-green);
-    # the two compute_eda_features reachers re-attest.
-    "eda_rolling_features": 16,
-    "eda_extended_features": 16,
-    # r16 (VERDICT r15 item 8): IntervalCorrector._estimate gained an
-    # explicit empty-FIFO guard returning nan without numpy's
-    # empty-slice RuntimeWarning — nan propagation (all comparisons
-    # False) is unchanged, full suite green with -W error::RuntimeWarning
-    # on the correction tests. kernel_beat_correction is r14-tier and
-    # inside the r16 window by staleness alone (no window cost).
-    "kernel_beat_correction": 16,
+    #
+    # r17 (VERDICT r16 item 5): operator-internal persists now route
+    # through the package-level physioview_spark.cache registry
+    # (llm/_cache.py promoted; metrics' _seg_samples / rolling extents /
+    # per-second aggregates switched from bare persist() to cache.pin —
+    # same MEMORY_AND_DISK level, same plan shape: plan census 0
+    # drifted). Output-identical by construction, but the reached bytes
+    # changed (import-line + persist-call edits), so every query
+    # transiting llm/dedup.py module-level, llm.text.tfidf_topk /
+    # trigram_typicality, llm.similarity.semantic_dedup_delta, or the
+    # metrics pin sites re-attests (tools/changed_queries.py list).
+    # CORRECTNESS_r17 does not exist yet, so the edit round is 17.
+    "cardiac_summary_rollup": 17,
+    "doc_curation_pipeline_v3": 17,
+    "doc_decontaminate": 17,
+    "doc_dedup_delta": 17,
+    "doc_dup_clusters": 17,
+    "doc_hash_split": 17,
+    "doc_jaccard_pairs": 17,
+    "doc_minhash_lsh_candidates": 17,
+    "doc_minhash_signatures": 17,
+    "doc_passage_dedup": 17,
+    "doc_simhash_near_dups": 17,
+    "doc_tfidf_topk": 17,
+    "doc_trigram_typicality": 17,
+    "embedding_semantic_dedup_delta": 17,
+    "kernel_cardiac_rolling_ppg": 17,
+    "kernel_cardiac_sqa_ecg": 17,
+    "multimodal_audio_near_dups": 17,
+    "multimodal_blocks_near_dups": 17,
+    "multimodal_image_dedup_decisions": 17,
+    "multimodal_image_near_dups": 17,
+    "seconds_hr_context": 17,
+    "sqa_missing_segments": 17,
+    "sqa_rolling_metrics": 17,
+    "streaming_near_dup_pairs": 17,
+    "streaming_semantic_dedup": 17,
 }
 
 

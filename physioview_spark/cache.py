@@ -2,14 +2,20 @@
 
 Several operators pin an intermediate frame (``dedup_delta``'s band and
 candidate sets, ``semantic_dedup_delta``'s bucketed delta,
-``tfidf_topk``'s term frequencies, ...) because their lazy return value
-references it from multiple lineages — without the persist the corpus
-explode re-runs per consumer, measured as an executor OOM at the 10x
-corpus (PLANS.md). The operators return LAZY frames, so they cannot
-eagerly unpersist: the caller hasn't executed anything yet. In a
-long-lived session that repeatedly invokes these operators, the
-storage blocks accumulate — the bench observed exactly this heap
-growth and had to ``spark.catalog.clearCache()`` between targets.
+``tfidf_topk``'s term frequencies, the metrics family's
+``_seg_samples`` / per-subject extents / per-second aggregates, ...)
+because their lazy return value references it from multiple lineages —
+without the persist the corpus explode (or the full-size sample scan)
+re-runs per consumer, measured as an executor OOM at the 10x corpus
+(PLANS.md). The operators return LAZY frames, so they cannot eagerly
+unpersist: the caller hasn't executed anything yet. In a long-lived
+session that repeatedly invokes these operators, the storage blocks
+accumulate — the bench observed exactly this heap growth and had to
+``spark.catalog.clearCache()`` between targets. A second session-wide
+consequence: Spark's CacheManager substitutes InMemoryRelation into any
+LATER plan containing an EQUAL subtree, so plan-shape-sensitive tooling
+(tools/plan_census.py) must release pins between queries to see
+fresh-session plans.
 
 :func:`pin` is the persist used at those sites: it registers the frame
 so :func:`release_pinned` can drop every operator-internal block AFTER

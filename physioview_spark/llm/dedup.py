@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from physioview_spark.llm import _cache
+from physioview_spark import cache as _cache
 from physioview_spark.llm.text import word_shingles
 
 

@@ -901,7 +901,7 @@ def semantic_dedup_delta(
     is the deterministic JVM cosine gear; per-batch-vector best-match
     windows partition on the delta id, so window input is delta-sized.
     """
-    from physioview_spark.llm import _cache
+    from physioview_spark import cache as _cache
 
     vn = _cache.pin(  # 4 lineages below; released via release_cached_frames
         new.select(id_col, vec_col)

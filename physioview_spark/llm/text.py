@@ -480,7 +480,7 @@ def trigram_typicality(
     # scoring join) re-expand dg's corpus explode without this persist
     # (same spill-safe pattern as get_missing's shared beat frame);
     # release via physioview_spark.llm.release_cached_frames
-    from physioview_spark.llm import _cache
+    from physioview_spark import cache as _cache
     dg = _cache.pin(dg)
     counts = dg.groupBy("__g").agg(F.sum("__m").alias("__c"))
     topk = counts.orderBy(F.col("__c").desc(), F.col("__g").asc()) \
@@ -665,7 +665,7 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
-    from physioview_spark.llm import _cache
+    from physioview_spark import cache as _cache
 
     words = df.select(id_col, F.explode(tokens(text_col)).alias("word"))
     tf = words.groupBy(id_col, "word").agg(

@@ -64,17 +64,18 @@ def _seg_samples(
     shuffled once, after a map-side combine that collapses each scan
     partition to its distinct segments.
 
-    Persist lifecycle: the returned frame is ``persist()``-ed at plan
-    construction and intentionally NOT unpersisted — the cache entry
-    lives in the session-global ``CacheManager`` until the DataFrame is
-    garbage-collected (Spark's ContextCleaner then drops the blocks), so
-    repeated operator calls cost one ~rows/seg_len cached frame each
-    until GC. Two session-wide consequences for callers: (1) any later
-    plan containing an EQUAL subtree silently becomes an
-    InMemoryRelation — plan-shape-sensitive tooling must
-    ``spark.catalog.clearCache()`` first (tools/plan_census.py does);
-    (2) a caller that wants deterministic release can capture the
-    returned frame and ``unpersist()`` it after its action completes.
+    Persist lifecycle: the returned frame is pinned via
+    :func:`physioview_spark.cache.pin` at plan construction — the same
+    registry the llm/ operators use. Deterministic release is the
+    caller's choice: wrap invocations in ``cache.pinned_frames()`` (the
+    pins drop on scope exit) or call ``cache.release_pinned()``
+    periodically; otherwise the entry lives in the session-global
+    ``CacheManager`` until the DataFrame is garbage-collected (Spark's
+    ContextCleaner then drops the blocks), costing one ~rows/seg_len
+    cached frame per operator call until GC. Plan-shape-sensitive
+    tooling uses the scope so any later plan containing an EQUAL
+    subtree is not silently rewritten to InMemoryRelation
+    (tools/plan_census.py does exactly this per query).
     """
     seg_len = int(fs * seg_size)
     aggs = [F.max("sample_idx").alias("seg_max_idx")]
@@ -93,9 +94,9 @@ def _seg_samples(
     # n_artifact), which defeats ReuseExchange — without a persist each
     # reference would re-expand the aggregate and re-scan the full
     # sample frame. The frame is ~rows/seg_len, trivially cacheable.
-    from pyspark import StorageLevel
+    from physioview_spark import cache
 
-    return out.persist(StorageLevel.MEMORY_AND_DISK)
+    return cache.pin(out)
 
 
 def _segment_spine(seg_samples: DataFrame, seg_len: int) -> DataFrame:
@@ -417,12 +418,12 @@ def compute_metrics_rolling(
     # referenced by both the fan-out join and the window spine, with
     # different column prunings — persist so the full sample frame is
     # scanned once for the per-subject extents (one row per subject).
-    # Same lifecycle as _seg_samples: released by ContextCleaner GC, not
-    # an explicit unpersist — see the _seg_samples docstring for the
-    # session-global CacheManager consequences.
-    from pyspark import StorageLevel
+    # Same lifecycle as _seg_samples: pinned via physioview_spark.cache
+    # (release with pinned_frames()/release_pinned(), else GC) — see
+    # the _seg_samples docstring.
+    from physioview_spark import cache
 
-    extents = extents.persist(StorageLevel.MEMORY_AND_DISK)
+    extents = cache.pin(extents)
 
     # windows containing sample i: s in [ceil((i-win_len+1)/step), floor(i/step)]
     lo = F.greatest(
@@ -552,11 +553,11 @@ def get_seconds(samples: DataFrame, fs: float, with_ts: bool = True) -> DataFram
         B, F.floor(F.col("sample_idx") / fs_i).alias("sec")
     ).agg(*sec_aggs)
     if with_ts:
-        # Persist lifecycle: GC-released, session-global CacheManager —
-        # see the _seg_samples docstring.
-        from pyspark import StorageLevel
+        # Persist lifecycle: pinned via physioview_spark.cache (scope
+        # or release_pinned, else GC) — see the _seg_samples docstring.
+        from physioview_spark import cache
 
-        sec_samples = sec_samples.persist(StorageLevel.MEMORY_AND_DISK)
+        sec_samples = cache.pin(sec_samples)
     spine = (
         sec_samples.groupBy(B)
         # grid length from the index (see _segment_spine)

@@ -135,7 +135,11 @@ def run_pipeline(
         )
         annotated = _stage(spark, annotated, stage_dir, "annotated")
         if stage_dir is None and cache_annotated:
-            annotated = annotated.cache()
+            # pinned (not bare .cache()) so long-lived sessions can
+            # release via cache.pinned_frames()/release_pinned()
+            from physioview_spark import cache
+
+            annotated = cache.pin(annotated)
         out["samples"] = annotated
         out["ibi"] = attach_ibis(annotated, fs=fs)
         with_ts = "ts" in annotated.columns
@@ -183,7 +187,11 @@ def run_pipeline(
             samples, fs=fs, scr_amp_min=config.scr_amp_min)
         annotated = _stage(spark, annotated, stage_dir, "annotated")
         if stage_dir is None and cache_annotated:
-            annotated = annotated.cache()
+            # pinned (not bare .cache()) so long-lived sessions can
+            # release via cache.pinned_frames()/release_pinned()
+            from physioview_spark import cache
+
+            annotated = cache.pin(annotated)
         out["samples"] = annotated
         out["metrics"] = compute_eda_metrics(
             annotated.withColumn("eda", F.col("filtered")),

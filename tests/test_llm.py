@@ -1750,7 +1750,8 @@ def test_pinned_frames_scope(spark):
     (pre-existing pins survive; nested scopes release their own)."""
     import pytest as _pt
 
-    from physioview_spark.llm import _cache, pinned_frames
+    from physioview_spark import cache as _cache
+    from physioview_spark.llm import pinned_frames
     from physioview_spark.llm import text as T
 
     _cache.release_pinned()  # clean registry

@@ -32,14 +32,18 @@ def test_census_covers_registry():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_census(spark, sf_dir, name):
-    # fresh-session plan shape: several operators persist() reused
-    # sub-frames at plan-construction time, and the CacheManager would
-    # otherwise substitute InMemoryRelation into equal subtrees cached
-    # by whatever test module ran earlier in the shared session, making
-    # node counts order-dependent (tools/plan_census.py clears the same
-    # way when generating the committed file)
-    spark.catalog.clearCache()
-    got = census_of(QUERIES[name](spark, sf_dir))
+    # fresh-session plan shape: operators pin() reused sub-frames at
+    # plan-construction time via physioview_spark.cache, and the
+    # CacheManager would otherwise substitute InMemoryRelation into
+    # equal subtrees pinned by whatever test module ran earlier in the
+    # shared session, making node counts order-dependent. Release
+    # session pins, then scope this query's own pins — same discipline
+    # as tools/plan_census.py when generating the committed file.
+    from physioview_spark import cache
+
+    cache.release_pinned()
+    with cache.pinned_frames():
+        got = census_of(QUERIES[name](spark, sf_dir))
     # hard invariants, independent of the committed file
     assert got["batch_udf"] == 0, (
         f"{name}: BatchEvalPython (per-row Python UDF) in the plan — "

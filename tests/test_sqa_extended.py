@@ -326,3 +326,50 @@ class TestSparkCorrectionHRV:
         full = [r for r in rows if r["num_ibis"] and r["num_ibis"] >= 70]
         assert full and all(abs(r["mean_nni"] - 800.0) < 1e-6 for r in full)
         assert all(r["sdnn"] == 0.0 for r in full)
+
+
+class TestPinLifecycle:
+    """VERDICT r16 item 5: the metrics-family persists expose a release
+    handle via physioview_spark.cache — long sessions invoking the
+    operators repeatedly must not accumulate session-global cache
+    entries when scoped."""
+
+    def _samples(self, spark):
+        fs = 64.0
+        n = int(fs * 120)
+        rows = [("s1", i, float(i % 40 == 0), 0.0, float(i)) for i in range(n)]
+        return fs, spark.createDataFrame(
+            rows,
+            "subject_id string, sample_idx long, beat double, "
+            "artifact double, ts double",
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts") / 64.0))
+
+    def test_repeated_metrics_calls_release_pins(self, spark):
+        from physioview_spark import cache
+        from physioview_spark.operators.metrics import (
+            compute_metrics, compute_metrics_rolling,
+        )
+
+        fs, df = self._samples(spark)
+        cache.release_pinned()
+        baseline = len(cache._PINNED)
+        for _ in range(3):
+            with cache.pinned_frames():
+                assert compute_metrics(df, fs, seg_size=60).count() > 0
+                assert compute_metrics_rolling(
+                    df, fs, rolling_window=60, rolling_step=15
+                ).count() > 0
+                assert len(cache._PINNED) > baseline  # operators pinned
+            # scope exit released every operator-internal pin
+            assert len(cache._PINNED) == baseline
+
+    def test_unscoped_pins_released_by_handle(self, spark):
+        from physioview_spark import cache
+        from physioview_spark.operators.metrics import get_missing
+
+        fs, df = self._samples(spark)
+        cache.release_pinned()
+        assert get_missing(df, fs, seg_size=60).count() > 0
+        assert len(cache._PINNED) > 0  # unscoped call pinned frames
+        assert cache.release_pinned() > 0
+        assert cache._PINNED == []

@@ -79,20 +79,25 @@ def census_of(df) -> dict[str, int]:
 
 def compute(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     import __spark_entry__ as e
+    from physioview_spark import cache
 
     queries, _ = e._registry()
     out: dict[str, dict[str, int]] = {}
+    # several operators pin() reused sub-frames during plan
+    # CONSTRUCTION; Spark's CacheManager then substitutes
+    # InMemoryRelation into any LATER plan containing an equal subtree,
+    # making node counts depend on what compiled earlier in the session
+    # (a prior census entry, or — in the test — a declared query
+    # another test module already ran). All such persists go through
+    # physioview_spark.cache, so: drop anything pinned earlier in the
+    # session, then scope each query's own pins to its census entry —
+    # every entry is the fresh-session plan, order-independent, without
+    # the old blanket clearCache (which also evicted caller-owned
+    # caches).
+    cache.release_pinned()
     for name in sorted(queries):
-        # several operators persist() reused sub-frames during plan
-        # CONSTRUCTION; Spark's CacheManager then substitutes
-        # InMemoryRelation into any LATER plan containing an equal
-        # subtree, making node counts depend on what compiled earlier
-        # in the session (a prior census entry, or — in the test — a
-        # declared query another test module already ran). Clearing
-        # per-query makes every census entry the fresh-session plan.
-        spark.catalog.clearCache()
-        out[name] = census_of(queries[name](spark, sf_dir))
-    spark.catalog.clearCache()
+        with cache.pinned_frames():
+            out[name] = census_of(queries[name](spark, sf_dir))
     return out
 
 
