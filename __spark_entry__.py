@@ -76,6 +76,12 @@ _CHANGED_IN_ROUND = {
     "sqa_rolling_metrics": 17,
     "streaming_near_dup_pairs": 17,
     "streaming_semantic_dedup": 17,
+    # r17 (ADVICE r16 item 2): top_revenue_nations' body extracted to a
+    # shared top_revenue_nations_body so tools/bench_bucketing.py
+    # imports it instead of mirroring it — plan-identical up to
+    # expression IDs (pinned by test_bucketing_tool_body_in_sync), but
+    # the reached bytes changed.
+    "top_revenue_nations": 17,
 }
 
 

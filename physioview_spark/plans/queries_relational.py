@@ -107,10 +107,18 @@ def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     already partitioned on the join key from its groupBy, so the SMJ
     sorts in place. On bucketed storage (tools/bench_bucketing.py) the
     same SMJ runs with ZERO exchanges — the 100 TB deployment answer."""
-    li = read(spark, sf_dir, "lineitem")
-    o = read(spark, sf_dir, "orders")
-    c = read(spark, sf_dir, "customer")
-    n = read(spark, sf_dir, "nation")
+    return top_revenue_nations_body(
+        read(spark, sf_dir, "lineitem"), read(spark, sf_dir, "orders"),
+        read(spark, sf_dir, "customer"), read(spark, sf_dir, "nation"))
+
+
+def top_revenue_nations_body(li: DataFrame, o: DataFrame, c: DataFrame,
+                             n: DataFrame) -> DataFrame:
+    """The query body, parameterized by input frames so the storage-
+    layout receipt (tools/bench_bucketing.py) runs the SAME logical
+    plan over flat parquet and over bucketed catalog tables — shared by
+    construction, so the receipt cannot drift from the engine query
+    (ADVICE r16 item 2)."""
     per_order = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))

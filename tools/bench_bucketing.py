@@ -36,41 +36,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, functions as F
-
 from physioview_spark.session import get_spark
+from physioview_spark.plans.queries_relational import top_revenue_nations_body
 
 WORK = "/tmp/pv_bucket"
-
-
-def top_revenue_nations_body(li: DataFrame, o: DataFrame, c: DataFrame,
-                             n: DataFrame) -> DataFrame:
-    """Mirror of plans/queries_relational.top_revenue_nations's body,
-    parameterized by input frames so the SAME logical plan can run over
-    flat parquet or bucketed tables. Keep in sync with the query (the
-    receipt is meaningless if the shapes diverge)."""
-    per_order = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .alias("order_rev"))
-    )
-    per_cust = (
-        per_order.join(o.hint("merge"), per_order.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(
-            F.sum("order_rev").alias("cust_rev"),
-            F.count("o_orderkey").alias("cust_orders"),
-        )
-    )
-    return (
-        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(F.sum("cust_rev"), 2).alias("revenue"),
-            F.sum("cust_orders").alias("n_orders"),
-        )
-    )
 
 
 def time_best(df_fn, runs: int) -> float:
