@@ -14,6 +14,12 @@ runs as a batch job over parquet or as a Structured Streaming query over
   duplicate arriving later than the watermark delay is NOT caught in
   streaming mode (by design: bounded state); run the batch
   `exact_duplicates` pass over the accumulated corpus for the long tail.
+  Pinned semantics (tests/test_streaming.py::TestLateDataWatermark): a
+  duplicate inside the horizon of its first occurrence is dropped in
+  any arrival order; the key's state is evicted once the eviction
+  watermark passes first-seen + delay, after which the SAME text is
+  emitted again — and rows behind the late-events watermark (one batch
+  of grace, see streaming/rolling.py) are dropped outright.
 """
 
 from __future__ import annotations

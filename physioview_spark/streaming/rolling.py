@@ -10,6 +10,20 @@ aggregations in batch and to incremental stateful aggregations under
 Structured Streaming. The SAME function body serves both: pass a batch
 DataFrame or a `readStream` DataFrame. A watermark is attached only in
 streaming mode so late data is bounded and state can be evicted.
+
+Late / out-of-order semantics (pinned by
+tests/test_streaming.py::TestLateDataWatermark): rows may arrive in any
+order within the watermark delay and land in their window; a window is
+emitted once, when the eviction watermark (max event time seen minus
+delay, updated per micro-batch) passes its end. A straggler is DROPPED
+when its window end is behind the LATE-EVENTS watermark — Spark's
+``watermarkForLateEvents`` trails ``watermarkForEviction`` by one
+micro-batch, so a row arriving in the same batch that closes its window
+still merges in (one batch of grace); a batch later it is filtered
+(``numRowsDroppedByWatermark``) and the emitted window is final. The
+stateful twin (``streaming_eda_features_extended``) filters late ROWS
+against that same late-events watermark before the state function, so a
+timed-out window key is never resurrected into a duplicate emission.
 """
 
 from __future__ import annotations

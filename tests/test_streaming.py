@@ -850,3 +850,219 @@ class TestStreamingSessions:
         got = _collect_sorted(spark.table("sess_stream"), cols)
         want = _collect_sorted(batch, cols)
         assert got == want and len(want) == 12  # 4 users x 3 bursts
+
+
+class TestLateDataWatermark:
+    """VERDICT r16 item 3: the parity tests above feed ordered
+    availableNow micro-batches; these pin the WATERMARK path — rows
+    arriving out-of-order within the watermark are included, a
+    beyond-watermark straggler is dropped, and cross-batch window
+    closure emits each window exactly once — against the documented
+    semantics, with one parquet file per micro-batch
+    (maxFilesPerTrigger=1, mtimes spaced to fix replay order)."""
+
+    @staticmethod
+    def _write_microbatches(path, batches, columns):
+        """One single-file parquet per micro-batch; the file source
+        processes files oldest-mtime-first, so spaced utimes make batch
+        i exactly micro-batch i."""
+        import os
+        import time
+
+        os.makedirs(path, exist_ok=True)
+        now = time.time()
+        for i, rows in enumerate(batches):
+            f = os.path.join(path, f"b{i}.parquet")
+            pdf = pd.DataFrame(rows, columns=columns)
+            for c in pdf.columns:
+                # pandas defaults to TIMESTAMP(NANOS), which Spark
+                # reads as plain INT64 — write MICROS
+                if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+                    pdf[c] = pdf[c].astype("datetime64[us]")
+            pdf.to_parquet(f, index=False)
+            t = now - 600 + i * 30
+            os.utime(f, (t, t))
+        return path
+
+    def test_segment_sqa_late_and_straggler(self, spark, tmp_path):
+        """Windowed aggregation (streaming_segment_sqa, watermark 2 min,
+        60 s tumbling windows): within-watermark disorder and a late
+        next-batch row land in their window; a straggler whose WINDOW
+        END is behind the watermark is dropped. The stream must equal
+        the batch twin on (all rows minus the dropped straggler) and
+        differ from the batch twin on all rows — proving the drop is
+        real, not missing input."""
+        from physioview_spark.streaming import streaming_segment_sqa
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda sec: ("s1", base + pd.Timedelta(seconds=sec), 1.0, None)
+        straggler = mk(50)
+        batches = [
+            # W1 rows deliberately unordered + an advancing row at
+            # 02:30 -> watermark after b0 = 00:30 (< W1's end: open)
+            [mk(30), mk(10), mk(20), mk(150)],
+            # late W1 row at 00:40 — W1 end (01:00) is ahead of the
+            # b0 watermark (00:30), so it MUST be included; the
+            # advancing row moves the watermark to 02:00, closing W1
+            [mk(40), mk(240)],
+            # advance-only batch: Spark filters LATE rows against the
+            # PREVIOUS batch's watermark (watermarkForLateEvents trails
+            # watermarkForEviction by one batch — one batch of grace),
+            # so the straggler must arrive a full batch after the
+            # watermark passed its window; W1 is emitted here (=4)
+            [mk(300)],
+            # straggler at 00:50: W1 end (01:00) is behind even the
+            # late-events watermark (02:00) -> dropped
+            # (numRowsDroppedByWatermark); sentinel flushes the rest
+            [straggler, mk(3600)],
+        ]
+        cols = ["subject_id", "ts", "beat", "artifact"]
+        p = self._write_microbatches(str(tmp_path / "late_seg"), batches,
+                                     cols)
+
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(p))
+        q = (streaming_segment_sqa(stream)
+             .writeStream.format("memory").queryName("late_seg")
+             .outputMode("append").trigger(availableNow=True).start())
+        await_stream(q, 120)
+        cut = F.lit(base + pd.Timedelta(minutes=10))
+        cols_out = ["subject_id", "segment_start", "n_detected",
+                    "n_artifact", "invalid"]
+        got = _collect_sorted(
+            spark.table("late_seg").where(F.col("segment_start") < cut),
+            cols_out)
+
+        all_rows = [r for b in batches for r in b]
+        kept_rows = [r for r in all_rows if r is not straggler]
+        mk_batch = lambda rows: streaming_segment_sqa(
+            spark.createDataFrame(pd.DataFrame(rows, columns=cols),
+                                  SCHEMA))
+        want = _collect_sorted(
+            mk_batch(kept_rows).where(F.col("segment_start") < cut),
+            cols_out)
+        with_straggler = _collect_sorted(
+            mk_batch(all_rows).where(F.col("segment_start") < cut),
+            cols_out)
+
+        assert got == want
+        assert got != with_straggler  # the straggler was really dropped
+        w1 = [r for r in got if r[1] == base][0]
+        assert w1[2] == 4  # 3 disordered b0 rows + 1 late b1 row, no b2
+
+    def test_doc_dedup_within_watermark_horizon(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark (streaming_doc_curation,
+        watermark 10 min): a duplicate arriving inside the horizon of
+        its first occurrence is dropped; once the watermark passes
+        first-seen + delay the key's state is evicted and a LATER
+        duplicate is emitted again — the documented bounded-state
+        behavior (streaming/documents.py module docstring), which the
+        batch pass over the accumulated corpus is specified to mop up."""
+        from physioview_spark.streaming import streaming_doc_curation
+
+        base = pd.Timestamp("2024-01-01 10:00:00")
+        good = ("the data and the pipeline of it is in that table and "
+                "it is good that the text is long enough to pass the bar")
+        mk = lambda i, m, t: (i, base + pd.Timedelta(minutes=m), t)
+        batches = [
+            # A first-seen at 10:00; advance to 10:05 -> wm 09:55
+            [mk(0, 0, good), mk(1, 5, good + " extra one")],
+            # dup of A at 10:06: state live (wm 09:55 < 10:00+10min)
+            # -> dropped; advance to 10:30 -> wm 10:20 > 10:10
+            [mk(2, 6, good), mk(3, 30, good + " extra two")],
+            # advance-only batch: state eviction runs against the
+            # CURRENT batch's watermark (10:20 > A's 10:10 expiry ->
+            # A evicted here), while the next batch's late filter uses
+            # this watermark — the same one-batch grace as the
+            # aggregation test
+            [mk(5, 35, good + " extra three")],
+            # dup of A at 10:25: state gone, and 10:25 clears the
+            # late-events watermark (10:20) -> emitted AGAIN
+            [mk(4, 25, good)],
+        ]
+        cols = ["doc_id", "ingest_ts", "text"]
+        sch = "doc_id long, ingest_ts timestamp, text string"
+        p = self._write_microbatches(str(tmp_path / "late_docs"),
+                                     batches, cols)
+
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(p))
+        q = (streaming_doc_curation(stream)
+             .writeStream.format("memory").queryName("late_docs")
+             .outputMode("append").trigger(availableNow=True).start())
+        await_stream(q, 120)
+        got = spark.table("late_docs").toPandas()
+
+        assert sorted(got["doc_id"]) == [0, 1, 3, 4, 5]
+        a_hash = got.set_index("doc_id")["text_hash"][0]
+        assert (got["text_hash"] == a_hash).sum() == 2  # doc 0 and doc 4
+
+    def test_stateful_extended_straggler_no_duplicate_window(
+            self, spark, tmp_path):
+        """Stateful twin (streaming_eda_features_extended, keyed window
+        state + EventTimeTimeout): stateful operators filter late ROWS
+        against the watermark (stricter than the aggregation's
+        window-end rule) — a within-watermark out-of-order row lands in
+        its open window, and a beyond-watermark straggler must be
+        dropped BEFORE the state function, never resurrecting a
+        timed-out window key into a duplicate emission."""
+        from physioview_spark.streaming import (
+            streaming_eda_features_extended,
+        )
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda sec: ("s1", base + pd.Timedelta(seconds=sec),
+                          float(np.sin(sec)))
+        straggler = mk(50)
+        batches = [
+            # ten W0 samples (disordered) + advance to 02:30 -> wm 00:30
+            [mk(9), mk(0), *[mk(s) for s in (1, 2, 3, 4, 5, 6, 7, 8)],
+             mk(150)],
+            # out-of-order row at 00:45 >= wm -> included in W0 state;
+            # advance to 05:00 -> wm 03:00 > W0's timeout (01:00)
+            [mk(45), mk(300)],
+            # advance-only batch: W0's EventTimeTimeout fires here
+            # (eviction watermark 03:00), emitting n=11; the NEXT
+            # batch's late filter uses this batch's watermark (the
+            # one-batch grace documented in the aggregation test)
+            [mk(360)],
+            # straggler at 00:50 < late-events watermark 03:00 ->
+            # filtered before the state function, so the timed-out W0
+            # key is NOT resurrected; sentinel flushes open windows
+            [straggler, mk(3600)],
+        ]
+        cols = ["subject_id", "ts", "phasic"]
+        sch = "subject_id string, ts timestamp, phasic double"
+        p = self._write_microbatches(str(tmp_path / "late_ext"),
+                                     batches, cols)
+
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(p))
+        q = (streaming_eda_features_extended(
+                stream, value_cols=["phasic"], window_seconds=60,
+                watermark="2 minutes")
+             .writeStream.format("memory").queryName("late_ext")
+             .outputMode("append").trigger(availableNow=True).start())
+        await_stream(q, 120)
+        got = spark.table("late_ext").toPandas()
+
+        w0 = got[got["window_start"] == base]
+        assert len(w0) == 1  # exactly one emission, no resurrection
+        assert int(w0["n"].iloc[0]) == 11  # 10 from b0 + the 00:45 row
+
+        # value parity: batch twin on (all rows minus the straggler)
+        all_rows = [r for b in batches for r in b]
+        kept = [r for r in all_rows if r is not straggler]
+        want = streaming_eda_features_extended(
+            spark.createDataFrame(pd.DataFrame(kept, columns=cols), sch),
+            value_cols=["phasic"], window_seconds=60,
+        ).toPandas()
+        want_w0 = want[want["window_start"] == base]
+        for c in want_w0.columns:
+            if want_w0[c].dtype == object or "window" in c:
+                assert list(want_w0[c]) == list(w0[c]), c
+            else:
+                np.testing.assert_allclose(
+                    w0[c].to_numpy(dtype=float),
+                    want_w0[c].to_numpy(dtype=float),
+                    rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c)
