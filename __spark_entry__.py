@@ -80,8 +80,10 @@ _CHANGED_IN_ROUND = {
     # shared top_revenue_nations_body so tools/bench_bucketing.py
     # imports it instead of mirroring it — plan-identical up to
     # expression IDs (pinned by test_bucketing_tool_body_in_sync), but
-    # the reached bytes changed.
+    # the reached bytes changed. Same extraction for
+    # order_priority_counts (VERDICT r16 item 4).
     "top_revenue_nations": 17,
+    "order_priority_counts": 17,
 }
 
 

@@ -166,8 +166,16 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size comes from runtime shuffle stats (not the compressed-footer
     estimate that mis-broadcast orders in top_revenue_nations), so
     AQE's choice here is trustworthy — it picks SMJ at x100."""
-    o = read(spark, sf_dir, "orders")
-    li = read(spark, sf_dir, "lineitem")
+    return order_priority_counts_body(
+        read(spark, sf_dir, "orders"), read(spark, sf_dir, "lineitem"))
+
+
+def order_priority_counts_body(o: DataFrame, li: DataFrame) -> DataFrame:
+    """The query body, parameterized by input frames so the storage-
+    layout receipt (tools/bench_bucketing.py) runs the SAME logical
+    plan over flat parquet and over bucketed catalog tables — shared
+    by construction (VERDICT r16 item 4; same pattern as
+    top_revenue_nations_body)."""
     o_f = o.where(
         (F.col("o_orderdate") >= ntz_lit("1998-01-01"))
         & (F.col("o_orderdate") < ntz_lit("2000-01-01"))

@@ -337,10 +337,11 @@ class TestPlanContracts:
         import tools.bench_bucketing as bb
         from physioview_spark.plans.common import read
         from physioview_spark.plans.queries_relational import (
-            top_revenue_nations_body,
+            order_priority_counts_body, top_revenue_nations_body,
         )
 
         assert bb.top_revenue_nations_body is top_revenue_nations_body
+        assert bb.order_priority_counts_body is order_priority_counts_body
         engine = e.queries()["top_revenue_nations"](spark, sf_dir)
         tool = top_revenue_nations_body(
             read(spark, sf_dir, "lineitem"), read(spark, sf_dir, "orders"),

@@ -1,11 +1,13 @@
-"""Storage-layout receipt for the x100 heavy hitter (VERDICT r15 item 7).
+"""Storage-layout receipt for the x100 fact-fact joins (VERDICT r15
+item 7; extended to order_priority_counts per VERDICT r16 item 4).
 
-`top_revenue_nations` is the one headline query whose x100 wall is
-dominated by shuffle exchanges that no PLAN change can remove: the
-lineitem pre-aggregation shuffles on l_orderkey, the orders join
-shuffles both sides on the order key, and the customer join shuffles
-on the cust key. At 100 TB the lever is STORAGE — bucket the fact
-tables on their join keys so the exchanges never happen:
+`top_revenue_nations` and `order_priority_counts` are the headline
+queries whose x100 wall is dominated by shuffle exchanges that no PLAN
+change can remove: the lineitem pre-aggregation shuffles on
+l_orderkey, the orders join shuffles both sides on the order key, and
+(for top_revenue_nations) the customer join shuffles on the cust key.
+At 100 TB the lever is STORAGE — bucket the fact tables on their join
+keys so the exchanges never happen:
 
 - lineitem  bucketed+sorted by l_orderkey  -> groupBy(l_orderkey) needs
   no exchange, and the orders join reads both sides pre-partitioned;
@@ -37,7 +39,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from physioview_spark.session import get_spark
-from physioview_spark.plans.queries_relational import top_revenue_nations_body
+from physioview_spark.plans.queries_relational import (
+    order_priority_counts_body, top_revenue_nations_body,
+)
+
+# query name -> body(tabs) over a {table: DataFrame} dict; bodies are
+# IMPORTED from the engine so the receipt cannot drift from the query
+QUERIES = {
+    "top_revenue_nations": lambda tt: top_revenue_nations_body(
+        tt["lineitem"], tt["orders"], tt["customer"], tt["nation"]),
+    "order_priority_counts": lambda tt: order_priority_counts_body(
+        tt["orders"], tt["lineitem"]),
+}
 
 WORK = "/tmp/pv_bucket"
 
@@ -96,46 +109,39 @@ def main() -> None:
     bucketed = {t: spark.table(f"{t}_b{args.buckets}") for t in keys}
     bucketed["nation"] = flat["nation"]
 
-    out: dict[str, dict] = {}
-    for label, tabs in (("flat", flat), ("bucketed", bucketed)):
-        mk = lambda tt=tabs: top_revenue_nations_body(
-            tt["lineitem"], tt["orders"], tt["customer"], tt["nation"])
-        warm = mk()
-        warm.collect()  # warm: codegen + page cache (also finalizes AQE)
-        plan = warm._jdf.queryExecution().executedPlan().toString()
-        print(f"--- {label} executed plan (joins/exchanges) ---",
-              file=sys.stderr)
-        for line in plan.splitlines():
-            if any(k in line for k in (
-                    "Exchange", "SortMergeJoin", "BroadcastHashJoin",
-                    "ShuffledHashJoin")):
-                print(line[:150], file=sys.stderr)
-        out[label] = {
-            "best_sec": time_best(mk, args.runs),
-            "exchanges": len(re.findall(r"\bExchange hashpartitioning",
-                                        plan)),
-        }
-    out["flat"]["rows"] = top_revenue_nations_body(
-        flat["lineitem"], flat["orders"], flat["customer"],
-        flat["nation"]).count()
-    out["bucketed"]["rows"] = top_revenue_nations_body(
-        bucketed["lineitem"], bucketed["orders"], bucketed["customer"],
-        bucketed["nation"]).count()
+    report: dict[str, dict] = {}
+    for qname, body in QUERIES.items():
+        out: dict[str, dict] = {}
+        for label, tabs in (("flat", flat), ("bucketed", bucketed)):
+            mk = lambda tt=tabs, b=body: b(tt)
+            warm = mk()
+            warm.collect()  # warm: codegen + page cache (finalizes AQE)
+            plan = warm._jdf.queryExecution().executedPlan().toString()
+            print(f"--- {qname} {label} executed plan "
+                  "(joins/exchanges) ---", file=sys.stderr)
+            for line in plan.splitlines():
+                if any(k in line for k in (
+                        "Exchange", "SortMergeJoin", "BroadcastHashJoin",
+                        "ShuffledHashJoin")):
+                    print(line[:150], file=sys.stderr)
+            out[label] = {
+                "best_sec": time_best(mk, args.runs),
+                "exchanges": len(re.findall(
+                    r"\bExchange hashpartitioning", plan)),
+            }
 
-    # results must agree bit-for-bit on the sorted tuple set
-    a = sorted(map(tuple, top_revenue_nations_body(
-        flat["lineitem"], flat["orders"], flat["customer"],
-        flat["nation"]).collect()))
-    b = sorted(map(tuple, top_revenue_nations_body(
-        bucketed["lineitem"], bucketed["orders"], bucketed["customer"],
-        bucketed["nation"]).collect()))
-    out["results_match"] = a == b
+        # results must agree bit-for-bit on the sorted tuple set
+        a = sorted(map(tuple, body(flat).collect()))
+        b = sorted(map(tuple, body(bucketed).collect()))
+        out["rows"] = len(a)
+        out["results_match"] = a == b
+        out["speedup"] = round(out["flat"]["best_sec"]
+                               / out["bucketed"]["best_sec"], 2)
+        report[qname] = out
 
     print(json.dumps({
         "mult": args.mult, "buckets": args.buckets, "runs": args.runs,
-        **out,
-        "speedup": round(out["flat"]["best_sec"]
-                         / out["bucketed"]["best_sec"], 2),
+        **report,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 
