@@ -413,7 +413,10 @@ def main() -> None:
     for name, r in results.items():
         r["ratio"] = round(r[f"x{args.mult}"] / r["x1"], 2)
         r["per_row_ratio"] = round(r["ratio"] / args.mult, 2)
-    print(json.dumps({"mult": args.mult, "results": results}))
+    # machine state at emit — scale receipts without it are
+    # uninterpretable after the fact (VERDICT r15 item 4 / r16 item 7)
+    print(json.dumps({"mult": args.mult, "results": results,
+                      "loadavg": [round(x, 2) for x in os.getloadavg()]}))
 
 
 def _timed(fn) -> float:
