@@ -282,6 +282,52 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS b_samples")
             spark.sql("DROP TABLE IF EXISTS b_meta")
 
+    def test_storage_contract_fact_fact_zero_orderkey_exchange(
+            self, spark, sf_dir):
+        """The README storage contract, pinned in the suite at test
+        scale (the x100 wall receipt lives in tools/bench_bucketing.py
+        / PLANS.md r17): with lineitem and orders bucket+sorted on the
+        order key, BOTH fact-fact query bodies plan their orderkey SMJ
+        and the per-orderkey aggregate with zero exchanges — the only
+        hashpartitioning left is the output-sized final aggregate."""
+        from physioview_spark.plans.common import read
+        from physioview_spark.plans.queries_relational import (
+            order_priority_counts_body, top_revenue_nations_body,
+        )
+        from physioview_spark.sources.csv import write_bucketed_table
+
+        def exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return [ln.strip() for ln in plan.splitlines()
+                    if "Exchange hashpartitioning" in ln]
+
+        try:
+            write_bucketed_table(
+                read(spark, sf_dir, "lineitem"), "sc_lineitem",
+                "l_orderkey", n_buckets=4, sort_cols="l_orderkey")
+            write_bucketed_table(
+                read(spark, sf_dir, "orders"), "sc_orders",
+                "o_orderkey", n_buckets=4, sort_cols="o_orderkey")
+            li, o = spark.table("sc_lineitem"), spark.table("sc_orders")
+
+            ex = exchanges(order_priority_counts_body(o, li))
+            assert not any("orderkey" in ln for ln in ex), ex
+            assert all("o_orderpriority" in ln for ln in ex), ex
+            out = order_priority_counts_body(o, li)
+            flat = order_priority_counts_body(
+                read(spark, sf_dir, "orders"),
+                read(spark, sf_dir, "lineitem"))
+            assert sorted(map(tuple, out.collect())) == \
+                sorted(map(tuple, flat.collect()))
+
+            c = read(spark, sf_dir, "customer")
+            n = read(spark, sf_dir, "nation")
+            ex = exchanges(top_revenue_nations_body(li, o, c, n))
+            assert not any("orderkey" in ln for ln in ex), ex
+        finally:
+            spark.sql("DROP TABLE IF EXISTS sc_lineitem")
+            spark.sql("DROP TABLE IF EXISTS sc_orders")
+
 
 class TestPlanContracts:
     """Regression guards on physical-plan properties the engine promises:
