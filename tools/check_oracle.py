@@ -143,19 +143,37 @@ def _versions_note() -> str:
     return "recorded versions match the running ones"
 
 
+def _duck_connect(sf_dir: str):
+    """Fresh bounded DuckDB connection with the table views.
+
+    A single long-lived connection accumulated buffer-manager state
+    across a 101-query sf0.1 sweep and — under the container's memory
+    pressure (x100-corpus page cache) — cascaded into
+    ``Out of Memory Error: Failed to allocate block`` from ~query 80
+    onward, then segfaulted (r17; the same environmental mode the
+    quiet-machine memory note records). A per-query connection bounds
+    DuckDB state at one query's working set, and the explicit limits
+    keep the oracle side from competing with the Spark driver for the
+    container's memory."""
+    con = duckdb.connect()
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads=16")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
+    from physioview_spark import cache
     from physioview_spark.session import get_spark
 
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
 
     qs = e.queries()
     oracles = e.oracle_sql()
@@ -164,6 +182,10 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        # operator-internal pins accumulate across a 101-query sweep
+        # (JVM storage blocks on a 1 GiB default heap) — release the
+        # previous query's before building the next
+        cache.release_pinned()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -186,7 +208,11 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            ddf = con.execute(oracles[name]).fetch_arrow_table()
+            con = _duck_connect(sf_dir)
+            try:
+                ddf = con.execute(oracles[name]).fetch_arrow_table()
+            finally:
+                con.close()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             n_fail += 1
