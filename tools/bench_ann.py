@@ -115,6 +115,7 @@ def main() -> None:
     print(json.dumps({
         "n_corpus": n, "n_queries": len(truth), "dim": args.dim,
         "ivf_cells": n_cells, "results": results,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 
 

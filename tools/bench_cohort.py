@@ -395,6 +395,7 @@ def main() -> None:
                                       args.long_fs, args.whole_hours,
                                       eda_only=args.eda_only,
                                       eda_max_matvecs=args.eda_max_matvecs),
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
         }))
         return
     results: dict[str, dict] = {}
@@ -435,6 +436,7 @@ def main() -> None:
     print(json.dumps({
         "fs": args.fs, "duration": args.duration,
         "subjects": args.subjects, "results": results,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 
 

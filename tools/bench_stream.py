@@ -107,7 +107,9 @@ def main() -> None:
             "late_vs_early": round(late / early, 2) if early else None,
         }
     print(json.dumps({"batches": args.batches, "docs": args.docs,
-                      "vecs": args.vecs, "results": summary}))
+                      "vecs": args.vecs, "results": summary,
+                      "loadavg": [round(x, 2)
+                                  for x in os.getloadavg()]}))
 
 
 if __name__ == "__main__":
