@@ -84,6 +84,19 @@ _CHANGED_IN_ROUND = {
     # order_priority_counts (VERDICT r16 item 4).
     "top_revenue_nations": 17,
     "order_priority_counts": 17,
+    # r17 empty-input hardening (new hostile axis, 101/101 after): the
+    # vector-family queries derive their seed codebook via a shared
+    # _seed_codebook helper that substitutes a dummy centroid on an
+    # empty corpus (was IndexError at plan time); profile_diff's null
+    # rate is nulls/nullif(n,0) — NULL, not 0.0, over zero rows (its
+    # oracle's literal 0.0 recomputed with the same semantics; sf0.01
+    # output unchanged). The delta/streaming family was covered by the
+    # entries above; these five complete the reachers.
+    "doc_profile_drift": 17,
+    "embedding_ann_ivf": 17,
+    "embedding_ann_ivfpq": 17,
+    "embedding_ann_pq": 17,
+    "embedding_semantic_dedup": 17,
 }
 
 

@@ -628,6 +628,14 @@ def assign_ivf_bucket(
       switches on a fixed k*dim threshold, keeping small-codebook
       (oracle-pinned) plans on the expr gear deterministically.
     """
+    if not centroids:
+        # an empty codebook has no nearest centroid for ANY vector —
+        # the empty-corpus case belongs to the caller (short-circuit to
+        # an empty result, or substitute a dummy centroid when the data
+        # side is also empty; see plans/queries_llm._seed_codebook)
+        raise ValueError(
+            "centroids must be non-empty — an empty corpus cannot seed "
+            "a codebook; handle the empty input before bucketing")
     if method == "auto":
         method = "pandas" if len(centroids) * len(centroids[0]) > 1024 \
             else "expr"

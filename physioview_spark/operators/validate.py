@@ -190,15 +190,19 @@ def profile_diff(
     by COLUMN count, never rows — so this is a tiny driver-light
     outer join; the corpus cost was paid by the two single-scan
     profiles."""
+    # null RATE of a zero-row profile is undefined, not 0.0 — nullif
+    # keeps the division ANSI-safe while emitting honest NULLs (the r17
+    # empty-table sweep caught greatest(n_rows, 1) manufacturing a 0.0
+    # delta on an empty slice where the SQL oracle says NULL)
     b = before.select(
         "column", F.col("dtype").alias("__bdt"),
-        (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)))
+        (F.col("n_nulls") / F.nullif(F.col("n_rows"), F.lit(0)))
         .alias("__bnull"),
         F.col("n_distinct_approx").alias("__bnd"),
         F.col("mean").alias("__bmean"), F.col("stddev").alias("__bsd"))
     a = after.select(
         "column", F.col("dtype").alias("__adt"),
-        (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)))
+        (F.col("n_nulls") / F.nullif(F.col("n_rows"), F.lit(0)))
         .alias("__anull"),
         F.col("n_distinct_approx").alias("__and"),
         F.col("mean").alias("__amean"))

@@ -185,6 +185,24 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=1, threshold=0.5, max_doc_freq=20)
 
 
+def _seed_codebook(emb: DataFrame) -> list[list[float]]:
+    """Deterministic seed-vector codebook shared by the vector-family
+    queries: embeddings of the 8 lowest even vec_ids, in vec_id order
+    (the oracle SQL rebuilds the same set). On an EMPTY corpus — a
+    legal input, probed by the r17 empty-table sweep — returns one
+    8-dim zero centroid instead of []: the downstream bucketing plan
+    stays type-valid (literal centroid expressions never evaluate on
+    zero rows) and the query returns an empty frame with the
+    operator's exact schema, where [] raised IndexError at
+    plan-construction time."""
+    rows = (
+        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in rows]
+    return seeds or [[0.0] * 8]
+
+
 @q("embedding_cosine_topk", """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
 scored AS (
@@ -266,7 +284,11 @@ WITH b AS (
 )
 SELECT 'doc_id' AS column, 'bigint' AS dtype_before,
        'bigint' AS dtype_after,
-       round(0.0, 6) AS null_rate_delta,
+       -- doc_id is never null, but the RATE is still nulls/n: on an
+       -- empty table n = 0 and the delta is NULL, not 0.0 (matches
+       -- profile_diff's nullif semantics; r17 empty-table sweep)
+       round(CAST(0 AS DOUBLE) / nullif(a.n, 0)
+             - CAST(0 AS DOUBLE) / nullif(b.n, 0), 6) AS null_rate_delta,
        round((a.m_id - b.m_id) / b.s_id, 6) AS mean_shift_sds,
        CASE WHEN abs(round((a.m_id - b.m_id) / b.s_id, 6)) > 0.5
             THEN 'mean_shift' ELSE '' END AS flags
@@ -280,7 +302,8 @@ SELECT 'lang', 'string', 'string',
 FROM b, a
 UNION ALL
 SELECT 'n_chars', 'bigint', 'double',
-       round(0.0, 6),
+       round(CAST(0 AS DOUBLE) / nullif(a.n, 0)
+             - CAST(0 AS DOUBLE) / nullif(b.n, 0), 6),
        round((a.m_nc - b.m_nc) / b.s_nc, 6),
        concat_ws(',', 'dtype_changed',
                  CASE WHEN abs(round((a.m_nc - b.m_nc) / b.s_nc, 6)) > 0.5
@@ -468,8 +491,16 @@ def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True)
              .option("checkpointLocation", f"{tmp}/ckpt").start())
         await_stream(q)
-        out = spark.read.parquet(f"{tmp}/state/pairs") \
-            .select("id_a", "id_b")
+        from pyspark.errors import AnalysisException
+
+        try:
+            out = spark.read.parquet(f"{tmp}/state/pairs") \
+                .select("id_a", "id_b")
+        except AnalysisException:
+            # the operator creates the pairs dir on first emission — a
+            # stream that never produced a candidate pair (e.g. an
+            # empty corpus, r17 empty-table sweep) leaves it absent
+            out = spark.createDataFrame([], "id_a long, id_b long")
         rows, schema = out.collect(), out.schema
     finally:
         drop_near_dup_state(spark, f"{tmp}/state")
@@ -1367,11 +1398,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means-trained codebook path (train_ivf_centroids, pyspark.ml) runs
     the same ivf_topk mechanics and holds its recall bound in pytest."""
     emb = read(spark, sf_dir, "embeddings")
-    cents_rows = (
-        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
-        .orderBy("vec_id").select("embedding").collect()
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    cents = _seed_codebook(emb)
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") < 10), emb, cents, k=5, n_probe=3
     )
@@ -1409,11 +1436,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id near-duplicate (keep-first). The oracle rebuilds the
     quantizer, the within-bucket pair set, and the anti-join in SQL."""
     emb = read(spark, sf_dir, "embeddings")
-    cents_rows = (
-        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
-        .orderBy("vec_id").select("embedding").collect()
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    cents = _seed_codebook(emb)
     return similarity.semantic_dedup(emb, cents, threshold=0.95)
 
 
@@ -1468,11 +1491,7 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from physioview_spark.llm import pq
 
     emb = read(spark, sf_dir, "embeddings")
-    seed_rows = (
-        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
-        .orderBy("vec_id").select("embedding").collect()
-    )
-    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    seeds = _seed_codebook(emb)
     d = len(seeds[0]) // 8
     codebooks = [[s[j * d:(j + 1) * d] for s in seeds] for j in range(8)]
     codes = pq.encode_pq(emb, codebooks)
@@ -1548,11 +1567,7 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from physioview_spark.llm import pq
 
     emb = read(spark, sf_dir, "embeddings")
-    seed_rows = (
-        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
-        .orderBy("vec_id").select("embedding").collect()
-    )
-    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    seeds = _seed_codebook(emb)
     d = len(seeds[0]) // 8
     codebooks = [[s[j * d:(j + 1) * d] for s in seeds] for j in range(8)]
     codes = pq.encode_pq(emb, codebooks).withColumn(
@@ -1632,11 +1647,7 @@ def embedding_semantic_dedup_delta(
     PLANS.md). Nullable match columns are coalesced to -1 so the
     declared output stays scalar-only and null-free."""
     emb = read(spark, sf_dir, "embeddings")
-    seed_rows = (
-        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
-        .orderBy("vec_id").select("embedding").collect()
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    cents = _seed_codebook(emb)
     out = similarity.semantic_dedup_delta(
         emb.where(F.col("vec_id") % 8 == 0),
         emb.where(F.col("vec_id") % 8 != 0),
@@ -1728,11 +1739,7 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read(spark, sf_dir, "embeddings")
-    seed_rows = (
-        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
-        .orderBy("vec_id").select("embedding").collect()
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    cents = _seed_codebook(emb)
     tmp = tempfile.mkdtemp(prefix="pv_stream_sem_")
     try:
         (emb.where(F.col("vec_id") % 2 == 0).coalesce(1)
@@ -1745,11 +1752,20 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .trigger(availableNow=True)
               .option("checkpointLocation", f"{tmp}/ckpt").start())
         await_stream(q_)
-        out = (spark.read.parquet(f"{tmp}/state/decisions")
-               .select("vec_id", "decision",
-                       F.coalesce("match_id", F.lit(-1))
-                       .alias("match_id"),
-                       F.coalesce("sim", F.lit(-1.0)).alias("sim")))
+        from pyspark.errors import AnalysisException
+
+        try:
+            dec = spark.read.parquet(f"{tmp}/state/decisions")
+        except AnalysisException:
+            # no batch ever wrote a decision (empty corpus, r17
+            # empty-table sweep) — the dir is created on first write
+            dec = spark.createDataFrame(
+                [], "vec_id long, decision string, "
+                    "match_id long, sim double")
+        out = dec.select("vec_id", "decision",
+                         F.coalesce("match_id", F.lit(-1))
+                         .alias("match_id"),
+                         F.coalesce("sim", F.lit(-1.0)).alias("sim"))
         rows, schema = out.collect(), out.schema
     finally:
         drop_semantic_state(spark, f"{tmp}/state")
