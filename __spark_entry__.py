@@ -92,6 +92,13 @@ _CHANGED_IN_ROUND = {
     # oracle's literal 0.0 recomputed with the same semantics; sf0.01
     # output unchanged). The delta/streaming family was covered by the
     # entries above; these five complete the reachers.
+    # r17 skew-axis finding: a single-embedding-row window's Gram
+    # matrix is exactly rank-1 and its svd_entropy exactly 0 — the
+    # closed form emitted cross-engine acos noise instead; engine and
+    # oracle now pin the gn == 1 case to 0.0 (NumPy-SVD-exact). The
+    # two compute_eda_features reachers re-attest.
+    "eda_extended_features": 17,
+    "eda_rolling_features": 17,
     "doc_profile_drift": 17,
     "embedding_ann_ivf": 17,
     "embedding_ann_ivfpq": 17,

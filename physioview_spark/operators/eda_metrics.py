@@ -371,6 +371,7 @@ def compute_eda_features(
             l1, l2 = F.col(f"__l1_{c}"), F.col(f"__l2_{c}")
             gsum = lambda e: F.sum(F.when(emb, e))  # noqa: E731
             aggs += [
+                gsum(F.lit(1)).alias(f"__gn_{c}"),
                 gsum(v * v).alias(f"__g11_{c}"),
                 gsum(l1 * l1).alias(f"__g22_{c}"),
                 gsum(l2 * l2).alias(f"__g33_{c}"),
@@ -482,14 +483,23 @@ def compute_eda_features(
                     F.when(g11.isNull(), F.lit(None).cast("double"))
                     .when((cc("p2") <= 0) & (cc("q") > 0), F.lit(1.0))
                     .when(cc("p2") <= 0, F.lit(None).cast("double"))
+                    # one embedding row -> G is EXACTLY rank-1 (outer
+                    # product): the true spectrum is (|x|, 0, 0) and the
+                    # entropy exactly 0 (np.linalg.svd of the 1x3
+                    # embedding agrees) — the closed form instead emits
+                    # ~5e-4 of acos-amplified cancellation noise that
+                    # differs across engines (r17 skew-axis finding)
+                    .when(F.col(f"__gn_{c}") == 1, F.lit(0.0))
                     .otherwise(cc("h")))
                 .drop(*[t + n for n in (
                     "q", "p2", "p", "b11", "b22", "b33", "b12", "b13",
                     "b23", "detb", "phi", "l1", "l2", "l3", "s1", "s2",
                     "s3", "tot", "h")])
             )
-        agg_df = agg_df.drop(*[f"__g{i}_{c}" for c in value_cols
-                               for i in (11, 22, 33, 12, 13, 23)])
+        agg_df = agg_df.drop(
+            *[f"__g{i}_{c}" for c in value_cols
+              for i in (11, 22, 33, 12, 13, 23)],
+            *[f"__gn_{c}" for c in value_cols])
 
     return agg_df.select(
         "subject_id",

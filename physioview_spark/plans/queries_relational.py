@@ -840,6 +840,7 @@ WITH s1 AS (
   FROM r
 ), g AS (
   SELECT subject_id, w, COUNT(*) AS n, AVG(v) AS mu,
+    COUNT(pat) AS gn,
     SUM(v * v) AS energy,
     COALESCE(SUM(dv), 0.0) AS lineintegral,
     CAST(SUM(rs * lany * rany) AS DOUBLE) AS peaks,
@@ -901,6 +902,9 @@ WITH s1 AS (
     CASE WHEN g11 IS NULL THEN NULL
          WHEN p2 <= 0 AND q > 0 THEN 1.0
          WHEN p2 <= 0 THEN NULL
+         -- one embedding row: G is exactly rank-1, entropy exactly 0
+         -- (the closed form's acos noise differs across engines)
+         WHEN gn = 1 THEN 0.0
          ELSE h END AS svd_entropy
   FROM g
 )

@@ -251,6 +251,34 @@ class TestEDAMetrics:
         assert out[4]["n_invalid"] == 30
         assert out[5]["n_invalid"] == 0 and out[5]["pct_valid"] == 100.0
 
+    def test_svd_entropy_single_embedding_row_is_exact_zero(self, spark):
+        """r17 skew-axis regression: a window with exactly ONE complete
+        (v, lead, lead2) embedding row has a rank-1 Gram matrix — the
+        true svd_entropy is exactly 0 (np.linalg.svd of the 1x3
+        embedding returns one singular value), but the closed-form
+        eigensolve emitted ~5e-4 of cross-engine acos noise. The
+        relational form must now pin the case to 0.0, matching the
+        NumPy kernel."""
+        from physioview_spark.operators.eda_metrics import (
+            compute_eda_features, eda_window_stats_np,
+        )
+
+        # one subject, one 60 s window, exactly three samples -> one
+        # embedding row; values chosen non-degenerate (p2 > 0, q > 0)
+        rows = [("s1", float(t), v)
+                for t, v in ((0.0, 1.25), (1.0, -0.5), (2.0, 2.75))]
+        df = spark.createDataFrame(
+            rows, "subject_id string, sec double, phasic double"
+        ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+        out = compute_eda_features(
+            df, value_cols=["phasic"], window_seconds=60,
+            extended=True).collect()
+        assert len(out) == 1
+        assert out[0]["phasic_svd_entropy"] == 0.0
+        ref = eda_window_stats_np(
+            np.array([1.25, -0.5, 2.75]), np.array([0.0, 1.0, 2.0]))
+        assert ref["svd_entropy"] == 0.0
+
     def test_rolling_mode(self, spark):
         from physioview_spark.operators.eda_metrics import compute_eda_metrics
 
