@@ -100,6 +100,21 @@ _CHANGED_IN_ROUND = {
     "eda_extended_features": 17,
     "eda_rolling_features": 17,
     "doc_profile_drift": 17,
+    # r17 null-axis hardening wave 2: the search family excludes NULL
+    # vectors on BOTH sides (engine filters in ivf_topk/encode_pq/
+    # pq_topk; oracles filter the embeddings refs), the dedup family
+    # KEEPS them as trivially-unique (engine already did — oracles
+    # gain the null keep rows), and dsp.moving_average is NaN-aware
+    # with SQL AVG semantics (bit-identical on NaN-free input;
+    # kernel_hrv_features reaches the kernel). Real-SF oracles all
+    # re-green before commit.
+    "embedding_ann_lsh": 17,
+    "embedding_knn_graph": 17,
+    "embedding_label_centroids": 17,
+    "embedding_near_dup_pairs": 17,
+    "embedding_quantize_int8": 17,
+    "kernel_hrv_features": 17,
+    "moving_average_events": 17,
     "embedding_ann_ivf": 17,
     "embedding_ann_ivfpq": 17,
     "embedding_ann_pq": 17,

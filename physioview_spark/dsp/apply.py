@@ -121,20 +121,38 @@ def filtfilt_fft(b, a, x: np.ndarray) -> np.ndarray:
 
 def moving_average(x: np.ndarray, w: int, mode: str = "same") -> np.ndarray:
     """O(n) cumulative-sum moving average (reference: pipeline/ECG.py:663-671
-    uses the same cumsum idea)."""
+    uses the same cumsum idea).
+
+    NaN-aware with SQL AVG semantics (r17 null-axis): a NaN sample is
+    skipped — each window averages its non-NaN members and is NaN only
+    when ALL members are NaN — so the kernel agrees with the
+    ``AVG(...) OVER (ROWS BETWEEN ...)`` oracle on nullable inputs.
+    On NaN-free input the arithmetic is bit-identical to the plain
+    cumsum (the count path divides by the same w)."""
     x = np.asarray(x, dtype=float)
-    c = np.cumsum(np.insert(x, 0, 0.0))
-    full = (c[w:] - c[:-w]) / w  # len n-w+1, aligned to window start
+    v = ~np.isnan(x)
+    xz = np.where(v, x, 0.0)
+    c = np.cumsum(np.insert(xz, 0, 0.0))
+    cn = np.cumsum(np.insert(v.astype(float), 0, 0.0))
+    counts = cn[w:] - cn[:-w]
+    full = np.where(counts > 0.0,
+                    (c[w:] - c[:-w]) / np.where(counts > 0.0, counts, 1.0),
+                    np.nan)  # len n-w+1, aligned to window start
     if mode == "valid":
         return full
+
+    def _edge_mean(seg: np.ndarray) -> float:
+        vs = seg[~np.isnan(seg)]
+        return vs.mean() if len(vs) else float("nan")
+
     out = np.empty(len(x))
     half = (w - 1) // 2
     # centered alignment with shrinking edge windows
     for i in range(min(half, len(x))):
-        out[i] = x[: i + w - half].mean()
+        out[i] = _edge_mean(x[: i + w - half])
     out[half: half + len(full)] = full
     for i in range(half + len(full), len(x)):
-        out[i] = x[i - half:].mean()
+        out[i] = _edge_mean(x[i - half:])
     return out
 
 

@@ -75,6 +75,10 @@ def encode_pq(
     nearest-centroid codes. One projection, no shuffle; gears follow
     :func:`assign_ivf_bucket` per subspace."""
     d = len(codebooks[0][0])
+    # nulls-excluded contract (r17 null-axis): a NULL vector has no
+    # nearest centroid in any subspace — it joins neither the index
+    # nor any ADC scoring; callers keep such rows elsewhere if needed
+    df = df.where(F.col(vec_col).isNotNull())
     codes = [
         assign_ivf_bucket(
             F.slice(F.col(vec_col), j * d + 1, d), book, method=method)
@@ -123,6 +127,8 @@ def pq_topk(
     q_rows = queries.select(q_id, q_vec).collect()
     lut_rows = []
     for r in q_rows:
+        if r[q_vec] is None:
+            continue  # nulls-excluded contract: no LUT, no matches
         qv = np.asarray(r[q_vec], dtype=np.float64)
         lut = [
             [round(float(np.dot(qv[j * d:(j + 1) * d], np.asarray(c))), 9)
@@ -186,6 +192,8 @@ def ivfpq_topk(
     q_rows = queries.select(q_id, q_vec).collect()
     lut_rows = []
     for r in q_rows:
+        if r[q_vec] is None:
+            continue  # nulls-excluded contract: no LUT, no matches
         qv = np.asarray(r[q_vec], dtype=np.float64)
         lut = [
             [round(float(np.dot(qv[j * d:(j + 1) * d], np.asarray(c))), 9)

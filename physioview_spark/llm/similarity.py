@@ -734,12 +734,16 @@ def ivf_topk(
     assignment and the query probes pick the expr/pandas gear by the
     codebook's k x dim (see :func:`probe_ivf_buckets`).
     """
-    c = corpus.select(
+    # nulls-excluded contract (r17 null-axis): the sorted PROBE
+    # expressions do not null-propagate the way the argmin does, so a
+    # NULL vector would land in arbitrary buckets and surface as
+    # null-scored matches — exclude both sides up front
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv")
     ).withColumn("bucket", assign_ivf_bucket(F.col("__cv"), centroids,
                                              method=method))
 
-    qd = queries.select(
+    qd = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv"))
     q = (qd.withColumn(
             "bucket",

@@ -1305,6 +1305,8 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_ann_lsh", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,
     (SELECT SUM((strpos('0123456789abcdef',
@@ -1321,7 +1323,7 @@ WITH planes AS (
          CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
                        THEN (1::BIGINT << (3 - (p.p % 4))) ELSE 0 END)
               AS INT) AS bucket
-  FROM embeddings e, pvec p
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, pvec p
   GROUP BY e.vec_id, e.embedding, p.p // 4
 ), cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
@@ -1356,14 +1358,16 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_ann_ivf", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding
-  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
-  FROM embeddings e, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, cents c
 ), assigned AS (
   SELECT vec_id, embedding, cid AS bucket
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1405,14 +1409,16 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_semantic_dedup", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding
-  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
-  FROM embeddings e, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, cents c
 ), assigned AS (
   SELECT vec_id, embedding, cid AS bucket
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1428,6 +1434,11 @@ WITH cents AS (
 SELECT a.vec_id, CAST(a.bucket AS INT) AS bucket
 FROM assigned a
 WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+UNION ALL
+-- dedup KEEPS null vectors: nothing to compare them with, so they are
+-- trivially unique (bucket NULL — the engine's assign propagates null)
+SELECT vec_id, CAST(NULL AS INT) AS bucket
+FROM embeddings WHERE embedding IS NULL
 """)
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: IVF-bucket by nearest centroid
@@ -1441,16 +1452,18 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_ann_pq", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding::DOUBLE[] AS e
-  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), sub AS (
   SELECT v.vec_id, j.j AS sub, c.cid,
          list_distance(list_slice(v.embedding::DOUBLE[],
                                   j.j * 8 + 1, j.j * 8 + 8),
                        list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)) AS d
-  FROM embeddings v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
 ), codes AS (
   SELECT vec_id, sub, cid AS code
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
@@ -1462,7 +1475,7 @@ WITH cents AS (
                                            j.j * 8 + 1, j.j * 8 + 8),
                                 list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)),
                9) AS dp
-  FROM embeddings q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
   WHERE q.vec_id < 10
 ), scored AS (
   SELECT l.query_id, co.vec_id AS match_id, ROUND(SUM(l.dp), 6) AS score
@@ -1500,14 +1513,16 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_ann_ivfpq", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding::DOUBLE[] AS e
-  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT v.vec_id, c.cid,
          list_distance(v.embedding::DOUBLE[], c.e) AS d
-  FROM embeddings v, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) v, cents c
 ), assigned AS (
   SELECT vec_id, cid AS bucket
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1524,7 +1539,7 @@ WITH cents AS (
          list_distance(list_slice(v.embedding::DOUBLE[],
                                   j.j * 8 + 1, j.j * 8 + 8),
                        list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)) AS d
-  FROM embeddings v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
 ), codes AS (
   SELECT vec_id, sub, cid AS code
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
@@ -1536,7 +1551,7 @@ WITH cents AS (
                                            j.j * 8 + 1, j.j * 8 + 8),
                                 list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)),
                9) AS dp
-  FROM embeddings q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
   WHERE q.vec_id < 10
 ), scored AS (
   SELECT l.query_id, co.vec_id AS match_id, ROUND(SUM(l.dp), 6) AS score
@@ -1578,14 +1593,16 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_semantic_dedup_delta", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding
-  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
-  FROM embeddings e, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, cents c
 ), assigned AS (
   SELECT vec_id, embedding, cid AS bucket
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1659,14 +1676,16 @@ def embedding_semantic_dedup_delta(
 
 
 @q("streaming_semantic_dedup", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding
-  FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
-  FROM embeddings e, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, cents c
 ), assigned AS (
   SELECT vec_id, embedding, CAST(vec_id % 2 AS INT) AS batch,
          cid AS bucket
@@ -1714,6 +1733,12 @@ SELECT n.vec_id,
 FROM assigned n
 LEFT JOIN corp_best c ON c.vec_id = n.vec_id
 LEFT JOIN batch_best b ON b.vec_id = n.vec_id
+UNION ALL
+-- dedup KEEPS null vectors: nothing to compare them with, so every
+-- null-vector batch row is a trivially-unique 'keep' decision
+SELECT vec_id, 'keep' AS decision,
+       CAST(-1 AS BIGINT) AS match_id, -1.0 AS sim
+FROM embeddings WHERE embedding IS NULL
 """)
 def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch unification for SEMANTIC dedup, hash-gated: the
@@ -1987,6 +2012,8 @@ def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_near_dup_pairs", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,
     (SELECT SUM((strpos('0123456789abcdef',
@@ -2002,7 +2029,7 @@ WITH planes AS (
   SELECT e.vec_id, p.p AS p,
          CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
               THEN 1 ELSE 0 END AS s
-  FROM embeddings e, pvec p
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, pvec p
 ), banded AS (
   SELECT vec_id, CAST(p // 3 AS INT) AS band,
          CAST(SUM(s * (1 << (2 - (p % 3)))) AS INT) AS bucket
@@ -2036,6 +2063,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_knn_graph", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,
     (SELECT SUM((strpos('0123456789abcdef',
@@ -2051,7 +2080,7 @@ WITH planes AS (
   SELECT e.vec_id, p.p AS p,
          CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
               THEN 1 ELSE 0 END AS s
-  FROM embeddings e, pvec p
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, pvec p
 ), banded AS (
   SELECT vec_id, CAST(p // 3 AS INT) AS band,
          CAST(SUM(s * (1 << (2 - (p % 3)))) AS INT) AS bucket
@@ -2092,13 +2121,15 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_label_centroids", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH ex AS (
   SELECT label, j.j - 1 AS idx, (embedding::DOUBLE[])[j.j] AS x
-  FROM embeddings, UNNEST(generate_series(1, 64)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, UNNEST(generate_series(1, 64)) AS j(j)
 ), m AS (
   SELECT label, idx, AVG(x) AS mx FROM ex GROUP BY label, idx
 ), n AS (
-  SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+  SELECT label, COUNT(*) AS n_vecs FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings GROUP BY label
 )
 SELECT n.label, n.n_vecs, m.idx, ROUND(m.mx, 6) AS value
 FROM n JOIN m USING (label)
@@ -2122,8 +2153,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_quantize_int8", """
+-- nulls-excluded contract (r17 null-axis): NULL vectors join
+-- neither side of any similarity computation
 WITH t AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
 ), s AS (
   SELECT vec_id, e,
          list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
