@@ -76,6 +76,19 @@ class TestCompareValues:
             _rows([float("nan")]), ["id", "x"])
         assert status == "ok"
 
+    def test_computed_oracles_share_tolerance_channel(self):
+        """VERDICT r17 item 3: the stale (knife-edge) classification
+        must apply to COMPUTED oracles too, not only pinned fixtures —
+        a 1-ulp flip at the 6-decimal rounding boundary
+        (eda_extended_features perm_entropy on the null axis) is
+        numeric drift, not a wrong answer. Pin: main() no longer gates
+        the stale branch on is_fixture."""
+        import inspect
+
+        src = inspect.getsource(check_oracle.main)
+        assert 'status == "stale" and is_fixture' not in src
+        assert 'if status == "stale":' in src
+
     def test_versions_note_mentions_drift_or_match(self):
         note = check_oracle._versions_note()
         assert ("versions match" in note) or ("drift" in note) \

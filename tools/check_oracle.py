@@ -229,16 +229,29 @@ def main():
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         else:
             status, detail = compare_values(srows, scols, drows, dcols)
-            if status == "stale" and is_fixture:
+            if status == "stale":
+                # VERDICT r17 item 3: the paired-tolerance re-check now
+                # classifies COMPUTED oracles too — a value sitting on a
+                # 6-decimal rounding knife-edge (1-ulp cross-engine
+                # float drift, e.g. perm_entropy on the null axis) is
+                # numeric drift, not a wrong answer, regardless of
+                # whether the oracle is a pinned fixture or live SQL.
                 stale = True
             elif status != "ok":
                 problems.append(detail)
         if stale:
-            # numeric-only drift on a PINNED fixture: not a kernel bug —
-            # the fixture predates a library upgrade. Regenerate.
-            print(f"STALE {name}: values match within tolerance but "
-                  f"differ exactly ({_versions_note()}); regenerate with "
-                  f"`python tools/make_fixture_oracles.py {name}`")
+            if is_fixture:
+                # numeric-only drift on a PINNED fixture: not a kernel
+                # bug — the fixture predates a library upgrade.
+                print(f"STALE {name}: values match within tolerance but "
+                      f"differ exactly ({_versions_note()}); regenerate "
+                      f"with `python tools/make_fixture_oracles.py "
+                      f"{name}`")
+            else:
+                print(f"STALE {name}: knife-edge — every value matches "
+                      f"within (rel 1e-6, abs 1e-9) but an exact "
+                      f"6-decimal compare differs (cross-engine float "
+                      f"ulp at a rounding boundary), not a kernel bug")
             n_stale += 1
         elif problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
