@@ -52,14 +52,12 @@ _CHANGED_IN_ROUND = {
     # metrics pin sites re-attests (tools/changed_queries.py list).
     # CORRECTNESS_r17 does not exist yet, so the edit round is 17.
     "cardiac_summary_rollup": 17,
-    "doc_curation_pipeline_v3": 17,
     "doc_decontaminate": 17,
     "doc_dedup_delta": 17,
     "doc_dup_clusters": 17,
     "doc_hash_split": 17,
     "doc_jaccard_pairs": 17,
     "doc_minhash_lsh_candidates": 17,
-    "doc_minhash_signatures": 17,
     "doc_passage_dedup": 17,
     "doc_simhash_near_dups": 17,
     "doc_tfidf_topk": 17,
@@ -99,7 +97,6 @@ _CHANGED_IN_ROUND = {
     # two compute_eda_features reachers re-attest.
     "eda_extended_features": 17,
     "eda_rolling_features": 17,
-    "doc_profile_drift": 17,
     # r17 null-axis hardening wave 2: the search family excludes NULL
     # vectors on BOTH sides (engine filters in ivf_topk/encode_pq/
     # pq_topk; oracles filter the embeddings refs), the dedup family
@@ -119,6 +116,39 @@ _CHANGED_IN_ROUND = {
     "embedding_ann_ivfpq": 17,
     "embedding_ann_pq": 17,
     "embedding_semantic_dedup": 17,
+    # r18 token contract (VERDICT r17 item 1 / the 12 null-axis
+    # divergences): tokens()' semantics defined once in llm/text.py
+    # (NULL text -> NULL array / no rows in token-derived frames;
+    # empty/whitespace-only -> 0 tokens; counts clamp NULL to 0;
+    # quality metrics NULL on NULL/empty text) — quality_score gates
+    # its metric columns, token_budget_sample gains the pack_sequences
+    # clamp, and ~13 oracles adopt the canonical
+    # CASE-trim-empty/string_split_regex fragment. Plus the STRATUM
+    # CONTRACT (llm/sampling.py): NULL strata are excluded from every
+    # stratum-keyed sampler (was: window-samplers kept the NULL
+    # partition, join-samplers dropped it — the 36-row
+    # token_budget_sample gap on the null axis). sf0.01 + all three
+    # hostile axes re-green on the full touched set before commit;
+    # null axis now 100 ok + 1 knife-edge stale / 0 FAIL.
+    "doc_curation_pipeline_v3": 18,
+    "doc_materialize_packed": 18,
+    "doc_minhash_signatures": 18,
+    "doc_mixture_sample": 18,
+    "doc_model_quality": 18,
+    "doc_pack_sequences": 18,
+    "doc_quality_scores": 18,
+    "doc_repetition_stats": 18,
+    "doc_stratified_sample": 18,
+    "doc_token_budget_rate": 18,
+    "doc_token_budget_sample": 18,
+    "doc_token_chunks": 18,
+    "doc_weighted_sample": 18,
+    # r18 (VERDICT r17 item 4): doc_profile_drift's oracle computes
+    # the lang null-rate from the corpus (doc_id%10 nulling ON TOP of
+    # base-corpus NULLs) instead of the synthetic never-null formula;
+    # doc_id/n_chars null-rates likewise computed, flag order matches
+    # profile_diff's array order.
+    "doc_profile_drift": 18,
 }
 
 

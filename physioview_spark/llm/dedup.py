@@ -347,7 +347,14 @@ def simhash(
     """Per-doc SimHash: sum ±1 per bit over token hashes, take signs.
 
     Token hash = first 8 hex chars of md5 (32 bits via conv). JVM-side
-    throughout (explode + bitwise ops + groupBy)."""
+    throughout (explode + bitwise ops + groupBy).
+
+    Token-contract tier 4 (llm/text.py module docstring): the inline
+    ``split(trim(text), '\\s+')`` maps an EMPTY doc to one empty-string
+    token — identical to ``word_shingles(col, 1)`` and to the minhash
+    path's whole-text gram — so empty docs keep a signature and cluster
+    with each other; NULL text explodes to no rows and drops out of the
+    signature frame, same as every token-derived frame."""
     toks = df.select(
         id_col,
         F.explode(

@@ -7,6 +7,17 @@ order is a seeded hash of the document id, so the same corpus + seed
 always yields the same sample, independent of partitioning — and every
 expression has an exact ANSI-SQL twin for the DuckDB oracle.
 
+STRATUM CONTRACT (r18): a NULL stratum value is NOT a stratum — rows
+whose strata/domain columns are NULL are excluded from every
+stratum-keyed sampler (stratified_sample, weighted_sample,
+token_budget_sample, mixture_sample, temperature_weights). Pre-r18 this
+was inconsistent: window-based samplers kept a NULL-keyed partition
+while join-based ones dropped it as a join miss (the r17 null axis
+surfaced a 36-row engine/oracle gap in token_budget_sample's exact
+mode from exactly this). A pipeline that wants unknown-language docs
+sampled tags them explicitly (e.g. coalesce(lang, 'und')) — an
+explicit domain, not an accidental NULL key.
+
 Scale design: per-stratum top-k uses ``row_number`` over
 ``Window.partitionBy(strata)``. Spark >= 3.5 rewrites the ``rank <= k``
 filter into a ``WindowGroupLimit`` physical node, which applies a partial
@@ -33,6 +44,13 @@ def sample_order(id_col: str = "doc_id", seed: int = 42) -> F.Column:
     )
 
 
+def _non_null_strata(df: DataFrame, strata_cols) -> DataFrame:
+    """Stratum contract (module docstring): NULL strata are excluded."""
+    for c in strata_cols or []:
+        df = df.where(F.col(c).isNotNull())
+    return df
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],
@@ -52,6 +70,7 @@ def stratified_sample(
     stratum's hash order). Ties in the hash (practically impossible for
     md5) break on ``id_col``.
     """
+    df = _non_null_strata(df, strata_cols)
     w = (
         Window.partitionBy(*strata_cols)
         .orderBy(sample_order(id_col, seed), F.col(id_col))
@@ -127,9 +146,18 @@ def token_budget_sample(
     from physioview_spark.llm.text import tokens
 
     h = sample_order(id_col, seed)
+    # stratum contract: NULL strata carry no budget (explicit here —
+    # pre-r18 both modes dropped them only as inner-join misses, while
+    # the exact-mode oracle's window kept them: a real divergence)
+    df = _non_null_strata(df, strata_cols)
+    # token-contract tier 2 (llm/text.py): a NULL-text doc keeps its
+    # row at 0 tokens — it costs the budget nothing, but dropping it
+    # here would silently fork the semantics from pack_sequences (same
+    # clamp) and from the rate mode's pre-r18 keep-with-NULL behavior
     base = df.select(
         *strata_cols, id_col,
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.greatest(F.size(tokens(text_col)), F.lit(0))
+        .cast("long").alias("n_tokens"),
         h.alias("__h"),
     )
     if mode == "exact":
@@ -176,10 +204,19 @@ def token_budget_sample(
         F.conv(F.substring("__h", 1, 8), 16, 10).cast("double")
         / F.lit(float(1 << 32))
     )
+    # a ZERO-mass stratum (every doc empty/NULL text — legal after the
+    # token contract's 0-token clamp) keeps rate 1.0: its docs cost the
+    # budget nothing, matching exact mode (tokens_before 0 < budget
+    # keeps them all) and the SQL oracle's IEEE budget/0 = inf ->
+    # LEAST(1, inf) = 1. Unguarded, ANSI mode raises DIVIDE_BY_ZERO
+    # (found by tests/test_null_contract.py, r18).
     return (
         base.join(F.broadcast(totals), strata_cols)
-        .withColumn("__rate", F.least(
-            F.lit(1.0), F.lit(float(budget_tokens)) / F.col("__total")))
+        .withColumn("__rate", F.when(
+            F.col("__total") > 0,
+            F.least(F.lit(1.0),
+                    F.lit(float(budget_tokens)) / F.col("__total")))
+            .otherwise(F.lit(1.0)))
         .where(frac < F.col("__rate"))
         .select(*strata_cols, id_col, "n_tokens")
     )
@@ -710,7 +747,8 @@ def weighted_sample(
     # ln(u)/w, not pow(u, 1/w): same descending order (log monotonic),
     # immune to the w >~ 1e16 saturation where every key rounds to 1.0
     key = F.log(u) / w
-    eligible = df.where(w.isNotNull() & (w > 0)) \
+    eligible = _non_null_strata(df, strata_cols) \
+        .where(w.isNotNull() & (w > 0)) \
         .withColumn("__wkey", key)
     if strata_cols:
         win = Window.partitionBy(*strata_cols).orderBy(

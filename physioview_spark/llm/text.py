@@ -4,6 +4,38 @@ All JVM-side (built-in pyspark.sql.functions, whole-stage codegen): token
 counting, quality scoring, n-gram language ID, document fingerprinting.
 Designed so every expression has an exact ANSI-SQL twin for the DuckDB
 oracle (same regexes, same tie-breaks).
+
+TOKEN CONTRACT (r18 — the NULL/empty-text semantics, defined ONCE here;
+every operator and every DuckDB oracle in plans/queries_llm.py follows
+it, and tests/test_null_contract.py pins it):
+
+1. :func:`tokens`: NULL text -> NULL array; empty or whitespace-only
+   text -> empty array (0 tokens). The exact DuckDB twin is
+   ``CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+   ELSE string_split_regex(trim(text), '\\s+') END``
+   (``string_split_regex('', ...)`` alone yields [''] — 1 token — which
+   is the divergence this contract removes).
+2. Token COUNTS (token_count, bpe_token_count, and the n_tokens columns
+   of the samplers/packers in llm/sampling.py): every document keeps
+   its row; NULL text counts as 0 tokens (SQL:
+   ``COALESCE(len(<tokens>), 0)``). A doc with no countable text
+   contributes zero token mass but is never silently dropped from a
+   budget/packing/sampling frame.
+3. Token-DERIVED exploded frames (shingles, minhash signatures,
+   vocabulary, TF-IDF, trigram occurrences, repetition grams, token
+   chunks, passages, materialized token grids): NULL text contributes
+   NO rows (exploding the NULL token array is empty on both engines).
+4. HASHING/dedup tier (:func:`word_shingles`, and simhash's inline
+   split in llm/dedup.py): a non-NULL document with fewer tokens than
+   the gram size — including 0 — collapses to ONE whole-text gram
+   (the empty string for empty text), so empty documents stay
+   representable in dedup frames and cluster with each other (they ARE
+   exact duplicates of one another).
+5. QUALITY metrics (:func:`quality_score`'s mean_word_len, punct_ratio,
+   digit_ratio, stopword_ratio, quality_score): NULL on NULL or empty
+   text — a document with no prose has no prose quality. Consumers
+   that need a total ordering coalesce explicitly (stratified_sample's
+   bucket 0, score_linear's nulls-read-as-0 features).
 """
 
 from __future__ import annotations
@@ -46,10 +78,20 @@ def token_count(df: DataFrame, text_col: str = "text",
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
-    heuristics + a composite [0,1] quality score."""
+    heuristics + a composite [0,1] quality score.
+
+    Token contract tiers 2 and 5 (module docstring): ``n_chars_calc``
+    is the factual length (NULL for NULL text), ``n_tokens`` is the
+    clamped count (0 for NULL/empty), and every METRIC column —
+    mean_word_len, punct_ratio, digit_ratio, stopword_ratio,
+    quality_score — is NULL on NULL/empty text. Pre-r18, Spark's
+    null-skipping ``least`` silently scored an empty doc 0.3 (the
+    NULL stopword term collapsed to its 1.0 cap) — a nonsense number
+    the contract replaces with an honest NULL."""
     t = F.col(text_col)
+    degenerate = t.isNull() | (F.trim(t) == "")
     n_chars = F.length(t).cast("long")
-    n_tok = F.size(tokens(text_col)).cast("long")
+    n_tok = F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("long")
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
@@ -58,13 +100,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(tokens(text_col), lambda w: F.lower(w).isin(sw))
     ).cast("long")
     safe = lambda num, den: num / F.nullif(den, F.lit(0))  # noqa: E731
+    gated = lambda c: F.when(~degenerate, c)  # noqa: E731
     df = (
         df.withColumn("n_chars_calc", n_chars)
         .withColumn("n_tokens", n_tok)
-        .withColumn("mean_word_len", F.round(safe(n_alpha, n_tok), 4))
-        .withColumn("punct_ratio", F.round(safe(n_punct, n_chars), 4))
-        .withColumn("digit_ratio", F.round(safe(n_digit, n_chars), 4))
-        .withColumn("stopword_ratio", F.round(safe(n_stop, n_tok), 4))
+        .withColumn("mean_word_len",
+                    gated(F.round(safe(n_alpha, n_tok), 4)))
+        .withColumn("punct_ratio",
+                    gated(F.round(safe(n_punct, n_chars), 4)))
+        .withColumn("digit_ratio",
+                    gated(F.round(safe(n_digit, n_chars), 4)))
+        .withColumn("stopword_ratio",
+                    gated(F.round(safe(n_stop, n_tok), 4)))
     )
     score = (
         F.least(safe(F.col("n_tokens"), F.lit(50.0)), F.lit(1.0)) * 0.4
@@ -72,7 +119,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.15
         + (1.0 - F.least(F.col("digit_ratio") * 5.0, F.lit(1.0))) * 0.15
     )
-    return df.withColumn("quality_score", F.round(score, 4))
+    return df.withColumn("quality_score", gated(F.round(score, 4)))
 
 
 def detect_language(df: DataFrame, text_col: str = "text",

@@ -47,7 +47,7 @@ WITH t AS (
             / 1152921504606846976.0)
          / CAST(n_chars AS DOUBLE) AS k
   FROM documents
-  WHERE n_chars IS NOT NULL AND n_chars > 0
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
 ), r AS (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
@@ -77,8 +77,11 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_quality_scores", """
 WITH t AS (
   SELECT doc_id,
+         (text IS NULL OR trim(text) = '') AS degen,
          CAST(length(text) AS BIGINT) AS n_chars_calc,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT), 0) AS n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
@@ -87,16 +90,20 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_chars_calc, n_tokens,
-       ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS mean_word_len,
-       ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) AS punct_ratio,
-       ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) AS digit_ratio,
-       ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS stopword_ratio,
-       ROUND(
+       CASE WHEN degen THEN NULL ELSE
+         ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_tokens, 0), 4) END AS mean_word_len,
+       CASE WHEN degen THEN NULL ELSE
+         ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) END AS punct_ratio,
+       CASE WHEN degen THEN NULL ELSE
+         ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) END AS digit_ratio,
+       CASE WHEN degen THEN NULL ELSE
+         ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) END AS stopword_ratio,
+       CASE WHEN degen THEN NULL ELSE ROUND(
          LEAST(n_tokens / 50.0, 1.0) * 0.4
          + LEAST(ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) * 5.0, 1.0) * 0.3
          + (1.0 - LEAST(ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) * 10.0, 1.0)) * 0.15
          + (1.0 - LEAST(ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) * 5.0, 1.0)) * 0.15,
-       4) AS quality_score
+       4) END AS quality_score
 FROM t
 """)
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +135,8 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_minhash_signatures", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT DISTINCT doc_id,
          CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
@@ -273,39 +281,57 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT count(*) AS n,
          avg(doc_id) AS m_id, stddev_samp(doc_id) AS s_id,
-         avg(n_chars) AS m_nc, stddev_samp(n_chars) AS s_nc
+         avg(n_chars) AS m_nc, stddev_samp(n_chars) AS s_nc,
+         count(*) FILTER (WHERE doc_id IS NULL) AS nn_id,
+         count(*) FILTER (WHERE lang IS NULL) AS nn_lang,
+         count(*) FILTER (WHERE n_chars IS NULL) AS nn_nc
   FROM documents
 ), a AS (
   SELECT count(*) AS n,
          avg(doc_id) AS m_id,
          avg(CAST(n_chars AS DOUBLE)) AS m_nc,
-         sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS nn_lang
+         count(*) FILTER (WHERE doc_id IS NULL) AS nn_id,
+         -- the degraded snapshot nulls lang on doc_id % 10 = 0 ON TOP
+         -- of any lang already NULL in the corpus (r17 null axis: the
+         -- old synthetic doc_id-formula assumed base lang never null)
+         count(*) FILTER (WHERE doc_id % 10 = 0 OR lang IS NULL)
+           AS nn_lang,
+         count(*) FILTER (WHERE n_chars IS NULL) AS nn_nc
   FROM documents WHERE n_chars >= 300
 )
 SELECT 'doc_id' AS column, 'bigint' AS dtype_before,
        'bigint' AS dtype_after,
-       -- doc_id is never null, but the RATE is still nulls/n: on an
-       -- empty table n = 0 and the delta is NULL, not 0.0 (matches
-       -- profile_diff's nullif semantics; r17 empty-table sweep)
-       round(CAST(0 AS DOUBLE) / nullif(a.n, 0)
-             - CAST(0 AS DOUBLE) / nullif(b.n, 0), 6) AS null_rate_delta,
+       -- rates are nulls/nullif(n, 0): on an empty table the delta is
+       -- NULL, not 0.0 (matches profile_diff; r17 empty-table sweep)
+       round(CAST(a.nn_id AS DOUBLE) / nullif(a.n, 0)
+             - CAST(b.nn_id AS DOUBLE) / nullif(b.n, 0), 6)
+         AS null_rate_delta,
        round((a.m_id - b.m_id) / b.s_id, 6) AS mean_shift_sds,
-       CASE WHEN abs(round((a.m_id - b.m_id) / b.s_id, 6)) > 0.5
-            THEN 'mean_shift' ELSE '' END AS flags
+       concat_ws(',',
+         CASE WHEN abs(round(CAST(a.nn_id AS DOUBLE) / nullif(a.n, 0)
+                   - CAST(b.nn_id AS DOUBLE) / nullif(b.n, 0), 6)) > 0.01
+              THEN 'null_rate' END,
+         CASE WHEN abs(round((a.m_id - b.m_id) / b.s_id, 6)) > 0.5
+              THEN 'mean_shift' END) AS flags
 FROM b, a
 UNION ALL
 SELECT 'lang', 'string', 'string',
-       round(CAST(a.nn_lang AS DOUBLE) / a.n, 6),
+       round(CAST(a.nn_lang AS DOUBLE) / nullif(a.n, 0)
+             - CAST(b.nn_lang AS DOUBLE) / nullif(b.n, 0), 6),
        CAST(NULL AS DOUBLE),
-       CASE WHEN abs(round(CAST(a.nn_lang AS DOUBLE) / a.n, 6)) > 0.01
+       CASE WHEN abs(round(CAST(a.nn_lang AS DOUBLE) / nullif(a.n, 0)
+                 - CAST(b.nn_lang AS DOUBLE) / nullif(b.n, 0), 6)) > 0.01
             THEN 'null_rate' ELSE '' END
 FROM b, a
 UNION ALL
 SELECT 'n_chars', 'bigint', 'double',
-       round(CAST(0 AS DOUBLE) / nullif(a.n, 0)
-             - CAST(0 AS DOUBLE) / nullif(b.n, 0), 6),
+       round(CAST(a.nn_nc AS DOUBLE) / nullif(a.n, 0)
+             - CAST(b.nn_nc AS DOUBLE) / nullif(b.n, 0), 6),
        round((a.m_nc - b.m_nc) / b.s_nc, 6),
        concat_ws(',', 'dtype_changed',
+                 CASE WHEN abs(round(CAST(a.nn_nc AS DOUBLE) / nullif(a.n, 0)
+                           - CAST(b.nn_nc AS DOUBLE) / nullif(b.n, 0), 6))
+                        > 0.01 THEN 'null_rate' END,
                  CASE WHEN abs(round((a.m_nc - b.m_nc) / b.s_nc, 6)) > 0.5
                       THEN 'mean_shift' END)
 FROM b, a
@@ -566,20 +592,23 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_stratified_sample", """
 WITH t AS (
   SELECT doc_id, lang,
+         (text IS NULL OR trim(text) = '') AS degen,
          CAST(length(text) AS BIGINT) AS n_chars_calc,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT), 0) AS n_tokens,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
          len(list_filter(string_split_regex(trim(text), '\\s+'),
              w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS n_stop
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 ), s AS (
-  SELECT doc_id, lang, ROUND(
+  SELECT doc_id, lang, CASE WHEN degen THEN NULL ELSE ROUND(
     LEAST(n_tokens / 50.0, 1.0) * 0.4
     + LEAST(ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) * 5.0, 1.0) * 0.3
     + (1.0 - LEAST(ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) * 10.0, 1.0)) * 0.15
     + (1.0 - LEAST(ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) * 5.0, 1.0)) * 0.15,
-  4) AS quality_score FROM t
+  4) END AS quality_score FROM t
 ), b AS (
   SELECT doc_id, lang,
          CAST(LEAST(FLOOR(COALESCE(quality_score, 0) * 5), 4) AS INT) AS q_bucket
@@ -616,9 +645,11 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_token_budget_sample", """
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT), 0) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 ), r AS (
   SELECT doc_id, lang, n_tokens, h,
          SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
@@ -724,8 +755,11 @@ def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_model_quality", """
 WITH t AS (
   SELECT doc_id,
+         (text IS NULL OR trim(text) = '') AS degen,
          CAST(length(text) AS BIGINT) AS n_chars_calc,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT), 0) AS n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
@@ -734,10 +768,14 @@ WITH t AS (
   FROM documents
 ), feats AS (
   SELECT doc_id, n_tokens,
-         ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS mean_word_len,
-         ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) AS punct_ratio,
-         ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) AS digit_ratio,
-         ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS stopword_ratio
+         CASE WHEN degen THEN NULL ELSE
+           ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_tokens, 0), 4) END AS mean_word_len,
+         CASE WHEN degen THEN NULL ELSE
+           ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) END AS punct_ratio,
+         CASE WHEN degen THEN NULL ELSE
+           ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_calc, 0), 4) END AS digit_ratio,
+         CASE WHEN degen THEN NULL ELSE
+           ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) END AS stopword_ratio
   FROM t
 ), ch AS (
   SELECT doc_id, substring(text, i.i, 1) AS c
@@ -827,9 +865,11 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_token_budget_rate", """
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT), 0) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 ), tot AS (
   SELECT lang, SUM(n_tokens) AS total FROM t GROUP BY lang
 ), f AS (
@@ -859,7 +899,9 @@ def doc_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_pack_sequences", """
 WITH t AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT), 0) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), sh AS (
@@ -891,7 +933,8 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_materialize_packed", """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents WHERE doc_id % 5 = 0
 ), sh AS (
@@ -899,7 +942,7 @@ WITH t AS (
          CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
                + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 4
               AS BIGINT) AS shard,
-         CAST(len(toks) AS BIGINT) AS nt
+         COALESCE(CAST(len(toks) AS BIGINT), 0) AS nt
   FROM t
 ), c AS (
   SELECT doc_id, toks, shard,
@@ -1099,9 +1142,9 @@ def doc_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_mixture_sample", """
 WITH t AS (
   SELECT doc_id, lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
-                   AS BIGINT) END AS n_tokens,
+         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT), 0) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), w(lang, w) AS (
@@ -1183,7 +1226,8 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_repetition_stats", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
 ), g2 AS (
   SELECT doc_id,
          CASE WHEN len(t) <= 2 THEN array_to_string(t, ' ')
@@ -1221,7 +1265,9 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_token_chunks", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents WHERE text IS NOT NULL
 ), nc AS (
   SELECT doc_id, t,
          CASE WHEN len(t) <= 32 THEN 1
@@ -1232,7 +1278,10 @@ WITH toks AS (
   FROM nc, LATERAL (SELECT UNNEST(generate_series(0, n_chunks - 1)) AS ci) g
 )
 SELECT doc_id, chunk_id,
-       array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+       -- DuckDB's array_to_string([]) is NULL, Spark's array_join([]) is
+       -- '': coalesce so an empty doc's single chunk has empty text
+       COALESCE(array_to_string(
+         list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '), '')
          AS chunk_text,
        CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
          AS chunk_tokens
@@ -2350,20 +2399,23 @@ WITH RECURSIVE toks AS (
   SELECT DISTINCT doc_id FROM hits
 ), qt AS (
   SELECT doc_id,
+         (text IS NULL OR trim(text) = '') AS degen,
          CAST(length(text) AS BIGINT) AS nc,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT), 0) AS nt,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
          len(list_filter(string_split_regex(trim(text), '\\s+'),
              w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS ns
   FROM documents
 ), q AS (
-  SELECT doc_id, ROUND(
+  SELECT doc_id, CASE WHEN degen THEN NULL ELSE ROUND(
     LEAST(nt / 50.0, 1.0) * 0.4
     + LEAST(ROUND(CAST(ns AS DOUBLE) / NULLIF(nt, 0), 4) * 5.0, 1.0) * 0.3
     + (1.0 - LEAST(ROUND(CAST(np AS DOUBLE) / NULLIF(nc, 0), 4) * 10.0, 1.0)) * 0.15
     + (1.0 - LEAST(ROUND(CAST(nd AS DOUBLE) / NULLIF(nc, 0), 4) * 5.0, 1.0)) * 0.15,
-  4) AS quality_score FROM qt
+  4) END AS quality_score FROM qt
 ), ex AS (
   SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
   FROM documents
@@ -2386,8 +2438,7 @@ WITH RECURSIVE toks AS (
          SUM(CASE WHEN occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS nrem
   FROM pfl GROUP BY doc_id
 ), pre AS (
-  SELECT d.doc_id, d.lang,
-    CASE WHEN trim(d.text) = '' THEN 0 ELSE qt.nt END AS nt,
+  SELECT d.doc_id, d.lang, qt.nt AS nt,
     CASE WHEN ex.exact_keeper <> d.doc_id THEN 'drop_duplicate'
          WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> d.doc_id
            THEN 'drop_near_dup'

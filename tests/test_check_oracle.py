@@ -76,6 +76,25 @@ class TestCompareValues:
             _rows([float("nan")]), ["id", "x"])
         assert status == "ok"
 
+    def test_grid_knife_edge_is_stale(self):
+        """Declared queries round floats to 6 decimals IN-QUERY, so a
+        cross-engine ulp flip at the rounding boundary shows as exactly
+        one 1e-6 grid step (perm_entropy 0.232642 vs 0.232643 on the
+        r17 null axis) — outside rel=1e-6 for values < 1, but still a
+        knife-edge, classified stale."""
+        status, _ = check_oracle.compare_values(
+            _rows([0.232642, 2.5]), ["id", "x"],
+            _rows([0.232643, 2.5]), ["id", "x"])
+        assert status == "stale"
+
+    def test_two_grid_steps_is_fail(self):
+        """One grid step and no more: a 2e-6 difference is off the
+        knife-edge and stays a hard FAIL."""
+        status, _ = check_oracle.compare_values(
+            _rows([0.232642, 2.5]), ["id", "x"],
+            _rows([0.232644, 2.5]), ["id", "x"])
+        assert status == "fail"
+
     def test_computed_oracles_share_tolerance_channel(self):
         """VERDICT r17 item 3: the stale (knife-edge) classification
         must apply to COMPUTED oracles too, not only pinned fixtures —

@@ -68,7 +68,19 @@ def _close(a, b, rel=1e-6, abs_=1e-9) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(a, b, rel_tol=rel, abs_tol=abs_)
+        if math.isclose(a, b, rel_tol=rel, abs_tol=abs_):
+            return True
+        # 6-decimal GRID knife-edge (r18): most declared queries ROUND
+        # their float outputs to 6 decimals in-query, so a cross-engine
+        # last-ulp flip at the rounding boundary surfaces as a
+        # difference of exactly one grid step (1e-6 absolute) — outside
+        # the relative tolerance for values < 1, yet still numeric
+        # drift, not a wrong answer (eda_extended_features perm_entropy
+        # 0.232642 vs 0.232643 on the null axis). One grid step and no
+        # more: a genuine kernel bug lands off-grid or several steps
+        # away. The driver's gate stays an exact hash — this channel
+        # only classifies the local replica's diagnosis.
+        return abs(a - b) <= 1.0000001e-6
     return a == b
 
 
