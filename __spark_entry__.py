@@ -62,7 +62,6 @@ _CHANGED_IN_ROUND = {
     "doc_simhash_near_dups": 17,
     "doc_tfidf_topk": 17,
     "doc_trigram_typicality": 17,
-    "embedding_semantic_dedup_delta": 17,
     "kernel_cardiac_rolling_ppg": 17,
     "kernel_cardiac_sqa_ecg": 17,
     "multimodal_audio_near_dups": 17,
@@ -73,7 +72,6 @@ _CHANGED_IN_ROUND = {
     "sqa_missing_segments": 17,
     "sqa_rolling_metrics": 17,
     "streaming_near_dup_pairs": 17,
-    "streaming_semantic_dedup": 17,
     # r17 (ADVICE r16 item 2): top_revenue_nations' body extracted to a
     # shared top_revenue_nations_body so tools/bench_bucketing.py
     # imports it instead of mirroring it — plan-identical up to
@@ -112,10 +110,6 @@ _CHANGED_IN_ROUND = {
     "embedding_quantize_int8": 17,
     "kernel_hrv_features": 17,
     "moving_average_events": 17,
-    "embedding_ann_ivf": 17,
-    "embedding_ann_ivfpq": 17,
-    "embedding_ann_pq": 17,
-    "embedding_semantic_dedup": 17,
     # r18 token contract (VERDICT r17 item 1 / the 12 null-axis
     # divergences): tokens()' semantics defined once in llm/text.py
     # (NULL text -> NULL array / no rows in token-derived frames;
@@ -149,6 +143,20 @@ _CHANGED_IN_ROUND = {
     # doc_id/n_chars null-rates likewise computed, flag order matches
     # profile_diff's array order.
     "doc_profile_drift": 18,
+    # r18 (ADVICE r17 items 1+4): _seed_codebook filters NULL
+    # embeddings before collecting seeds (matching the oracles'
+    # null-filtered cents CTEs — a NULL at an even vec_id < 16 raised
+    # TypeError at plan time or shifted centroid numbering), returns
+    # the zero dummy only when the corpus has NO non-null embedding at
+    # all (sized to the real 64-dim), and raises on the
+    # rows-but-no-seed-ids slice instead of silently scoring
+    # everything 0.0 against an empty-cents oracle.
+    "embedding_ann_ivf": 18,
+    "embedding_ann_ivfpq": 18,
+    "embedding_ann_pq": 18,
+    "embedding_semantic_dedup": 18,
+    "embedding_semantic_dedup_delta": 18,
+    "streaming_semantic_dedup": 18,
 }
 
 

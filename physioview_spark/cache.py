@@ -23,6 +23,19 @@ the caller has consumed the results — the precise version of the
 bench's blanket ``clearCache`` (which also evicts caller-owned caches).
 Call it between repeated invocations, or rely on session teardown.
 
+Lifecycle contract (ADVICE r17 item 2): release is EXPLICIT-ONLY — an
+unscoped pin persists until ``release_pinned()``/``pinned_frames()``
+exit or session end, never until garbage collection. Spark's
+CacheManager registers cached data BY LOGICAL PLAN and holds it
+independently of any Python or JVM Dataset object, so dropping
+references frees nothing; that is also why ``_PINNED`` must hold
+STRONG references — a weakref registry would drop the only handle
+that can still ``unpersist()`` the blocks, leaving ``clearCache()``
+(caller caches included) as the only recourse. The registry holds
+only operator-internal frames; caller-facing caches (e.g.
+``run_pipeline``'s ``cache_annotated``) use a bare ``persist()`` so a
+scope exit here cannot evict what the caller still owns.
+
 For deterministic scoping, :func:`pinned_frames` wraps a block so that
 everything pinned INSIDE it is released on exit — long-lived sessions
 that invoke pin-internally operators in a loop get bounded storage

@@ -66,16 +66,22 @@ def _seg_samples(
 
     Persist lifecycle: the returned frame is pinned via
     :func:`physioview_spark.cache.pin` at plan construction — the same
-    registry the llm/ operators use. Deterministic release is the
-    caller's choice: wrap invocations in ``cache.pinned_frames()`` (the
-    pins drop on scope exit) or call ``cache.release_pinned()``
-    periodically; otherwise the entry lives in the session-global
-    ``CacheManager`` until the DataFrame is garbage-collected (Spark's
-    ContextCleaner then drops the blocks), costing one ~rows/seg_len
-    cached frame per operator call until GC. Plan-shape-sensitive
-    tooling uses the scope so any later plan containing an EQUAL
-    subtree is not silently rewritten to InMemoryRelation
-    (tools/plan_census.py does exactly this per query).
+    registry the llm/ operators use. Release is EXPLICIT-ONLY: wrap
+    invocations in ``cache.pinned_frames()`` (the pins drop on scope
+    exit) or call ``cache.release_pinned()`` periodically; an unscoped
+    pin lives in the session-global ``CacheManager`` until one of
+    those runs or the session ends. (NOT until Python GC: Spark's
+    CacheManager registers the InMemoryRelation by logical plan and
+    holds it independently of any Python or JVM Dataset object, so
+    dropping references never frees the blocks — which is also why
+    ``cache._PINNED`` must hold strong references: a weakref registry
+    would lose the only handle that can still unpersist. ADVICE r17
+    item 2 corrected the old GC-fallback claim here.) Cost: one
+    ~rows/seg_len cached frame per unscoped operator call.
+    Plan-shape-sensitive tooling uses the scope so any later plan
+    containing an EQUAL subtree is not silently rewritten to
+    InMemoryRelation (tools/plan_census.py does exactly this per
+    query).
     """
     seg_len = int(fs * seg_size)
     aggs = [F.max("sample_idx").alias("seg_max_idx")]

@@ -135,11 +135,16 @@ def run_pipeline(
         )
         annotated = _stage(spark, annotated, stage_dir, "annotated")
         if stage_dir is None and cache_annotated:
-            # pinned (not bare .cache()) so long-lived sessions can
-            # release via cache.pinned_frames()/release_pinned()
-            from physioview_spark import cache
+            # CALLER-facing cache: bare persist, NOT cache.pin — the
+            # pin registry holds operator-internal frames only, and a
+            # release_pinned()/pinned_frames() scope exit (e.g.
+            # tools/check_oracle.py between queries) must not silently
+            # evict a cache the caller asked for and still owns
+            # (ADVICE r17 item 3). The caller releases it with
+            # out["samples"].unpersist() when done.
+            from pyspark import StorageLevel
 
-            annotated = cache.pin(annotated)
+            annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
         out["samples"] = annotated
         out["ibi"] = attach_ibis(annotated, fs=fs)
         with_ts = "ts" in annotated.columns
@@ -187,11 +192,16 @@ def run_pipeline(
             samples, fs=fs, scr_amp_min=config.scr_amp_min)
         annotated = _stage(spark, annotated, stage_dir, "annotated")
         if stage_dir is None and cache_annotated:
-            # pinned (not bare .cache()) so long-lived sessions can
-            # release via cache.pinned_frames()/release_pinned()
-            from physioview_spark import cache
+            # CALLER-facing cache: bare persist, NOT cache.pin — the
+            # pin registry holds operator-internal frames only, and a
+            # release_pinned()/pinned_frames() scope exit (e.g.
+            # tools/check_oracle.py between queries) must not silently
+            # evict a cache the caller asked for and still owns
+            # (ADVICE r17 item 3). The caller releases it with
+            # out["samples"].unpersist() when done.
+            from pyspark import StorageLevel
 
-            annotated = cache.pin(annotated)
+            annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
         out["samples"] = annotated
         out["metrics"] = compute_eda_metrics(
             annotated.withColumn("eda", F.col("filtered")),

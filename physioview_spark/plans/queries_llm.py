@@ -195,20 +195,38 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _seed_codebook(emb: DataFrame) -> list[list[float]]:
     """Deterministic seed-vector codebook shared by the vector-family
-    queries: embeddings of the 8 lowest even vec_ids, in vec_id order
-    (the oracle SQL rebuilds the same set). On an EMPTY corpus — a
-    legal input, probed by the r17 empty-table sweep — returns one
-    8-dim zero centroid instead of []: the downstream bucketing plan
-    stays type-valid (literal centroid expressions never evaluate on
-    zero rows) and the query returns an empty frame with the
-    operator's exact schema, where [] raised IndexError at
-    plan-construction time."""
+    queries: NON-NULL embeddings of the even vec_ids < 16, in vec_id
+    order (the oracle SQL rebuilds the same set from
+    ``embeddings WHERE embedding IS NOT NULL`` — r18/ADVICE r17: a
+    NULL embedding at a seed id used to raise TypeError here at
+    plan-construction time, or shift centroid numbering vs the
+    oracles' null-filtered cents).
+
+    On an EMPTY corpus (no non-null embedding anywhere — a legal
+    input, probed by the r17 empty-table sweep) returns one zero
+    centroid sized to the corpus embedding dim (64): the downstream
+    bucketing plan stays type-valid (literal centroid expressions
+    never evaluate on zero rows) and the query returns an empty frame
+    with the operator's exact schema, where [] raised IndexError at
+    plan time. A corpus that HAS embeddings but none at the seed ids
+    raises instead of silently degenerating to a dummy codebook that
+    scores everything 0.0 while the oracles' empty cents CTE returns
+    no rows (ADVICE r17 item 4)."""
+    nonnull = emb.where(F.col("embedding").isNotNull())
     rows = (
-        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        nonnull.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
         .orderBy("vec_id").select("embedding").collect()
     )
     seeds = [[float(x) for x in r["embedding"]] for r in rows]
-    return seeds or [[0.0] * 8]
+    if seeds:
+        return seeds
+    if nonnull.select("embedding").limit(1).count() > 0:
+        raise ValueError(
+            "_seed_codebook: corpus has embeddings but none at the "
+            "seed ids (even vec_id < 16) — pick seeds for this slice "
+            "explicitly instead of inheriting the declared queries' "
+            "fixed seed rule")
+    return [[0.0] * 64]
 
 
 @q("embedding_cosine_topk", """

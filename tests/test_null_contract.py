@@ -148,6 +148,40 @@ class TestQualityTier5:
         assert rows[3]["n_chars_calc"] is None
 
 
+class TestSeedCodebook:
+    """ADVICE r17 items 1+4: the vector-family seed codebook filters
+    NULL embeddings, raises on a rows-but-no-seed-ids slice, and sizes
+    its empty-corpus dummy to the real 64 dims."""
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_null_seed_embeddings_excluded(self, spark):
+        from physioview_spark.plans.queries_llm import _seed_codebook
+
+        emb = self._emb(spark, [
+            (0, None), (2, [1.0, 2.0]), (4, [3.0, 4.0]), (6, None)])
+        assert _seed_codebook(emb) == [[1.0, 2.0], [3.0, 4.0]]
+
+    def test_seedless_nonempty_corpus_raises(self, spark):
+        from physioview_spark.plans.queries_llm import _seed_codebook
+
+        emb = self._emb(spark, [(17, [1.0, 2.0]), (19, [3.0, 4.0])])
+        with pytest.raises(ValueError, match="none at the seed ids"):
+            _seed_codebook(emb)
+
+    def test_empty_corpus_dummy_is_64_dim(self, spark):
+        from physioview_spark.plans.queries_llm import _seed_codebook
+
+        emb = self._emb(spark, []).where(F.lit(False))
+        out = _seed_codebook(emb)
+        assert len(out) == 1 and len(out[0]) == 64
+        # all-NULL embeddings count as an empty corpus too
+        emb2 = self._emb(spark, [(0, None), (2, None)])
+        assert _seed_codebook(emb2) == out
+
+
 class TestStratumContract:
     """NULL strata are excluded from every stratum-keyed sampler."""
 
