@@ -37,6 +37,26 @@ SMALL_OUTPUT = {
 }
 
 
+def _mem_epoch() -> dict[str, int]:
+    """Page-cache epoch marker (VERDICT r17 item 8): MemAvailable and
+    Cached from /proc/meminfo in MiB. The r17 session points showed a
+    5.8-10.0 s idle-box spread that loadavg cannot explain — a
+    cache-cold epoch (post-suite, post-sweep churn evicting the sf0.1
+    parquet pages) reads slower than a warm one on an identical
+    engine. Recording the marker in the artifact lets a reader
+    distinguish cache-cold from engine drift without re-running."""
+    out: dict[str, int] = {}
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, _, rest = line.partition(":")
+                if k in ("MemAvailable", "Cached"):
+                    out[k.lower() + "_mib"] = int(rest.split()[0]) // 1024
+    except OSError:
+        pass  # non-Linux: marker simply absent
+    return out
+
+
 def _wait_for_quiet(threshold: float, max_wait: float) -> float:
     """Spin-wait until the 1-min loadavg drops below ``threshold`` (or
     ``max_wait`` seconds elapse). BENCH_r16 recorded 13.998 s under
@@ -122,6 +142,7 @@ def main() -> None:
         "sf": sf,
         "loadavg": loadavg,
         "quiet_wait_sec": round(quiet_wait, 1),
+        "mem_epoch": _mem_epoch(),
         "passes": passes,
     }))
 

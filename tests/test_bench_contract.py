@@ -16,6 +16,21 @@ def test_headline_queries_are_declared():
     assert set(bench.SMALL_OUTPUT) & set(bench.HEADLINE) <= set(qs)
 
 
+def test_mem_epoch_marker_present():
+    """VERDICT r17 item 8: the artifact carries a page-cache epoch
+    marker (MemAvailable/Cached in MiB) so a reader can distinguish a
+    cache-cold pass from engine drift. On Linux both fields must
+    exist and be positive; elsewhere the marker is an empty dict."""
+    import platform
+
+    epoch = bench._mem_epoch()
+    if platform.system() == "Linux":
+        assert epoch.get("memavailable_mib", 0) > 0
+        assert epoch.get("cached_mib", 0) > 0
+    else:
+        assert epoch == {}
+
+
 def test_wait_for_quiet_no_wait_when_quiet():
     # threshold far above any real loadavg -> returns without sleeping
     assert bench._wait_for_quiet(threshold=1e9, max_wait=300) == 0.0

@@ -1,0 +1,143 @@
+"""(Re)generate the three hostile-axis corpora (VERDICT r17 item 5).
+
+The r17 round proved each axis finds real defects (8 empty, 1 skew, 24
+null-heavy findings); this tool makes their generation deterministic
+and standing instead of a one-off session artifact. Axes:
+
+- ``empty``  — structurally-identical ZERO-ROW tables (an empty
+  partition/slice of a new corpus is routine at 100 TB). Written with
+  SPARK ``limit(0)`` so the exact driver-visible schemas survive —
+  including events' TIMESTAMP(NANOS) physical type, which a DuckDB
+  rewrite would coerce.
+- ``skew``   — hot keys and duplicate families: 50% of events on one
+  hot user, 50% of orders on the min custkey, 10% byte-identical
+  document texts, 10% identical embeddings (hot minhash/IVF buckets,
+  one giant window partition).
+- ``nulls``  — the NULL/empty-value axis: 20% NULL event values, 5%
+  NULL event_type, 10% NULL + 10% empty-string document text, 10%
+  NULL lang, 10% NULL embedding arrays.
+
+All selections are id-modulo conditions — a pure function of the base
+corpus, no RNG — so a regenerated axis is bit-identical for a given
+base. Usage::
+
+    python tools/make_axis_corpora.py [base_sf_dir] [out_root]
+
+Defaults: base /root/testdata/sf0.01 (empty uses sf0.001 — row count
+is irrelevant at zero rows and the schema is identical), out_root
+/tmp (corpora land at <out_root>/pv_{empty,skew,nulls}).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+#: axis -> {table: REPLACE clause}; untouched tables are byte-copied.
+_DUCK_TRANSFORMS = {
+    "skew": {
+        "events": """REPLACE (
+            CASE WHEN user_id % 10 < 5 THEN 7 ELSE user_id END
+              AS user_id)""",
+        "orders": """REPLACE (
+            CASE WHEN o_custkey % 10 < 5 THEN {hot} ELSE o_custkey END
+              AS o_custkey)""",
+        "documents": """REPLACE (
+            CASE WHEN doc_id % 10 = 3
+                 THEN 'the hot duplicated document text that lands """
+        """every copy in the same buckets' ELSE text END AS text)""",
+        "embeddings": """REPLACE (
+            CASE WHEN vec_id % 10 = 3
+                 THEN (SELECT embedding
+                       FROM read_parquet('{src}/embeddings.parquet')
+                       ORDER BY vec_id LIMIT 1)
+                 ELSE embedding END AS embedding)""",
+    },
+    "nulls": {
+        "events": """REPLACE (
+            CASE WHEN event_id % 5 = 2 THEN NULL ELSE value END
+              AS value,
+            CASE WHEN event_id % 20 = 7 THEN NULL ELSE event_type END
+              AS event_type)""",
+        "documents": """REPLACE (
+            CASE WHEN doc_id % 10 = 3 THEN NULL
+                 WHEN doc_id % 10 = 6 THEN '' ELSE text END AS text,
+            CASE WHEN doc_id % 10 = 4 THEN NULL ELSE lang END
+              AS lang)""",
+        "embeddings": """REPLACE (
+            CASE WHEN vec_id % 10 = 3 THEN NULL ELSE embedding END
+              AS embedding)""",
+    },
+}
+
+
+def make_empty(out: str, schema_src: str) -> None:
+    """Zero-row tables with the exact driver-visible schemas (Spark
+    write preserves parquet physical types a DuckDB rewrite would
+    not)."""
+    import glob
+
+    from physioview_spark.session import get_spark
+
+    spark = get_spark("mk-axis-empty")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in TABLES:
+        df = spark.read.parquet(f"{schema_src}/{t}.parquet").limit(0)
+        tmp = f"{out}/_tmp_{t}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # flatten the Spark directory layout to one file per table:
+        # the oracle side reads read_parquet('<dir>/<t>.parquet') as a
+        # single file, not a part-file directory
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{out}/{t}.parquet")
+        shutil.rmtree(tmp)
+
+
+def make_transformed(axis: str, out: str, src: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads=16")
+    hot = con.execute(
+        f"SELECT min(o_custkey) "
+        f"FROM read_parquet('{src}/orders.parquet')").fetchone()[0]
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    transforms = _DUCK_TRANSFORMS[axis]
+    for t in TABLES:
+        repl = transforms.get(t, "")
+        repl = repl.format(src=src, hot=hot) if repl else ""
+        con.execute(
+            f"COPY (SELECT * {repl} "
+            f"FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    root = sys.argv[2] if len(sys.argv) > 2 else "/tmp"
+    empty_schema_src = os.path.join(os.path.dirname(src.rstrip("/")),
+                                    "sf0.001")
+    if not os.path.isdir(empty_schema_src):
+        empty_schema_src = src
+    make_empty(os.path.join(root, "pv_empty"), empty_schema_src)
+    print(f"wrote {root}/pv_empty (schemas from {empty_schema_src})")
+    for axis in ("skew", "nulls"):
+        out = os.path.join(root, f"pv_{axis}")
+        make_transformed(axis, out, src)
+        print(f"wrote {out} (from {src})")
+
+
+if __name__ == "__main__":
+    main()
