@@ -2550,6 +2550,20 @@ def doc_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("quality_score") < 0.5, "drop_low_quality"),
         )
     )
+    # `pre` is referenced FOUR times downstream (the final decision
+    # join, plus mixture_sample's per-domain aggregate / water-fill
+    # rates / gate join over the survivors), and each reference
+    # re-expands the whole 12-shuffle dedup+contam+quality lineage
+    # with fresh expression IDs — which defeats ReuseExchange (plans
+    # are no longer canonically equal), so the r18 audit measured all
+    # 116 stages actually executing, ~4x the distinct work. Pinning
+    # collapses the repeats to one compute + InMemoryRelation scans of
+    # an output-sized (doc_id, lang, n_tokens, drop_reason) frame —
+    # the same fix dedup_delta's band/candidate pins proved. Release
+    # via physioview_spark.cache.release_pinned/pinned_frames.
+    from physioview_spark import cache as _cache
+
+    pre = _cache.pin(pre)
     surv = (
         pre.where(F.col("drop_reason").isNull())
         .select("doc_id", "lang", "n_tokens")
