@@ -157,6 +157,31 @@ _CHANGED_IN_ROUND = {
     "embedding_semantic_dedup": 18,
     "embedding_semantic_dedup_delta": 18,
     "streaming_semantic_dedup": 18,
+    # r18 token-contract tier 0 (the Unicode/whitespace axis): TOKEN
+    # WHITESPACE is the explicit ASCII class [ \t\n\x0B\f\r] — Java's
+    # \s includes \x0B, RE2's does not, so the \s shorthand itself was
+    # a cross-engine divergence on any document containing a vertical
+    # tab. tokens() now splits raw text on the explicit class and
+    # drops phantom '' entries (trim() is SPACE-only on both engines,
+    # so tab/newline padding produced phantom tokens pre-r18);
+    # word_shingles/simhash/BPE inherit; ~30 oracle fragments adopt
+    # list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+    # x -> x <> ''); quality's degenerate gate is now n_tokens = 0
+    # (whitespace-only text has no prose quality either). Provably
+    # output-identical on all existing corpora (zero docs with tabs/
+    # \x0B/padding — checked); divergence visible only on the new
+    # unicode axis. These ten complete the reachers (the rest of the
+    # token family is already r18 above).
+    "doc_bpe_encode": 18,
+    "doc_bpe_token_stats": 18,
+    "doc_char_entropy": 18,
+    "doc_language_id": 18,
+    "doc_pii_scrub": 18,
+    "doc_script_profile": 18,
+    "doc_strip_boilerplate": 18,
+    "doc_temperature_mixture": 18,
+    "doc_vocabulary_topk": 18,
+    "doc_winnow_fingerprints": 18,
 }
 
 

@@ -29,12 +29,14 @@ from physioview_spark.llm.text import tokens
 
 END = "</w>"
 
-# Python-side twin of text.tokens(): Java's \s (no UNICODE_CHARACTER
-# CLASS) matches ASCII whitespace ONLY, while Python's str.split()/\s
-# are Unicode-aware — a U+00A0 non-breaking space (ubiquitous in
+# Python-side twin of text.tokens(): Python's str.split()/\s are
+# Unicode-aware — a U+00A0 non-breaking space (ubiquitous in
 # HTML-derived crawl text) would make the encoder split words the
 # frequency aggregate counted as one type. Training and encoding must
-# segment identically, so the encoder splits on exactly Java's class.
+# segment identically, so the encoder splits on exactly the contract's
+# TOKEN_WS class and drops phantom '' entries — as of r18 this is
+# character-for-character the same definition tokens() itself uses
+# (llm/text.py contract tier 0), not merely an equivalent one.
 _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 

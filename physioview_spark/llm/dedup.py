@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from physioview_spark import cache as _cache
-from physioview_spark.llm.text import word_shingles
+from physioview_spark.llm.text import tokens as word_tokens, word_shingles
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -349,19 +349,22 @@ def simhash(
     Token hash = first 8 hex chars of md5 (32 bits via conv). JVM-side
     throughout (explode + bitwise ops + groupBy).
 
-    Token-contract tier 4 (llm/text.py module docstring): the inline
-    ``split(trim(text), '\\s+')`` maps an EMPTY doc to one empty-string
-    token — identical to ``word_shingles(col, 1)`` and to the minhash
-    path's whole-text gram — so empty docs keep a signature and cluster
-    with each other; NULL text explodes to no rows and drops out of the
-    signature frame, same as every token-derived frame."""
+    Token-contract tier 4 (llm/text.py module docstring): a TOKENLESS
+    (empty/whitespace-only) doc collapses to one empty-string token —
+    identical to ``word_shingles(col, 1)`` and to the minhash path's
+    whole-text gram — so empty docs keep a signature and cluster with
+    each other; NULL text explodes to no rows and drops out of the
+    signature frame, same as every token-derived frame. The split is
+    :func:`~physioview_spark.llm.text.tokens` itself (explicit
+    TOKEN_WS class, phantom '' entries dropped), so the tier-0
+    whitespace definition holds here too."""
+    toks_arr = word_tokens(F.col(text_col))
+    terms = F.when(F.size(toks_arr) == 0, F.array(F.lit(""))).otherwise(
+        toks_arr
+    )
     toks = df.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.lower(w)
-            )
-        ).alias("tok"),
+        F.explode(F.transform(terms, lambda w: F.lower(w))).alias("tok"),
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     toks = toks.withColumn("h", h)

@@ -1,4 +1,4 @@
-"""Text-analysis operators for training-data pipelines.
+r"""Text-analysis operators for training-data pipelines.
 
 All JVM-side (built-in pyspark.sql.functions, whole-stage codegen): token
 counting, quality scoring, n-gram language ID, document fingerprinting.
@@ -7,14 +7,27 @@ oracle (same regexes, same tie-breaks).
 
 TOKEN CONTRACT (r18 — the NULL/empty-text semantics, defined ONCE here;
 every operator and every DuckDB oracle in plans/queries_llm.py follows
-it, and tests/test_null_contract.py pins it):
+it, and tests/test_null_contract.py + tests/test_unicode_axis.py pin
+it):
 
+0. TOKEN WHITESPACE is the explicit ASCII class ``[ \t\n\x0B\f\r]``
+   (exactly Java's non-Unicode ``\s``, the class llm/bpe.py documented
+   first). It is spelled out — never ``\s`` — in BOTH engines, because
+   the shorthand diverges: Java's ``\s`` includes vertical tab \x0B,
+   DuckDB/RE2's does not, so a ``\s``-split engine and a ``\s``-split
+   oracle disagree on any document containing \x0B (routine in
+   HTML/crawl-derived corpora). Unicode spaces (U+00A0 NBSP, U+2007,
+   ZWJ, ...) are NOT token whitespace on either engine — a
+   NBSP-joined pair is one token by contract.
 1. :func:`tokens`: NULL text -> NULL array; empty or whitespace-only
-   text -> empty array (0 tokens). The exact DuckDB twin is
-   ``CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-   ELSE string_split_regex(trim(text), '\\s+') END``
-   (``string_split_regex('', ...)`` alone yields [''] — 1 token — which
-   is the divergence this contract removes).
+   text -> empty array (0 tokens); leading/trailing/repeated
+   whitespace never yields empty-string tokens. The exact DuckDB twin
+   is ``list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+   x -> x <> '')`` (the raw split yields phantom '' entries for
+   empty/padded text — 1 phantom token for '' — which is the
+   divergence class this contract removes; pre-r18 the engine trimmed
+   first, but trim() is SPACE-only on both engines, so tab/newline
+   padding still produced phantom '' tokens on both sides).
 2. Token COUNTS (token_count, bpe_token_count, and the n_tokens columns
    of the samplers/packers in llm/sampling.py): every document keeps
    its row; NULL text counts as 0 tokens (SQL:
@@ -32,10 +45,23 @@ it, and tests/test_null_contract.py pins it):
    representable in dedup frames and cluster with each other (they ARE
    exact duplicates of one another).
 5. QUALITY metrics (:func:`quality_score`'s mean_word_len, punct_ratio,
-   digit_ratio, stopword_ratio, quality_score): NULL on NULL or empty
-   text — a document with no prose has no prose quality. Consumers
-   that need a total ordering coalesce explicitly (stratified_sample's
-   bucket 0, score_linear's nulls-read-as-0 features).
+   digit_ratio, stopword_ratio, quality_score): NULL on TOKENLESS text
+   (NULL, empty, or whitespace-only — n_tokens = 0 is the gate, on
+   both engines) — a document with no prose has no prose quality.
+   Consumers that need a total ordering coalesce explicitly
+   (stratified_sample's bucket 0, score_linear's nulls-read-as-0
+   features).
+6. CASE FOLDING (the ``lower()`` used by stopword matching, vocab/
+   TF-IDF/trigram keys, fingerprints) is each platform's Unicode
+   lowercase. The two platforms agree on every 1:1 context-free
+   mapping (ASCII, Latin-1, Greek non-final, Cyrillic, CJK no-ops —
+   pinned by tests/test_unicode_axis.py), and differ only on full/
+   contextual case mappings (U+0130 Turkish İ, final-form sigma):
+   Java applies the full mapping (İ -> i + combining dot, Σ -> ς
+   word-finally), utf8proc the simple one (İ -> i, Σ -> σ always).
+   That boundary is platform-divergent by construction and excluded
+   from oracle-parity corpora; the engine's (Java's) behavior is the
+   contract and is pinned engine-side.
 """
 
 from __future__ import annotations
@@ -52,13 +78,17 @@ LANG_STOPWORDS = {
 }
 
 
+# Token whitespace, spelled explicitly (contract tier 0): Java's \s and
+# RE2's \s disagree on \x0B, so neither engine may use the shorthand.
+TOKEN_WS = "[ \t\n\x0B\f\r]+"
+
+
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text (empty text -> empty array)."""
+    """Whitespace tokenization (contract tiers 0-1): split on the
+    explicit ASCII class, drop phantom '' entries from leading/trailing
+    whitespace. NULL text -> NULL; empty/whitespace-only -> []."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    return F.filter(F.split(c, TOKEN_WS), lambda w: w != "")
 
 
 def token_count(df: DataFrame, text_col: str = "text",
@@ -84,14 +114,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     is the factual length (NULL for NULL text), ``n_tokens`` is the
     clamped count (0 for NULL/empty), and every METRIC column —
     mean_word_len, punct_ratio, digit_ratio, stopword_ratio,
-    quality_score — is NULL on NULL/empty text. Pre-r18, Spark's
-    null-skipping ``least`` silently scored an empty doc 0.3 (the
-    NULL stopword term collapsed to its 1.0 cap) — a nonsense number
-    the contract replaces with an honest NULL."""
+    quality_score — is NULL on TOKENLESS text (n_tokens = 0: NULL,
+    empty, or whitespace-only). Pre-r18, Spark's null-skipping
+    ``least`` silently scored an empty doc 0.3 (the NULL stopword term
+    collapsed to its 1.0 cap) — a nonsense number the contract
+    replaces with an honest NULL."""
     t = F.col(text_col)
-    degenerate = t.isNull() | (F.trim(t) == "")
     n_chars = F.length(t).cast("long")
     n_tok = F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("long")
+    degenerate = n_tok == 0  # NULL text coalesces to 0 -> gated too
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
@@ -165,8 +196,11 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3,
 
 # GPT-2-style pretokenizer pattern (public pattern family: optional space
 # + word | number | punctuation run) — no lookaheads, works in both
-# Spark's and DuckDB's regex engines.
-BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# Spark's and DuckDB's regex engines. The whitespace exclusion is the
+# explicit TOKEN_WS class, not \s (contract tier 0): under Java's \s a
+# vertical tab is whitespace (no punct run), under RE2's it is not (a
+# 1-token punct run) — the explicit class makes both engines agree.
+BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]+"
 
 
 def bpe_token_count(df: DataFrame, text_col: str = "text",

@@ -77,15 +77,18 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_quality_scores", """
 WITH t AS (
   SELECT doc_id,
-         (text IS NULL OR trim(text) = '') AS degen,
+         (COALESCE(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')), 0) = 0)
+           AS degen,  -- tokenless: NULL, empty, whitespace-only
          CAST(length(text) AS BIGINT) AS n_chars_calc,
-         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END)
+         COALESCE(CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
               AS BIGINT), 0) AS n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''),
              w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS n_stop
   FROM documents
 )
@@ -135,11 +138,13 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_minhash_signatures", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
   FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
@@ -160,10 +165,15 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_jaccard_pairs", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t FROM documents
   WHERE doc_id < 50
 ), sh0 AS (
-  SELECT DISTINCT doc_id, UNNEST(t) AS shingle FROM toks
+  SELECT DISTINCT doc_id,
+         -- tier 4: tokenless doc -> one '' whole-text gram
+         UNNEST(CASE WHEN len(t) = 0 THEN [''] ELSE t END)
+             AS shingle
+  FROM toks
 ), kept AS (
   SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 20
 ), sh AS (
@@ -256,9 +266,9 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_language_id", """
 WITH t AS (
   SELECT lang,
-         CASE WHEN trim(text) = '' THEN []
-              ELSE list_transform(string_split_regex(trim(text), '\\s+'),
-                                  x -> lower(x)) END AS toks
+         list_transform(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''),
+                                  x -> lower(x)) AS toks
   FROM documents
 ), sc AS (
   SELECT lang,
@@ -399,11 +409,19 @@ def doc_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("doc_simhash_near_dups", """
-WITH toks AS (
-  SELECT doc_id,
-         UNNEST(list_transform(string_split_regex(trim(text), '\\s+'),
-                               x -> lower(x))) AS tok
+WITH ft AS (
+  -- contract tier 4: tokenless (empty/whitespace-only) docs collapse
+  -- to one '' whole-text gram so they keep a signature; NULL text
+  -- propagates NULL and UNNESTs to no rows
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS tk
   FROM documents
+), toks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+             CASE WHEN len(tk) = 0 THEN [''] ELSE tk END,
+             x -> lower(x))) AS tok
+  FROM ft
 ), hashed AS (
   SELECT doc_id,
     (SELECT SUM((strpos('0123456789abcdef',
@@ -438,10 +456,12 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_minhash_lsh_candidates", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
@@ -472,10 +492,12 @@ def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("streaming_near_dup_pairs", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
@@ -554,10 +576,12 @@ def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_dup_clusters", """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
@@ -610,14 +634,17 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_stratified_sample", """
 WITH t AS (
   SELECT doc_id, lang,
-         (text IS NULL OR trim(text) = '') AS degen,
+         (COALESCE(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')), 0) = 0)
+           AS degen,  -- tokenless: NULL, empty, whitespace-only
          CAST(length(text) AS BIGINT) AS n_chars_calc,
-         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END)
+         COALESCE(CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
               AS BIGINT), 0) AS n_tokens,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''),
              w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS n_stop
   FROM documents WHERE lang IS NOT NULL
 ), s AS (
@@ -663,8 +690,8 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_token_budget_sample", """
 WITH t AS (
   SELECT doc_id, lang,
-         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END)
+         COALESCE(CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
               AS BIGINT), 0) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents WHERE lang IS NOT NULL
@@ -773,15 +800,18 @@ def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_model_quality", """
 WITH t AS (
   SELECT doc_id,
-         (text IS NULL OR trim(text) = '') AS degen,
+         (COALESCE(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')), 0) = 0)
+           AS degen,  -- tokenless: NULL, empty, whitespace-only
          CAST(length(text) AS BIGINT) AS n_chars_calc,
-         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END)
+         COALESCE(CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
               AS BIGINT), 0) AS n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''),
              w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS n_stop
   FROM documents
 ), feats AS (
@@ -883,8 +913,8 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_token_budget_rate", """
 WITH t AS (
   SELECT doc_id, lang,
-         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END)
+         COALESCE(CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
               AS BIGINT), 0) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents WHERE lang IS NOT NULL
@@ -917,8 +947,8 @@ def doc_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_pack_sequences", """
 WITH t AS (
   SELECT doc_id,
-         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END)
+         COALESCE(CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
               AS BIGINT), 0) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
@@ -951,8 +981,8 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_materialize_packed", """
 WITH t AS (
-  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents WHERE doc_id % 5 = 0
 ), sh AS (
@@ -1060,10 +1090,12 @@ WITH newd AS (
   FROM newd n JOIN corp c ON md5(n.text) = md5(c.text)
   GROUP BY n.doc_id
 ), toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
@@ -1130,7 +1162,8 @@ def doc_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_vocabulary_topk", """
 WITH w AS (
-  SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+  SELECT UNNEST(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS word
   FROM documents WHERE trim(text) <> ''
 ), c AS (
   SELECT word, COUNT(*) AS freq FROM w GROUP BY word
@@ -1160,8 +1193,8 @@ def doc_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_mixture_sample", """
 WITH t AS (
   SELECT doc_id, lang,
-         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END)
+         COALESCE(CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
               AS BIGINT), 0) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
@@ -1201,8 +1234,8 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_passage_dedup", """
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []
-              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+         list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS tk
   FROM documents
 ), ch AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -1244,11 +1277,13 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_repetition_stats", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
   FROM documents WHERE text IS NOT NULL
 ), g2 AS (
   SELECT doc_id,
-         CASE WHEN len(t) <= 2 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 2 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 1), ' ') END AS g
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 1, 1))) AS i) gi
@@ -1259,7 +1294,8 @@ WITH toks AS (
   FROM c2 GROUP BY doc_id
 ), g3 AS (
   SELECT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS g
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) gi
@@ -1283,8 +1319,8 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_token_chunks", """
 WITH toks AS (
-  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
   FROM documents WHERE text IS NOT NULL
 ), nc AS (
   SELECT doc_id, t,
@@ -1342,10 +1378,12 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_decontaminate", """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
@@ -2256,7 +2294,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_bpe_token_stats", """
 WITH p AS (
   SELECT doc_id, lang,
-         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')
+         regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]+')
              AS pieces
   FROM documents
 ), c AS (
@@ -2326,9 +2365,9 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_temperature_mixture", """
 WITH t AS (
   SELECT doc_id, lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
-                   AS BIGINT) END AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
+                   AS BIGINT) AS n_tokens,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
   WHERE lang IS NOT NULL
@@ -2374,10 +2413,12 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_curation_pipeline_v3", """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
@@ -2417,14 +2458,17 @@ WITH RECURSIVE toks AS (
   SELECT DISTINCT doc_id FROM hits
 ), qt AS (
   SELECT doc_id,
-         (text IS NULL OR trim(text) = '') AS degen,
+         (COALESCE(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')), 0) = 0)
+           AS degen,  -- tokenless: NULL, empty, whitespace-only
          CAST(length(text) AS BIGINT) AS nc,
-         COALESCE(CAST(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END)
+         COALESCE(CAST(len(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
               AS BIGINT), 0) AS nt,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''),
              w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w)))) AS ns
   FROM documents
 ), q AS (
@@ -2593,10 +2637,12 @@ def doc_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_hash_split", """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+         CASE WHEN len(t) = 0 THEN ''  -- tier 4: whole-text gram
+              WHEN len(t) <= 3 THEN array_to_string(t, ' ')
               ELSE array_to_string(list_slice(t, i, i + 2), ' ') END AS shingle
   FROM toks, LATERAL (
     SELECT UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS i) g
@@ -2684,7 +2730,8 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("doc_tfidf_topk", """
 WITH w AS (
-  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(text,
+              '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS word
   FROM documents WHERE trim(text) <> ''
 ), tf AS (
   SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word

@@ -1,13 +1,14 @@
 """One-command hostile-axis battery (VERDICT r17 item 5).
 
 Runs the full oracle gate (tools/check_oracle.py) over the base corpus
-AND the three hostile axes — empty, skew, null-heavy — printing one
-summary line per axis and exiting nonzero if ANY axis records a FAIL.
-This is the standing final-bytes battery: the r17 round proved each
-axis finds real defects, so every engine round runs this before its
-closing commit and records the per-axis counts in PLANS.md.
+AND the four hostile axes — empty, skew, null-heavy, unicode —
+printing one summary line per axis and exiting nonzero if ANY axis
+records a FAIL. This is the standing final-bytes battery: the r17/r18
+rounds proved each axis finds real defects, so every engine round runs
+this before its closing commit and records the per-axis counts in
+PLANS.md.
 
-    python tools/axis_sweep.py                 # base sf0.01 + 3 axes
+    python tools/axis_sweep.py                 # base sf0.01 + 4 axes
     python tools/axis_sweep.py /root/testdata/sf0.01 doc_token_chunks
                                                # subset of queries
 
@@ -62,6 +63,7 @@ def main() -> None:
         "empty": "/tmp/pv_empty",
         "skew": "/tmp/pv_skew",
         "nulls": "/tmp/pv_nulls",
+        "unicode": "/tmp/pv_unicode",
     }
     missing = [d for n, d in axes.items()
                if n != "base" and not os.path.isdir(d)]

@@ -16,6 +16,21 @@ and standing instead of a one-off session artifact. Axes:
 - ``nulls``  — the NULL/empty-value axis: 20% NULL event values, 5%
   NULL event_type, 10% NULL + 10% empty-string document text, 10%
   NULL lang, 10% NULL embedding arrays.
+- ``unicode`` — the multibyte/hostile-whitespace text axis (r18):
+  10% CJK+emoji prefixes (supplementary-plane code points through
+  split/substring/length/md5), 10% combining-diacritic + NBSP/ZWJ
+  suffixes (Unicode spaces are NOT token whitespace by contract
+  tier 0), 10% tab-padded texts with ALL spaces swapped for vertical
+  tabs (\\x0B — the Java-\\s-vs-RE2-\\s divergence the explicit
+  TOKEN_WS class exists for; token counts must equal the base
+  corpus's), 10% CRLF second lines, 10% whitespace-only (tokenless
+  non-empty) texts in TWO byte-distinct variants — byte-level exact
+  dedup must NOT group them while token-level shingles (tier 4's ''
+  whole-text gram) MUST, so a pipeline that conflates the two tiers
+  diverges here. Deliberately EXCLUDED: U+0130 and final-form
+  sigma — contextual case mappings are platform-divergent by
+  construction (llm/text.py contract tier 6) and pinned engine-side
+  in tests/test_unicode_axis.py instead.
 
 All selections are id-modulo conditions — a pure function of the base
 corpus, no RNG — so a regenerated axis is bit-identical for a given
@@ -60,6 +75,26 @@ _DUCK_TRANSFORMS = {
                        FROM read_parquet('{src}/embeddings.parquet')
                        ORDER BY vec_id LIMIT 1)
                  ELSE embedding END AS embedding)""",
+    },
+    "unicode": {
+        "documents": """REPLACE (
+            CASE
+                WHEN doc_id % 10 = 1
+                    THEN '漢字の文書😀テスト ' || text
+                WHEN doc_id % 10 = 2
+                    THEN text || ' cafe' || chr(769) || ' x' ||
+                         chr(160) || 'y a' || chr(8205) || 'b'
+                WHEN doc_id % 10 = 5
+                    THEN chr(9) || replace(text, ' ', chr(11)) || chr(9)
+                WHEN doc_id % 10 = 8
+                    THEN text || chr(13) || chr(10) ||
+                         'zweite Zeile mit Text'
+                WHEN doc_id % 20 = 9
+                    THEN chr(9) || chr(11) || ' ' || chr(12) || chr(13)
+                WHEN doc_id % 20 = 19
+                    THEN ' ' || chr(9) || chr(9)
+                ELSE text
+            END AS text)""",
     },
     "nulls": {
         "events": """REPLACE (
@@ -133,7 +168,7 @@ def main() -> None:
         empty_schema_src = src
     make_empty(os.path.join(root, "pv_empty"), empty_schema_src)
     print(f"wrote {root}/pv_empty (schemas from {empty_schema_src})")
-    for axis in ("skew", "nulls"):
+    for axis in ("skew", "nulls", "unicode"):
         out = os.path.join(root, f"pv_{axis}")
         make_transformed(axis, out, src)
         print(f"wrote {out} (from {src})")
