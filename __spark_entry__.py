@@ -172,6 +172,18 @@ _CHANGED_IN_ROUND = {
     # \x0B/padding — checked); divergence visible only on the new
     # unicode axis. These ten complete the reachers (the rest of the
     # token family is already r18 above).
+    # r18 extremes axis (vector finiteness): the excluded-vector
+    # contract (similarity.vector_is_finite) extends the r17 NULL
+    # exclusion to vectors with NaN/Inf components — search/quantize
+    # filter both sides, dedup keeps them as NULL-bucket trivially-
+    # unique rows, quantize's tinyint cast became try_cast (ANSI +
+    # InferFiltersFromGenerate + codegen CSE evaluated the cloned cast
+    # before the short-circuiting finiteness conjunct — a real crash),
+    # and the delta oracle gained the keep branch for excluded
+    # new-batch vectors the null axis' moduli could never reach. The
+    # rest of the vector family is already r18 above; this completes
+    # the reachers.
+    "embedding_cosine_topk": 18,
     "doc_bpe_encode": 18,
     "doc_bpe_token_stats": 18,
     "doc_char_entropy": 18,

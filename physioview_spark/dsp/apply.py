@@ -123,14 +123,24 @@ def moving_average(x: np.ndarray, w: int, mode: str = "same") -> np.ndarray:
     """O(n) cumulative-sum moving average (reference: pipeline/ECG.py:663-671
     uses the same cumsum idea).
 
-    NaN-aware with SQL AVG semantics (r17 null-axis): a NaN sample is
-    skipped — each window averages its non-NaN members and is NaN only
-    when ALL members are NaN — so the kernel agrees with the
-    ``AVG(...) OVER (ROWS BETWEEN ...)`` oracle on nullable inputs.
-    On NaN-free input the arithmetic is bit-identical to the plain
-    cumsum (the count path divides by the same w)."""
+    FINITE-SAMPLES CONTRACT (r17 null-axis, extended r18 extremes
+    axis): a non-finite sample — NaN (the Arrow representation of SQL
+    NULL) or +-Inf (a sensor glitch / saturated reading) — is a
+    MISSING sample: skipped, each window averaging its finite members,
+    NaN only when NO member is finite. Two reasons this is the signal
+    tier's contract rather than IEEE propagation: (a) the O(n) prefix
+    sum is structurally non-robust to Inf — windows that do NOT
+    contain the Inf still hit inf - inf = NaN through the poisoned
+    cumulative sums, which is not even self-consistent; (b) the FFT
+    kernels downstream (filtfilt_fft, hilbert, resample) globalize any
+    non-finite input over the entire signal, so no finite-window SQL
+    semantics can ever be reproduced — masking at the kernel boundary
+    is the only contract both engines can express. The SQL twin wraps
+    the value as ``CASE WHEN isfinite(value) THEN value END``. On
+    finite input the arithmetic is bit-identical to the plain cumsum
+    (the count path divides by the same w)."""
     x = np.asarray(x, dtype=float)
-    v = ~np.isnan(x)
+    v = np.isfinite(x)
     xz = np.where(v, x, 0.0)
     c = np.cumsum(np.insert(xz, 0, 0.0))
     cn = np.cumsum(np.insert(v.astype(float), 0, 0.0))
@@ -142,7 +152,7 @@ def moving_average(x: np.ndarray, w: int, mode: str = "same") -> np.ndarray:
         return full
 
     def _edge_mean(seg: np.ndarray) -> float:
-        vs = seg[~np.isnan(seg)]
+        vs = seg[np.isfinite(seg)]
         return vs.mean() if len(vs) else float("nan")
 
     out = np.empty(len(x))

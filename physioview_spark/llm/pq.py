@@ -35,7 +35,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from physioview_spark.llm.similarity import (
-    assign_ivf_bucket, train_ivf_centroids,
+    assign_ivf_bucket, train_ivf_centroids, vector_is_finite,
 )
 
 
@@ -75,10 +75,11 @@ def encode_pq(
     nearest-centroid codes. One projection, no shuffle; gears follow
     :func:`assign_ivf_bucket` per subspace."""
     d = len(codebooks[0][0])
-    # nulls-excluded contract (r17 null-axis): a NULL vector has no
+    # excluded-vector contract (r17 null-axis, r18 extremes;
+    # similarity.vector_is_finite): a NULL or non-finite vector has no
     # nearest centroid in any subspace — it joins neither the index
     # nor any ADC scoring; callers keep such rows elsewhere if needed
-    df = df.where(F.col(vec_col).isNotNull())
+    df = df.where(vector_is_finite(F.col(vec_col)))
     codes = [
         assign_ivf_bucket(
             F.slice(F.col(vec_col), j * d + 1, d), book, method=method)
@@ -127,8 +128,9 @@ def pq_topk(
     q_rows = queries.select(q_id, q_vec).collect()
     lut_rows = []
     for r in q_rows:
-        if r[q_vec] is None:
-            continue  # nulls-excluded contract: no LUT, no matches
+        if r[q_vec] is None or not np.isfinite(
+                np.asarray(r[q_vec], dtype=np.float64)).all():
+            continue  # excluded-vector contract: no LUT, no matches
         qv = np.asarray(r[q_vec], dtype=np.float64)
         lut = [
             [round(float(np.dot(qv[j * d:(j + 1) * d], np.asarray(c))), 9)
@@ -192,8 +194,9 @@ def ivfpq_topk(
     q_rows = queries.select(q_id, q_vec).collect()
     lut_rows = []
     for r in q_rows:
-        if r[q_vec] is None:
-            continue  # nulls-excluded contract: no LUT, no matches
+        if r[q_vec] is None or not np.isfinite(
+                np.asarray(r[q_vec], dtype=np.float64)).all():
+            continue  # excluded-vector contract: no LUT, no matches
         qv = np.asarray(r[q_vec], dtype=np.float64)
         lut = [
             [round(float(np.dot(qv[j * d:(j + 1) * d], np.asarray(c))), 9)

@@ -87,10 +87,14 @@ def cosine_topk(
     scale gear; the default stays on deterministic JVM expressions for
     the oracle-pinned fixtures."""
     cos = _cosine_by(method)
-    q = queries.select(
+    # excluded-vector contract (vector_is_finite): a NULL vector's NULL
+    # sim already sorts last on both engines, but a NaN-component
+    # vector's NaN sim sorts FIRST — filter both sides explicitly
+    q = queries.where(vector_is_finite(F.col(vec_col))).select(
         F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.where(vector_is_finite(F.col(vec_col))).select(
+        F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("match_id"))
@@ -253,10 +257,12 @@ def lsh_topk(
     ``method='matmul'``), where each vector crosses the boundary once
     per bucket, not once per pair.
     """
-    q = queries.select(
+    # excluded-vector contract (vector_is_finite): search family —
+    # both sides drop NULL/non-finite vectors
+    q = queries.where(vector_is_finite(F.col(vec_col))).select(
         F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = corpus.where(vector_is_finite(F.col(vec_col))).select(
         F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv")
     )
     if n_bands == 1 and n_probe == 0:
@@ -335,7 +341,14 @@ def embedding_near_dups(
     ~2 x n_bands members — i.e. exactly when the expr path starts to
     hurt. All gears round cosine to 6 decimals, treat zero-norm as
     never-similar, and dedupe pairs found by several bands."""
-    v = df.select(id_col, vec_col)
+    # excluded-vector contract (vector_is_finite): dedup-family
+    # semantics — NULL/non-finite vectors emit NO pairs (trivially
+    # unique); without the filter a NaN component turns every plane
+    # dot NaN and every sign bit 1 (NaN compares greatest on both
+    # engines), so ALL poisoned vectors would collapse into the
+    # all-ones bucket of every band and NaN cosine >= threshold (true
+    # under NaN-greatest) would pair them with everything there
+    v = df.where(vector_is_finite(F.col(vec_col))).select(id_col, vec_col)
     banded = v.select(
         id_col,
         F.explode(_banded_buckets(F.col(vec_col), n_planes, dim,
@@ -557,7 +570,11 @@ def semantic_dedup(
                 hit = S[iu, ju] >= thr
             return pd.DataFrame({id_col: np.unique(ids[ju[hit]])})
 
-        dropped = scored.groupBy("bucket").applyInPandas(
+        # NULL-bucket rows (NULL/non-finite vectors, kept as
+        # trivially-unique) must not reach the Gram matmul —
+        # np.stack would crash on None and NaN rows poison S
+        dropped = scored.where(F.col("bucket").isNotNull()) \
+            .groupBy("bucket").applyInPandas(
             _bucket_dropped,
             schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}"
         ).distinct()
@@ -583,7 +600,10 @@ def train_ivf_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    df = corpus.select(F.col(vec_col).alias("__v"))
+    # excluded-vector contract (vector_is_finite): one NaN vector in
+    # the training sample would poison every centroid it touches
+    df = corpus.where(vector_is_finite(F.col(vec_col))).select(
+        F.col(vec_col).alias("__v"))
     if sample_fraction:
         df = df.sample(fraction=sample_fraction, seed=seed)
     feats = df.select(array_to_vector(
@@ -607,12 +627,31 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array(*dists)
 
 
+def vector_is_finite(c: Column) -> Column:
+    """VECTOR FINITENESS CONTRACT (r17 NULL-vector wave, extended by
+    the r18 extremes axis): a vector that is NULL or contains ANY
+    non-finite component (NaN / +-Inf — training bugs and overflowed
+    encoders produce both at corpus scale) has no usable geometry.
+    The search/quantization family (cosine/LSH/kNN/IVF/PQ/int8/
+    centroids) EXCLUDES such vectors on both the query and corpus
+    sides; the dedup family KEEPS them as trivially-unique (their
+    bucket is NULL, so the bucket equi-join never pairs them — same
+    mechanism that keeps NULL vectors). Without the exclusion a NaN
+    component is not inert: NaN cosine scores sort FIRST under
+    descending rank on both engines (NaN is greatest), so one poisoned
+    vector would top every query's top-k, and NaN >= threshold is TRUE
+    so it would 'near-duplicate' everything in its bucket."""
+    return c.isNotNull() & ~F.exists(
+        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+
+
 def assign_ivf_bucket(
     vec: Column,
     centroids: list[list[float]],
     method: str = "auto",
 ) -> Column:
-    """Nearest-centroid id, two gears:
+    """Nearest-centroid id (NULL for NULL/non-finite vectors — the
+    finiteness contract; see :func:`vector_is_finite`), two gears:
 
     - ``expr``: argmin over literal centroid-distance expressions —
       pure JVM, zero Python, the right gear for small codebooks (the
@@ -641,7 +680,12 @@ def assign_ivf_bucket(
             else "expr"
     if method == "expr":
         d = _centroid_dists(vec, centroids)
-        return F.array_position(d, F.array_min(d)).cast("int") - 1
+        # NULL vec -> NULL dists -> NULL bucket falls out naturally; a
+        # NaN component would NOT (all-NaN dists argmin to bucket 0 via
+        # NaN-equality), hence the explicit finiteness gate
+        return F.when(
+            vector_is_finite(vec),
+            F.array_position(d, F.array_min(d)).cast("int") - 1)
     if method != "pandas":
         raise ValueError(f"method must be auto|expr|pandas, got {method!r}")
     from pyspark.sql.functions import pandas_udf
@@ -651,10 +695,22 @@ def assign_ivf_bucket(
 
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        # |x|^2 is constant per row -> argmin needs only -2xC^T + |c|^2
-        scores = -2.0 * (X @ C.T) + c2
-        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+        # row-mask NULL/non-finite vectors to a NULL bucket instead of
+        # letting np.stack crash on None (the pre-r18 gear assumed a
+        # pre-filtered input — untrue for the dedup family's frames)
+        arrs = v.to_numpy()
+        mask = np.array([
+            a is not None
+            and np.isfinite(np.asarray(a, dtype=np.float64)).all()
+            for a in arrs])
+        out = np.full(len(arrs), -1, dtype=np.int64)
+        if mask.any():
+            X = np.stack(arrs[mask]).astype(np.float64)
+            # |x|^2 constant per row -> argmin needs only -2xC^T + |c|^2
+            scores = -2.0 * (X @ C.T) + c2
+            out[mask] = np.argmin(scores, axis=1)
+        return pd.Series(
+            [int(x) if x >= 0 else None for x in out], dtype="Int32")
 
     return _assign(vec)
 
@@ -691,7 +747,11 @@ def probe_ivf_buckets(
         pairs = F.transform(
             _centroid_dists(vec, centroids),
             lambda d, i: F.struct(d.alias("d"), i.alias("bucket")))
-        return F.slice(F.array_sort(pairs), 1, n_probe)["bucket"]
+        # finiteness gate: NULL probe set for NULL/non-finite vectors
+        # (see assign_ivf_bucket)
+        return F.when(
+            vector_is_finite(vec),
+            F.slice(F.array_sort(pairs), 1, n_probe)["bucket"])
     if method != "pandas":
         raise ValueError(f"method must be auto|expr|pandas, got {method!r}")
     from pyspark.sql.functions import pandas_udf
@@ -702,12 +762,22 @@ def probe_ivf_buckets(
 
     @pandas_udf("array<int>")
     def _probe(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        scores = -2.0 * (X @ C.T) + c2
-        # stable full argsort: ascending distance, ties to lowest id
-        # (argpartition would be O(k) but breaks ties arbitrarily)
-        order = np.argsort(scores, axis=1, kind="stable")[:, :p]
-        return pd.Series([row.astype(np.int32) for row in order])
+        # same row-masking as _assign: NULL/non-finite -> NULL probes
+        arrs = v.to_numpy()
+        mask = np.array([
+            a is not None
+            and np.isfinite(np.asarray(a, dtype=np.float64)).all()
+            for a in arrs])
+        rows: list = [None] * len(arrs)
+        if mask.any():
+            X = np.stack(arrs[mask]).astype(np.float64)
+            scores = -2.0 * (X @ C.T) + c2
+            # stable full argsort: ascending distance, ties to lowest id
+            # (argpartition would be O(k) but breaks ties arbitrarily)
+            order = np.argsort(scores, axis=1, kind="stable")[:, :p]
+            for i, row in zip(np.nonzero(mask)[0], order):
+                rows[i] = row.astype(np.int32)
+        return pd.Series(rows)
 
     return _probe(vec)
 
@@ -734,16 +804,17 @@ def ivf_topk(
     assignment and the query probes pick the expr/pandas gear by the
     codebook's k x dim (see :func:`probe_ivf_buckets`).
     """
-    # nulls-excluded contract (r17 null-axis): the sorted PROBE
-    # expressions do not null-propagate the way the argmin does, so a
-    # NULL vector would land in arbitrary buckets and surface as
-    # null-scored matches — exclude both sides up front
-    c = corpus.where(F.col(vec_col).isNotNull()).select(
+    # excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+    # non-finite vectors have no usable geometry — exclude both sides
+    # up front (see vector_is_finite; the bucket/probe columns also
+    # NULL out for them, but the explicit filter keeps the contract
+    # visible at the join inputs)
+    c = corpus.where(vector_is_finite(F.col(vec_col))).select(
         F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv")
     ).withColumn("bucket", assign_ivf_bucket(F.col("__cv"), centroids,
                                              method=method))
 
-    qd = queries.where(F.col(vec_col).isNotNull()).select(
+    qd = queries.where(vector_is_finite(F.col(vec_col))).select(
         F.col(q_id).alias("query_id"), F.col(vec_col).alias("__qv"))
     q = (qd.withColumn(
             "bucket",
@@ -783,6 +854,12 @@ def quantize_int8(
     doubles is deterministic and SQL-reproducible, so quantized tables
     hash-match across engines.
     """
+    # excluded-vector contract (vector_is_finite): a NaN/Inf component
+    # makes scale NaN/Inf and, under the driver session's ANSI mode,
+    # the tinyint cast of a NaN code THROWS — non-finite vectors are
+    # excluded like NULLs (quantized farms serve the search family,
+    # which excludes them anyway)
+    df = df.where(vector_is_finite(F.col(vec_col)))
     v = F.col(vec_col)
     amax = F.aggregate(
         F.transform(v, lambda x: F.abs(x.cast("double"))),
@@ -796,8 +873,18 @@ def quantize_int8(
                    F.transform(v, lambda x: F.lit(0).cast("tinyint")))
             .otherwise(F.transform(
                 v,
+                # try_cast, NOT cast: identical on every row that
+                # survives the finiteness filter (codes are in
+                # [-127, 127] by construction), but ANSI-safe when
+                # Catalyst's InferFiltersFromGenerate clones this
+                # expression into the pushed-down filter and codegen's
+                # common-subexpression elimination evaluates it BEFORE
+                # the short-circuiting vector_is_finite conjunct —
+                # observed: a NaN component crashed the declared query
+                # (CAST_OVERFLOW) even though the filter precedes this
+                # projection in the plan
                 lambda x: F.round(x.cast("double") / F.col("__s"), 0)
-                .cast("tinyint"))))
+                .try_cast("tinyint"))))
         .withColumn(scale_col, F.round(F.col("__s"), 9))
         .drop("__s")
     )
@@ -842,7 +929,9 @@ def label_centroids(
     exist (collect it yourself if it feeds ``assign_ivf_bucket``
     literals).
     """
-    ex = df.select(
+    # excluded-vector contract (vector_is_finite): one NaN component
+    # would poison its coordinate's mean for the whole label
+    ex = df.where(vector_is_finite(F.col(vec_col))).select(
         label_col, F.posexplode(vec_col).alias("__i", "__x"))
     m = ex.groupBy(label_col, "__i").agg(
         F.avg(F.col("__x").cast("double")).alias("__mx"),
@@ -1024,7 +1113,9 @@ def semantic_dedup_delta(
             res["__b_sim"] = res["__b_sim"].astype("Float64")
             return res
 
-        best = union.groupBy("bucket").applyInPandas(
+        # same NULL-bucket guard as semantic_dedup's matmul gear
+        best = union.where(F.col("bucket").isNotNull()) \
+            .groupBy("bucket").applyInPandas(
             _bucket_best,
             schema=f"__nid {id_sql_type}, __c_mid {id_sql_type}, "
                    f"__c_sim double, __b_mid {id_sql_type}, "

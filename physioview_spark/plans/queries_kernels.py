@@ -564,7 +564,10 @@ def corrections_accept_revert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("moving_average_events", """
 SELECT user_id, event_id,
-       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       -- finite-samples contract (dsp/apply.py moving_average): a
+       -- non-finite sample is a MISSING sample on the signal tier
+       ROUND(AVG(CASE WHEN isfinite(value) THEN value END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS value_ma
 FROM events
 """)

@@ -222,7 +222,8 @@ def _seed_codebook(emb: DataFrame) -> list[list[float]]:
     raises instead of silently degenerating to a dummy codebook that
     scores everything 0.0 while the oracles' empty cents CTE returns
     no rows (ADVICE r17 item 4)."""
-    nonnull = emb.where(F.col("embedding").isNotNull())
+    nonnull = emb.where(
+        similarity.vector_is_finite(F.col("embedding")))
     rows = (
         nonnull.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
         .orderBy("vec_id").select("embedding").collect()
@@ -240,12 +241,15 @@ def _seed_codebook(emb: DataFrame) -> list[list[float]]:
 
 
 @q("embedding_cosine_topk", """
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+WITH fin AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0),
+q AS (SELECT vec_id, embedding FROM fin WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS match_id,
          ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
                                       c.embedding::DOUBLE[]), 6) AS sim
-  FROM embeddings c, q
+  FROM fin c, q
   WHERE q.vec_id != c.vec_id
 )
 SELECT query_id, match_id, sim,
@@ -1410,8 +1414,8 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_ann_lsh", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,
     (SELECT SUM((strpos('0123456789abcdef',
@@ -1428,7 +1432,9 @@ WITH planes AS (
          CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
                        THEN (1::BIGINT << (3 - (p.p % 4))) ELSE 0 END)
               AS INT) AS bucket
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, pvec p
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) e, pvec p
   GROUP BY e.vec_id, e.embedding, p.p // 4
 ), cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
@@ -1463,16 +1469,20 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_ann_ivf", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) e, cents c
 ), assigned AS (
   SELECT vec_id, embedding, cid AS bucket
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1514,16 +1524,20 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_semantic_dedup", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) e, cents c
 ), assigned AS (
   SELECT vec_id, embedding, cid AS bucket
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1540,10 +1554,12 @@ SELECT a.vec_id, CAST(a.bucket AS INT) AS bucket
 FROM assigned a
 WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
 UNION ALL
--- dedup KEEPS null vectors: nothing to compare them with, so they are
--- trivially unique (bucket NULL — the engine's assign propagates null)
+-- dedup KEEPS excluded (NULL/non-finite) vectors: nothing to compare
+-- them with, so they are trivially unique (bucket NULL — the engine's
+-- finiteness-gated assign yields NULL for them)
 SELECT vec_id, CAST(NULL AS INT) AS bucket
 FROM embeddings WHERE embedding IS NULL
+   OR len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
 """)
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: IVF-bucket by nearest centroid
@@ -1557,18 +1573,22 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_ann_pq", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding::DOUBLE[] AS e
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), sub AS (
   SELECT v.vec_id, j.j AS sub, c.cid,
          list_distance(list_slice(v.embedding::DOUBLE[],
                                   j.j * 8 + 1, j.j * 8 + 8),
                        list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)) AS d
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
 ), codes AS (
   SELECT vec_id, sub, cid AS code
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
@@ -1580,7 +1600,9 @@ WITH cents AS (
                                            j.j * 8 + 1, j.j * 8 + 8),
                                 list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)),
                9) AS dp
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
   WHERE q.vec_id < 10
 ), scored AS (
   SELECT l.query_id, co.vec_id AS match_id, ROUND(SUM(l.dp), 6) AS score
@@ -1618,16 +1640,20 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_ann_ivfpq", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding::DOUBLE[] AS e
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT v.vec_id, c.cid,
          list_distance(v.embedding::DOUBLE[], c.e) AS d
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) v, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) v, cents c
 ), assigned AS (
   SELECT vec_id, cid AS bucket
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1644,7 +1670,9 @@ WITH cents AS (
          list_distance(list_slice(v.embedding::DOUBLE[],
                                   j.j * 8 + 1, j.j * 8 + 8),
                        list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)) AS d
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) v, cents c, UNNEST(generate_series(0, 7)) AS j(j)
 ), codes AS (
   SELECT vec_id, sub, cid AS code
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
@@ -1656,7 +1684,9 @@ WITH cents AS (
                                            j.j * 8 + 1, j.j * 8 + 8),
                                 list_slice(c.e, j.j * 8 + 1, j.j * 8 + 8)),
                9) AS dp
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) q, cents c, UNNEST(generate_series(0, 7)) AS j(j)
   WHERE q.vec_id < 10
 ), scored AS (
   SELECT l.query_id, co.vec_id AS match_id, ROUND(SUM(l.dp), 6) AS score
@@ -1698,16 +1728,20 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_semantic_dedup_delta", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) e, cents c
 ), assigned AS (
   SELECT vec_id, embedding, cid AS bucket
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1756,6 +1790,18 @@ SELECT n.vec_id,
 FROM nb n
 LEFT JOIN corp_best c ON c.vec_id = n.vec_id
 LEFT JOIN batch_best b ON b.vec_id = n.vec_id
+UNION ALL
+-- dedup KEEPS excluded (NULL/non-finite) NEW-BATCH vectors as
+-- trivially-unique 'keep' decisions. Latent r17 hole the null axis
+-- could never see: vec_id % 10 = 3 (its NULL ids) and % 8 = 0 (the
+-- delta slice) have no common solution, so the missing branch only
+-- surfaces under the extremes axis' coprime moduli
+SELECT vec_id, 'keep' AS decision,
+       CAST(-1 AS BIGINT) AS match_id, -1.0 AS sim
+FROM embeddings
+WHERE vec_id % 8 = 0
+  AND (embedding IS NULL
+       OR len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0)
 """)
 def embedding_semantic_dedup_delta(
         spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,16 +1827,20 @@ def embedding_semantic_dedup_delta(
 
 
 @q("streaming_semantic_dedup", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings WHERE vec_id < 16 AND vec_id % 2 = 0
 ), dists AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, cents c
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) e, cents c
 ), assigned AS (
   SELECT vec_id, embedding, CAST(vec_id % 2 AS INT) AS batch,
          cid AS bucket
@@ -1839,11 +1889,12 @@ FROM assigned n
 LEFT JOIN corp_best c ON c.vec_id = n.vec_id
 LEFT JOIN batch_best b ON b.vec_id = n.vec_id
 UNION ALL
--- dedup KEEPS null vectors: nothing to compare them with, so every
--- null-vector batch row is a trivially-unique 'keep' decision
+-- dedup KEEPS excluded (NULL/non-finite) vectors: nothing to compare
+-- them with, so every such batch row is a trivially-unique 'keep'
 SELECT vec_id, 'keep' AS decision,
        CAST(-1 AS BIGINT) AS match_id, -1.0 AS sim
 FROM embeddings WHERE embedding IS NULL
+   OR len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
 """)
 def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch unification for SEMANTIC dedup, hash-gated: the
@@ -2117,8 +2168,8 @@ def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_near_dup_pairs", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,
     (SELECT SUM((strpos('0123456789abcdef',
@@ -2134,7 +2185,9 @@ WITH planes AS (
   SELECT e.vec_id, p.p AS p,
          CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
               THEN 1 ELSE 0 END AS s
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, pvec p
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) e, pvec p
 ), banded AS (
   SELECT vec_id, CAST(p // 3 AS INT) AS band,
          CAST(SUM(s * (1 << (2 - (p % 3)))) AS INT) AS bucket
@@ -2168,8 +2221,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_knn_graph", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH planes AS (
   SELECT pp.p AS p, ii.i AS i,
     (SELECT SUM((strpos('0123456789abcdef',
@@ -2185,7 +2238,9 @@ WITH planes AS (
   SELECT e.vec_id, p.p AS p,
          CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.h) >= 0
               THEN 1 ELSE 0 END AS s
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, pvec p
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) e, pvec p
 ), banded AS (
   SELECT vec_id, CAST(p // 3 AS INT) AS band,
          CAST(SUM(s * (1 << (2 - (p % 3)))) AS INT) AS bucket
@@ -2226,15 +2281,19 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_label_centroids", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH ex AS (
   SELECT label, j.j - 1 AS idx, (embedding::DOUBLE[])[j.j] AS x
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, UNNEST(generate_series(1, 64)) AS j(j)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings, UNNEST(generate_series(1, 64)) AS j(j)
 ), m AS (
   SELECT label, idx, AVG(x) AS mx FROM ex GROUP BY label, idx
 ), n AS (
-  SELECT label, COUNT(*) AS n_vecs FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings GROUP BY label
+  SELECT label, COUNT(*) AS n_vecs FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings GROUP BY label
 )
 SELECT n.label, n.n_vecs, m.idx, ROUND(m.mx, 6) AS value
 FROM n JOIN m USING (label)
@@ -2258,10 +2317,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("embedding_quantize_int8", """
--- nulls-excluded contract (r17 null-axis): NULL vectors join
--- neither side of any similarity computation
+-- excluded-vector contract (r17 null-axis, r18 extremes): NULL or
+-- non-finite vectors join neither side of any similarity computation
 WITH t AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0) embeddings
 ), s AS (
   SELECT vec_id, e,
          list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc

@@ -726,7 +726,15 @@ WITH s AS (
 SELECT subject_id, w,
        COUNT(*) AS n,
        AVG(value) AS mu,
-       ROUND(STDDEV_SAMP(value), 6) AS v_std,
+       -- DuckDB STDDEV throws Out of Range on non-finite input where
+       -- Spark propagates NaN (n >= 2) / NULL (n = 1) — redirect the
+       -- non-finite n >= 2 path to Spark's NaN before the aggregate
+       CASE WHEN COUNT(value) > 1 AND COUNT(*) FILTER (
+                 WHERE isnan(value) OR isinf(value)) > 0
+            THEN 'nan'::DOUBLE
+            ELSE ROUND(STDDEV_SAMP(CASE WHEN isnan(value) OR isinf(value)
+                                        THEN NULL ELSE value END), 6)
+       END AS v_std,
        ROUND(MIN(value), 6) AS v_min,
        ROUND(MAX(value), 6) AS v_max,
        ROUND(MAX(value) - MIN(value), 6) AS v_range,
@@ -755,9 +763,13 @@ SELECT g.subject_id,
        g.v_iqr, g.v_pct05, g.v_pct95,
        -- + 0.0 canonicalizes IEEE -0.0 (a symmetric two-point window's
        -- m3 rounds to -0.0 under the two-pass form; Spark emits +0.0)
-       CASE WHEN m.m2 > 0
+       -- isfinite guard (r18 extremes): NaN/Inf inputs poison the
+       -- central moments; Spark's skewness/kurtosis then emit NaN,
+       -- which the engine query maps to NULL — and DuckDB's NaN > 0
+       -- is TRUE, so without the guard the CASE would compute NaN
+       CASE WHEN m.m2 > 0 AND isfinite(m.m2)
             THEN ROUND(m.m3 / POW(m.m2, 1.5), 6) + 0.0 END AS v_skewness,
-       CASE WHEN m.m2 > 0
+       CASE WHEN m.m2 > 0 AND isfinite(m.m2)
             THEN ROUND(m.m4 / (m.m2 * m.m2) - 3.0, 6) + 0.0 END AS v_kurtosis
 FROM g JOIN m USING (subject_id, w)
 """)
@@ -821,7 +833,16 @@ WITH s1 AS (
          CAST(nv < v AS INT) * 4 + CAST(nv2 < v AS INT) * 2
          + CAST(nv2 < nv AS INT) END AS pat,
     ABS(v - lv) AS dv,
-    CASE WHEN sign(v) <> sign(lv) THEN 1 ELSE 0 END AS sc,
+    -- sign-with-NaN (r18 extremes): DuckDB sign(NaN) = 0 but Spark
+    -- signum(NaN) = NaN, so a zero -> NaN transition counts as a sign
+    -- change on the engine side only; lift NaN through sign() to get
+    -- IEEE/engine semantics (NaN <> NaN is false on both engines,
+    -- NaN <> finite is true)
+    CASE WHEN (CASE WHEN isnan(v) THEN 'nan'::DOUBLE
+                    ELSE CAST(sign(v) AS DOUBLE) END) <>
+              (CASE WHEN isnan(lv) THEN 'nan'::DOUBLE
+                    ELSE CAST(sign(lv) AS DOUBLE) END)
+         THEN 1 ELSE 0 END AS sc,
     CASE WHEN lv IS NULL OR lv <> v THEN 1 ELSE 0 END AS rs,
     CASE WHEN lv < v THEN 1 ELSE 0 END AS lok,
     CASE WHEN nv < v THEN 1 ELSE 0 END AS rok

@@ -1,14 +1,15 @@
 """One-command hostile-axis battery (VERDICT r17 item 5).
 
 Runs the full oracle gate (tools/check_oracle.py) over the base corpus
-AND the four hostile axes — empty, skew, null-heavy, unicode —
+AND the five hostile axes — empty, skew, null-heavy, unicode,
+extremes —
 printing one summary line per axis and exiting nonzero if ANY axis
 records a FAIL. This is the standing final-bytes battery: the r17/r18
 rounds proved each axis finds real defects, so every engine round runs
 this before its closing commit and records the per-axis counts in
 PLANS.md.
 
-    python tools/axis_sweep.py                 # base sf0.01 + 4 axes
+    python tools/axis_sweep.py                 # base sf0.01 + 5 axes
     python tools/axis_sweep.py /root/testdata/sf0.01 doc_token_chunks
                                                # subset of queries
 
@@ -64,6 +65,7 @@ def main() -> None:
         "skew": "/tmp/pv_skew",
         "nulls": "/tmp/pv_nulls",
         "unicode": "/tmp/pv_unicode",
+        "extremes": "/tmp/pv_extremes",
     }
     missing = [d for n, d in axes.items()
                if n != "base" and not os.path.isdir(d)]

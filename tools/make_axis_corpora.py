@@ -1,4 +1,4 @@
-"""(Re)generate the three hostile-axis corpora (VERDICT r17 item 5).
+"""(Re)generate the hostile-axis corpora (VERDICT r17 item 5).
 
 The r17 round proved each axis finds real defects (8 empty, 1 skew, 24
 null-heavy findings); this tool makes their generation deterministic
@@ -16,6 +16,33 @@ and standing instead of a one-off session artifact. Axes:
 - ``nulls``  — the NULL/empty-value axis: 20% NULL event values, 5%
   NULL event_type, 10% NULL + 10% empty-string document text, 10%
   NULL lang, 10% NULL embedding arrays.
+- ``extremes`` — the numeric-extremes axis (r18): NaN / +-Inf /
+  +-1e4 / IEEE -0.0 / NULL event values at coprime id-modulo rates
+  (~5% each, so most windows stay finite but some get each poison),
+  plus NaN/+-Inf embedding COMPONENTS and 1e4-scaled vectors — one
+  poisoned vector sits at a SEED id (vec_id 4, even < 16) so the
+  codebook path itself must apply the finiteness filter (the
+  excluded-vector contract, similarity.vector_is_finite: search/
+  quantization excludes NULL-or-non-finite vectors on both sides,
+  dedup keeps them as trivially-unique NULL-bucket rows).
+  Sensor glitches and saturated readings are routine at 100 TB; the
+  contract split is: SIGNAL tier (dsp kernels via apply_kernel) treats
+  non-finite samples as MISSING (dsp/apply.py moving_average — the
+  prefix-sum and FFT kernels cannot express finite-window IEEE
+  semantics), RELATIONAL tier (SQL aggregates) propagates per IEEE,
+  with oracle guards where DuckDB's aggregate THROWS instead of
+  propagating (STDDEV/VAR/SKEW/KURT/CORR raise Out of Range on
+  non-finite input where Spark yields NaN). Outlier magnitude is
+  capped at 1e4 — the 6-decimal-rounding comparability envelope, set
+  by the HIGHEST-ORDER form among declared queries: a 1e12 probe made
+  the kernel's prefix-sum and DuckDB's window AVG differ by
+  float-summation ORDER alone (~1e-4 absolute at 1e11 magnitudes,
+  where ROUND(x, 6) is an identity), and a 1e6 probe still left
+  ~5e-6 evaluation-order noise in svd_entropy's lag-embedding
+  Gram/acos closed form (quadratic terms span 1e12, cancelling ~8
+  significant digits). No cross-engine contract can close
+  float-ordering noise; at 1e4 it sits below the rounding grid for
+  every declared form and real semantic divergences stay visible.
 - ``unicode`` — the multibyte/hostile-whitespace text axis (r18):
   10% CJK+emoji prefixes (supplementary-plane code points through
   split/substring/length/md5), 10% combining-diacritic + NBSP/ZWJ
@@ -40,7 +67,7 @@ base. Usage::
 
 Defaults: base /root/testdata/sf0.01 (empty uses sf0.001 — row count
 is irrelevant at zero rows and the schema is identical), out_root
-/tmp (corpora land at <out_root>/pv_{empty,skew,nulls}).
+/tmp (corpora land at <out_root>/pv_{empty,skew,nulls,unicode,extremes}).
 """
 
 from __future__ import annotations
@@ -75,6 +102,27 @@ _DUCK_TRANSFORMS = {
                        FROM read_parquet('{src}/embeddings.parquet')
                        ORDER BY vec_id LIMIT 1)
                  ELSE embedding END AS embedding)""",
+    },
+    "extremes": {
+        "events": """REPLACE (
+            CASE WHEN event_id % 19 = 4  THEN 'nan'::DOUBLE
+                 WHEN event_id % 23 = 7  THEN 'infinity'::DOUBLE
+                 WHEN event_id % 29 = 11 THEN '-infinity'::DOUBLE
+                 WHEN event_id % 31 = 13 THEN 1e4
+                 WHEN event_id % 37 = 17 THEN -1e4
+                 WHEN event_id % 41 = 23 THEN -0.0
+                 WHEN event_id % 43 = 29 THEN NULL
+                 ELSE value END AS value)""",
+        "embeddings": """REPLACE (
+            (CASE WHEN vec_id = 4
+                     THEN ['infinity'::FLOAT] || embedding[2:]
+                 WHEN vec_id % 13 = 3
+                     THEN ['nan'::FLOAT] || embedding[2:]
+                 WHEN vec_id % 17 = 5
+                     THEN ['-infinity'::FLOAT] || embedding[2:]
+                 WHEN vec_id % 23 = 7
+                     THEN list_transform(embedding, x -> x * 1e4)
+                 ELSE embedding END)::FLOAT[] AS embedding)""",
     },
     "unicode": {
         "documents": """REPLACE (
@@ -168,7 +216,7 @@ def main() -> None:
         empty_schema_src = src
     make_empty(os.path.join(root, "pv_empty"), empty_schema_src)
     print(f"wrote {root}/pv_empty (schemas from {empty_schema_src})")
-    for axis in ("skew", "nulls", "unicode"):
+    for axis in ("skew", "nulls", "unicode", "extremes"):
         out = os.path.join(root, f"pv_{axis}")
         make_transformed(axis, out, src)
         print(f"wrote {out} (from {src})")
