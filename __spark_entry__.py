@@ -51,7 +51,6 @@ _CHANGED_IN_ROUND = {
     # trigram_typicality, llm.similarity.semantic_dedup_delta, or the
     # metrics pin sites re-attests (tools/changed_queries.py list).
     # CORRECTNESS_r17 does not exist yet, so the edit round is 17.
-    "cardiac_summary_rollup": 17,
     "doc_decontaminate": 17,
     "doc_dedup_delta": 17,
     "doc_dup_clusters": 17,
@@ -63,14 +62,11 @@ _CHANGED_IN_ROUND = {
     "doc_tfidf_topk": 17,
     "doc_trigram_typicality": 17,
     "kernel_cardiac_rolling_ppg": 17,
-    "kernel_cardiac_sqa_ecg": 17,
     "multimodal_audio_near_dups": 17,
     "multimodal_blocks_near_dups": 17,
     "multimodal_image_dedup_decisions": 17,
     "multimodal_image_near_dups": 17,
     "seconds_hr_context": 17,
-    "sqa_missing_segments": 17,
-    "sqa_rolling_metrics": 17,
     "streaming_near_dup_pairs": 17,
     # r17 (ADVICE r16 item 2): top_revenue_nations' body extracted to a
     # shared top_revenue_nations_body so tools/bench_bucketing.py
@@ -194,6 +190,24 @@ _CHANGED_IN_ROUND = {
     "doc_temperature_mixture": 18,
     "doc_vocabulary_topk": 18,
     "doc_winnow_fingerprints": 18,
+    # r18 optimization: the three [current, unbounded following] window
+    # frames (metrics.get_missing backfill, asof_join forward pass,
+    # interp_join forward carry) rewritten as running frames over the
+    # reversed sort order — Spark's UnboundedFollowingWindowFunctionFrame
+    # re-scans the tail per row (O(n^2) per group; a measured 28.9 s
+    # single-task straggler on sqa_missing_segments at sf0.1), the
+    # reversed last(ignorenulls) frame is incremental O(n). Value-
+    # identical (ties resolved by the same keys, directions all
+    # flipped); sf0.01 oracle re-green on the full reacher set.
+    "asof_latest_order": 18,
+    "asof_tolerance_match": 18,
+    "beat_edits_applied": 18,
+    "e4_ingest_aligned": 18,
+    "order_value_interp": 18,
+    "sqa_missing_segments": 18,
+    "cardiac_summary_rollup": 18,
+    "sqa_rolling_metrics": 18,
+    "kernel_cardiac_sqa_ecg": 18,
 }
 
 

@@ -136,17 +136,27 @@ def asof_join(
         .orderBy(F.col("__k"), F.col("__side"), F.col("__s").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Forward pass as a RUNNING frame over the fully REVERSED order:
+    # first(ignorenulls) over [current, unbounded following] re-scans the
+    # partition tail per row in Spark's WindowExec — O(n^2) per group —
+    # while last(ignorenulls) over [unbounded preceding, current] is the
+    # O(n) incremental frame. Every sort key's direction (and null
+    # placement) flips, so the frame covers exactly the same row set and
+    # the nearest tie-winner is unchanged: at equal __k the right rows
+    # still sort adjacent to (now before) the left row, and within a
+    # tied right group last() picks the largest __s, as first() did
+    # under __s.desc.
     w_fwd = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__k"), F.col("__side").desc(),
-                 F.col("__s").desc_nulls_last())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__k").desc(), F.col("__side"),
+                 F.col("__s").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = unioned
     if direction in ("backward", "nearest"):
         out = out.withColumn("__bp", F.last("__p", ignorenulls=True).over(w_back))
     if direction in ("forward", "nearest"):
-        out = out.withColumn("__fp", F.first("__p", ignorenulls=True).over(w_fwd))
+        out = out.withColumn("__fp", F.last("__p", ignorenulls=True).over(w_fwd))
     out = out.where(F.col("__side") == 1)
     for c in carried:
         if direction in ("backward", "nearest"):
@@ -265,13 +275,17 @@ def interp_join(
         Window.partitionBy(*by).orderBy("__k", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Reversed running frame instead of [current, unbounded following]
+    # (same O(n^2) -> O(n) rewrite as asof_join's forward pass above;
+    # right keys are unique per group here — callers pre-aggregate — so
+    # the reversal cannot flip a tie).
     w_fwd = (
-        Window.partitionBy(*by).orderBy("__k", F.col("__side").desc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        Window.partitionBy(*by).orderBy(F.col("__k").desc(), "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     carry_b = {c: F.last(c, ignorenulls=True).over(w_back)
                for c in ("__rk", "__v", "__pk", "__pv")}
-    carry_f = {c: F.first(c, ignorenulls=True).over(w_fwd)
+    carry_f = {c: F.last(c, ignorenulls=True).over(w_fwd)
                for c in ("__rk", "__v", "__nk", "__nv")}
     out = unioned.withColumns(
         {f"__b{c}": e for c, e in carry_b.items()}

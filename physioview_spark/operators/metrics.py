@@ -330,13 +330,21 @@ def get_missing(
             ),
         ).otherwise(F.col("n_expected_f")),
     )
+    # Leading backfill as a RUNNING frame over the reversed order:
+    # first(ignorenulls) over [current, unbounded following] makes Spark's
+    # WindowExec re-scan the tail for every row — O(n^2) per subject
+    # (measured: a single 28.9 s straggler task on the sf0.1 spine,
+    # guide §1.1/§7.1) — while last(ignorenulls) over
+    # [unbounded preceding, current] is the incremental running frame,
+    # O(n). Identical values: segment is unique per subject, so the
+    # reversed order has no ties.
     w_backfill = (
-        Window.partitionBy(B).orderBy("segment")
-        .rowsBetween(0, Window.unboundedFollowing)
+        Window.partitionBy(B).orderBy(F.desc("segment"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     m = m.withColumn(
         "n_expected",
-        F.first("n_expected_f", ignorenulls=True).over(w_backfill).cast("long"),
+        F.last("n_expected_f", ignorenulls=True).over(w_backfill).cast("long"),
     )
     m = m.withColumn(
         "n_missing",
