@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from physioview_spark import cache as _cache
-from physioview_spark.llm.text import tokens as word_tokens, word_shingles
+from physioview_spark.llm.text import (
+    tokens as word_tokens,
+    word_shingles,
+    word_shingles_of,
+)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -41,8 +45,17 @@ def shingle_frame(df: DataFrame, text_col: str = "text",
     """(id, shingle) rows; ``distinct`` dedups them (a corpus-wide
     shuffle — pass False when the consumer is duplicate-insensitive,
     e.g. a per-doc min)."""
-    out = df.select(
-        id_col, F.explode(word_shingles(text_col, k)).alias("shingle")
+    # token array materialized before the shingle lambda references it:
+    # interpreted HOFs have no subexpression elimination, so the inline
+    # word_shingles() form re-tokenized the whole text once per shingle
+    # position (measured 3.08 s -> 0.36 s on this frame at sf0.1, r18)
+    out = (
+        df.select(id_col, word_tokens(text_col).alias("__sh_toks"))
+        .select(
+            id_col,
+            F.explode(
+                word_shingles_of(F.col("__sh_toks"), k)).alias("shingle"),
+        )
     )
     return out.distinct() if distinct else out
 

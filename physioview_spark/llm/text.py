@@ -171,10 +171,15 @@ def detect_language(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, pred)
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """k-word shingles as strings ('w1 w2 w3'); fewer than k words -> the
-    whole text as one shingle."""
-    toks = tokens(col)
+def word_shingles_of(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED token-array column.
+
+    Frame-level callers must project :func:`tokens` into a column first
+    and pass the attribute: the per-position lambda below references
+    ``toks``, and interpreted higher-order functions have NO
+    subexpression elimination — passing the raw ``tokens()`` expression
+    re-tokenizes the whole text once per shingle position (measured
+    8.5x on shingle_frame: 3.08 s -> 0.36 s at sf0.1, r18)."""
     n = F.size(toks)
     joined = F.array_join(toks, " ")
     idx = F.sequence(F.lit(0), n - k)
@@ -184,13 +189,29 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n <= k, F.array(joined)).otherwise(mk)
 
 
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings ('w1 w2 w3'); fewer than k words -> the
+    whole text as one shingle. Column-expression form — prefer
+    :func:`word_shingles_of` over a materialized token column at frame
+    level (see its docstring for the re-tokenization hazard)."""
+    return word_shingles_of(tokens(col), k)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3,
                 out_col: str = "fingerprint") -> DataFrame:
     """Order-invariant document fingerprint: lexicographic min of the md5s
     of the k-word shingles (a 1-permutation MinHash)."""
-    sh = word_shingles(text_col, k)
-    return df.withColumn(
-        out_col, F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    # token array materialized so the shingle lambda reads a field, not
+    # a re-tokenization (see word_shingles_of)
+    return (
+        df.withColumn("__fp_toks", tokens(text_col))
+        .withColumn(
+            out_col,
+            F.array_min(F.transform(
+                word_shingles_of(F.col("__fp_toks"), k),
+                lambda s: F.md5(s))),
+        )
+        .drop("__fp_toks")
     )
 
 
@@ -241,22 +262,36 @@ def winnow_fingerprints(
     then ``explode`` + ``distinct``. Matching fingerprints across docs
     indicate shared substrings (plagiarism/near-dup detection at scale).
     """
-    t = F.lower(F.col(text_col))
+    # Two-step materialization: the lowered text and the gram-hash
+    # array become COLUMNS before any lambda references them —
+    # interpreted HOFs have no subexpression elimination, so the
+    # original single-expression form re-lowered the whole text per
+    # gram and re-hashed the whole gram array per window position
+    # (O(len^2) per doc; measured 12.8 s -> ~1 s at sf0.1, r18).
+    lowered = (
+        df.select(id_col, F.lower(F.col(text_col)).alias("__t"))
+    )
+    t = F.col("__t")
     n = F.length(t)
     n_grams = F.greatest(n - k + 1, F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 8),
+    hashed = lowered.select(
+        id_col,
+        n_grams.alias("__ng"),
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 8),
+        ).alias("__hashes"),
     )
+    hashes = F.col("__hashes")
     n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda w: F.array_min(F.slice(hashes, w, window)),
     )
-    out = df.select(
+    out = hashed.select(
         id_col,
         F.explode(
-            F.when(n_grams <= 0, F.array().cast("array<string>"))
+            F.when(F.col("__ng") <= 0, F.array().cast("array<string>"))
             .when(F.size(hashes) < window, F.array(F.array_min(hashes)))
             .otherwise(mins)
         ).alias("fp"),
@@ -287,14 +322,19 @@ def repetition_stats(
     — linear, map-side combinable, no self-joins. Short texts (fewer
     tokens than the gram size) collapse to one whole-text gram, giving
     frac 1.0 / 0.0 — filter on ``n_tokens`` first if that matters."""
-    g2 = df.select(
-        id_col, F.explode(word_shingles(text_col, 2)).alias("g")
+    # token array materialized once; the per-position shingle lambdas
+    # read the field instead of re-tokenizing (see word_shingles_of)
+    toks = df.select(id_col, tokens(text_col).alias("__rep_toks"))
+    g2 = toks.select(
+        id_col,
+        F.explode(word_shingles_of(F.col("__rep_toks"), 2)).alias("g"),
     ).groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     s2 = g2.groupBy(id_col).agg(
         F.round(F.max("c") / F.sum("c"), 6).alias("top_2gram_frac")
     )
-    g3 = df.select(
-        id_col, F.explode(word_shingles(text_col, 3)).alias("g")
+    g3 = toks.select(
+        id_col,
+        F.explode(word_shingles_of(F.col("__rep_toks"), 3)).alias("g"),
     ).groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     s3 = g3.groupBy(id_col).agg(
         F.round(
@@ -545,7 +585,11 @@ def trigram_typicality(
     Output: ``(id_col, n_trigrams, avg_neg_log2p)``; docs shorter than
     3 chars yield null.
     """
-    t = F.lower(F.col(text_col))
+    # lowered text materialized as a column: the per-position lambda
+    # below references it, and interpreted HOFs have no subexpression
+    # elimination — the single-expression form re-lowered the whole
+    # text once per trigram position (same hazard as word_shingles_of)
+    t = F.col("__t")
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — the
     # short-text case needs an explicit guard
     grams = F.when(
@@ -554,7 +598,8 @@ def trigram_typicality(
         F.sequence(F.lit(1), F.length(t) - 2),
         lambda i: F.substring(t, i, 3),
     ))
-    occ = df.select(id_col, F.explode(grams).alias("__g"))
+    occ = (df.select(id_col, F.lower(F.col(text_col)).alias("__t"))
+           .select(id_col, F.explode(grams).alias("__g")))
     dg = occ.groupBy(id_col, "__g").agg(
         F.count(F.lit(1)).cast("double").alias("__m"))
     # three downstream lineages (counts -> topk / totals, and the
