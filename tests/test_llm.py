@@ -1019,6 +1019,29 @@ class TestDupClusters:
         assert cc == {1: 1, 2: 1, 3: 1, 4: 1,
                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
+    def test_connected_components_gears_agree(self, spark, monkeypatch):
+        # r18 local union-find gear: PHYSIOVIEW_CC_LOCAL_MAX_EDGES
+        # bounds the driver collect; 0 forces the distributed
+        # propagation loop. Both gears must produce identical labels —
+        # including on a path graph (multi-round propagation) and on
+        # duplicate/reversed edges (the local gear skips the
+        # symmetrize+distinct the distributed path relies on).
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # 6-path
+             (2, 1), (1, 2),                           # dup + reversed
+             (10, 11), (12, 11),                       # reversed star
+             (20, 21)],
+            "id_a long, id_b long",
+        )
+        local = {(r["node"], r["cluster_id"])
+                 for r in dedup.connected_components(pairs).collect()}
+        monkeypatch.setenv("PHYSIOVIEW_CC_LOCAL_MAX_EDGES", "0")
+        dist = {(r["node"], r["cluster_id"])
+                for r in dedup.connected_components(pairs).collect()}
+        assert local == dist
+        assert local == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1),
+                         (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+
     def test_dup_clusters_transitive_keeper(self, spark, docs):
         out = dedup.dup_clusters(docs).toPandas()
         # every cluster has exactly one keeper, and it is the min id
