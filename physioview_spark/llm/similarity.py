@@ -660,17 +660,23 @@ def train_ivf_centroids(
 
 def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of squared L2 distances from ``vec`` to each centroid,
-    evaluated JVM-side (centroids are literal arrays)."""
-    dists = []
-    for c in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, lit_c,
+    evaluated JVM-side (centroids are literal arrays).
+
+    Built as ONE ``transform`` over a nested literal instead of k
+    Python-built per-centroid expressions: the zip_with/aggregate
+    builders each cost dozens of py4j round-trips, so the k-expression
+    form spent ~4.7 s of DRIVER time constructing the plan for a
+    16x8-subspace PQ encode (measured r18; the runtime math — same
+    zip_with square fold per centroid, same order — is bit-identical,
+    and these folds were already interpreted, never codegen'd)."""
+    lit_books = F.lit([[float(x) for x in c] for c in centroids])
+    return F.transform(
+        lit_books,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c,
                        lambda x, y: (x.cast("double") - y)
                        * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, v: acc + v)
-        dists.append(d)
-    return F.array(*dists)
+            F.lit(0.0), lambda acc, v: acc + v))
 
 
 def vector_is_finite(c: Column) -> Column:
