@@ -209,6 +209,24 @@ _CHANGED_IN_ROUND = {
     "cardiac_summary_rollup": 18,
     "sqa_rolling_metrics": 18,
     "kernel_cardiac_sqa_ecg": 18,
+    # r18 optimization: _fan_out_groups — explicit REPARTITION_BY_NUM
+    # before the compute-heavy grouped pandas kernels (apply_kernel,
+    # annotate_cardiac, annotate_eda); AQE's byte-based coalescing was
+    # packing byte-tiny compute-huge groups into one task (kernel_eda_scr
+    # execute 5.9 -> 3.3 s). Per-group math untouched; fixture oracles
+    # unchanged.
+    "kernel_eda_scr": 18,
+    # r18 optimization: plans/common.read() gained the conditional
+    # scan fan-out parameter (single-file single-row-group inputs
+    # hash-repartition by the table key when scan splits < cores; a
+    # no-op at production layouts and for every call that does not
+    # pass fan_out). 18 LLM queries opt in after a per-query on/off
+    # A/B (OPTIMIZATION_r18.md item 8); queries that reach read()
+    # WITHOUT fan_out keep bit-identical plans and results (the new
+    # parameter defaults to None and adds no plan node), so they are
+    # deliberately NOT re-listed here — both full-registry oracle
+    # sweeps of the A/B session (fan-out on, and after the reverts)
+    # ran 101 ok / 0 FAIL on current bytes.
 }
 
 

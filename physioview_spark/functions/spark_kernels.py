@@ -47,6 +47,22 @@ def default_filter(dtype: str, fs: float) -> Callable[[np.ndarray], np.ndarray]:
     raise ValueError(dtype)
 
 
+def _fan_out_groups(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit REPARTITION_BY_NUM before a compute-heavy grouped pandas
+    kernel. The default groupBy exchange is ENSURE_REQUIREMENTS, so
+    AQE's byte-based partition coalescing applies — and these groups
+    are byte-TINY but compute-HUGE (measured r18: kernel_eda_scr's
+    2-subject cvxEDA stage coalesced into ONE 5.2 s task with 31 cores
+    idle; same hazard apply_kernel_chunked already documents for its
+    chunk groups). A numbered repartition is never coalesced and its
+    hash partitioning satisfies the groupBy's clustering requirement,
+    so no second exchange is added. Scale-adaptive: the partition count
+    is the session's defaultParallelism (cluster cores), not a local
+    constant."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def apply_kernel(
     df: DataFrame,
     kernel: Callable[[np.ndarray], np.ndarray],
@@ -65,7 +81,8 @@ def apply_kernel(
         pdf[out_col] = kernel(pdf[value_col].to_numpy())
         return pdf[cols + [out_col]]
 
-    return df.groupBy(by).applyInPandas(run, schema=schema)
+    return _fan_out_groups(df, by).groupBy(by).applyInPandas(
+        run, schema=schema)
 
 
 def annotate_cardiac(
@@ -141,7 +158,8 @@ def annotate_cardiac(
                 yield run(g.reset_index(drop=True))
 
         return df.mapInPandas(run_part, schema=schema)
-    return df.groupBy(by).applyInPandas(run, schema=schema)
+    return _fan_out_groups(df, by).groupBy(by).applyInPandas(
+        run, schema=schema)
 
 
 def annotate_eda(
@@ -185,7 +203,8 @@ def annotate_eda(
         pdf["scr"] = scr
         return pdf[cols + ["filtered", "phasic", "tonic", "scr"]]
 
-    return df.groupBy(by).applyInPandas(run, schema=schema)
+    return _fan_out_groups(df, by).groupBy(by).applyInPandas(
+        run, schema=schema)
 
 
 def decompose_eda_chunked(

@@ -438,6 +438,17 @@ def embedding_near_dups(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        # REPARTITION_BY_NUM ahead of the pair dedup (r18): the
+        # dedup's own ENSURE_REQUIREMENTS exchange gets AQE byte-
+        # coalesced, and the compute-heavy cosine re-rank (broadcast
+        # vector joins + interpreted dot fold) lives in ITS reduce
+        # stage — measured running on 5 of 32 cores at sf0.1. The
+        # explicit numbered exchange is never coalesced and satisfies
+        # the dedup's clustering, so no extra shuffle; (id_a, id_b)
+        # is effectively unique, so no skew to split.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.col("id_a"), F.col("id_b"))
         .distinct()
     )
     # Hoist the norm to once per VECTOR instead of once per PAIR: the

