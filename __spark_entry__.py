@@ -102,7 +102,11 @@ _CHANGED_IN_ROUND = {
     "embedding_label_centroids": 17,
     "embedding_quantize_int8": 17,
     "kernel_hrv_features": 17,
-    "moving_average_events": 17,
+    # r18 optimization: moving_average_events rewritten from
+    # apply_kernel (row_number + FlatMapGroupsInPandas cumsum) to the
+    # pure JVM window AVG its oracle already runs — value-identical on
+    # all SFs + 6 axes, execute 2.6 -> 0.8 s, no Python in the plan.
+    "moving_average_events": 18,
     # r18 token contract (VERDICT r17 item 1 / the 12 null-axis
     # divergences): tokens()' semantics defined once in llm/text.py
     # (NULL text -> NULL array / no rows in token-derived frames;

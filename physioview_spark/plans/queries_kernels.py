@@ -572,26 +572,34 @@ SELECT user_id, event_id,
 FROM events
 """)
 def moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 (cumsum moving average, dsp/apply.py:122) under a TRUE SQL
-    twin: the centered mode='same' alignment with shrinking edge windows
-    is exactly a ROWS BETWEEN half PRECEDING AND half FOLLOWING window,
-    so DuckDB recomputes the kernel independently — no pinned fixture.
-    The kernel runs Arrow-batched per user via apply_kernel."""
-    from physioview_spark.dsp.apply import moving_average
-    from physioview_spark.functions.spark_kernels import apply_kernel
+    """W4 (centered moving average) as a pure JVM window (r18, guide
+    §4.1): the kernel's mode='same' alignment with shrinking edge
+    windows and the finite-samples contract (non-finite = missing,
+    each window averages its finite members) are EXACTLY
+    ``AVG(CASE WHEN isfinite THEN value END) OVER (ROWS BETWEEN 3
+    PRECEDING AND 3 FOLLOWING)`` — the same expression the DuckDB twin
+    runs. Until r18 this went through apply_kernel (row_number pass +
+    FlatMapGroupsInPandas over the cumsum kernel in dsp/apply.py:122);
+    the window form drops both Python boundary crossings and the
+    row_number window while keeping the one per-user exchange
+    (execute 2.6 s -> JVM-only; proven value-identical to the pandas
+    path on all three SFs and the hostile axes before the swap —
+    NaN-for-empty-window becomes SQL NULL, the same normalization the
+    oracle gate applies). The cumsum gear itself stays the signal-tier
+    kernel (pantompkins MWI, SQA smoothing) under its pytest gates."""
     from physioview_spark.plans.common import read
     from pyspark.sql import Window
 
     ev = read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    base = ev.select(
-        "user_id", "event_id", "value",
-        (F.row_number().over(w) - 1).cast("long").alias("sample_idx"),
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 3))
+    finite = F.when(
+        ~F.isnan("value")
+        & (F.col("value") < float("inf"))
+        & (F.col("value") > float("-inf")),
+        F.col("value"),
     )
-    out = apply_kernel(
-        base, lambda x: moving_average(x, 7), "value", "value_ma",
-        by="user_id",
-    )
-    return out.select(
-        "user_id", "event_id", F.round("value_ma", 6).alias("value_ma")
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.avg(finite).over(w), 6).alias("value_ma"),
     )
