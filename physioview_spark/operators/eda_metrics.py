@@ -294,6 +294,20 @@ def compute_eda_features(
     if extended:
         from pyspark.sql import Window as W
 
+        # Explicit REPARTITION_BY_NUM on the window keys (r18): the
+        # census windows below are byte-tiny but compute-heavy, so the
+        # ENSURE_REQUIREMENTS exchange gets AQE-coalesced to ~5 of 32
+        # cores (measured: the 1.13 s feature-window stage of
+        # eda_extended_features ran 5 tasks). A numbered repartition is
+        # never coalesced and its hash partitioning satisfies every
+        # census window's ClusteredDistribution (subset-key rule), so
+        # no second exchange appears. Scale-adaptive: partition count
+        # is the session's defaultParallelism. The base path keeps the
+        # plain groupBy — its partial aggregation wants the un-forced
+        # exchange.
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            "subject_id", "__w")
         w_ord = W.partitionBy("subject_id", "__w").orderBy(ts_col)
         w_all = W.partitionBy("subject_id", "__w")
         for c in value_cols:
