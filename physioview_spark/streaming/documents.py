@@ -218,6 +218,17 @@ def near_dup_batch_processor(
             .where(F.col("batch_id") == batch_id).limit(1).count() > 0
         ):
             return  # retried batch whose state writes all committed
+        # Batch fan-out (r18, guide §2.5 "input skew"): a micro-batch
+        # from a file stream is partitioned by its source FILES — one
+        # scratch file = ONE task, and the whole shingle+md5+partial-
+        # min map side serializes on one core (measured 5-6 s of a
+        # 6.5 s batch at sf0.1 halves, 31 cores idle). Hash-fan-out by
+        # doc id when the batch is narrower than the session — at
+        # production batch sizes (many source files) the condition is
+        # false and no exchange is added.
+        cores = spark.sparkContext.defaultParallelism
+        if batch.rdd.getNumPartitions() < cores:
+            batch = batch.repartition(cores, F.col(id_col))
         new = _lsh_bands(
             batch, text_col, id_col, k, num_hashes, band_size
         ).persist()
