@@ -94,10 +94,13 @@ def pq_reconstruct(
 ) -> Column:
     """Approximate vector from codes: concatenation of the selected
     per-subspace centroids (JVM literal lookup, no Python)."""
+    from physioview_spark.llm.similarity import lit_matrix
+
     parts = []
     for j, book in enumerate(codebooks):
-        lit_book = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        # one parsed SQL literal per subspace book — the element-wise
+        # F.array/F.lit form costs a py4j round-trip per element
+        lit_book = lit_matrix(book)
         parts.append(F.element_at(
             lit_book, F.element_at(codes, j + 1) + 1))
     return F.flatten(F.array(*parts))

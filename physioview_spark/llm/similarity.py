@@ -669,6 +669,23 @@ def train_ivf_centroids(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal built as ONE parsed SQL string.
+
+    PySpark's ``F.lit(list)`` recurses element-wise — one py4j
+    round-trip per element, ~0.74 s of DRIVER time for a 16x64
+    codebook (measured r18) — while a single ``F.expr`` call ships the
+    whole matrix in one round-trip and parses JVM-side. Bit-identical
+    to the element-wise form: ``repr(float)`` is the shortest
+    round-tripping decimal and ``Double.parseDouble`` is correctly
+    rounded, so every element (denormals, max-double, -0.0 included)
+    parses back to the same bits — asserted against ``F.lit`` on
+    adversarial values in tests/test_llm.py."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+        for row in rows) + ")")
+
+
 def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of squared L2 distances from ``vec`` to each centroid,
     evaluated JVM-side (centroids are literal arrays).
@@ -679,8 +696,11 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     form spent ~4.7 s of DRIVER time constructing the plan for a
     16x8-subspace PQ encode (measured r18; the runtime math — same
     zip_with square fold per centroid, same order — is bit-identical,
-    and these folds were already interpreted, never codegen'd)."""
-    lit_books = F.lit([[float(x) for x in c] for c in centroids])
+    and these folds were already interpreted, never codegen'd). The
+    literal itself ships via :func:`lit_matrix` — ``F.lit`` on a
+    nested list recurses element-wise, which was 0.74 s of the
+    remaining construct time (measured r18)."""
+    lit_books = lit_matrix(centroids)
     return F.transform(
         lit_books,
         lambda c: F.aggregate(
@@ -1019,12 +1039,20 @@ def semantic_dedup_delta(
     prefilter: bool = True,
     corpus_bucket_col: str | None = None,
     scoring: str = "expr",
+    new_bucket_col: str | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: score a NEW embedding batch against an
     EXISTING corpus without re-pairing the corpus with itself — the
     embedding twin of :func:`physioview_spark.llm.dedup.dedup_delta`
     (daily increments into a deduplicated reference corpus, same
     centroids across increments so bucket geometry is stable).
+
+    ``new_bucket_col`` mirrors ``corpus_bucket_col`` for the NEW side:
+    a caller that already bucketed the batch (the streaming processor
+    buckets once and reuses the same frame for its state write) names
+    the column and the k x dim assignment fold is not rebuilt here —
+    the column must come from :func:`assign_ivf_bucket` with the SAME
+    centroids (parity-tested in tests/test_llm.py).
 
     ``corpus_bucket_col`` names a PRECOMPUTED bucket column on the
     corpus: assignment is then skipped for the corpus side. CAVEAT,
@@ -1067,10 +1095,13 @@ def semantic_dedup_delta(
     """
     from physioview_spark import cache as _cache
 
-    vn = _cache.pin(  # 4 lineages below; released via release_cached_frames
-        new.select(id_col, vec_col)
-        .withColumn("bucket", assign_ivf_bucket(F.col(vec_col), centroids))
-    )
+    if new_bucket_col is not None:
+        vn_raw = new.select(
+            id_col, vec_col, F.col(new_bucket_col).alias("bucket"))
+    else:
+        vn_raw = new.select(id_col, vec_col).withColumn(
+            "bucket", assign_ivf_bucket(F.col(vec_col), centroids))
+    vn = _cache.pin(vn_raw)  # 4 lineages below; release via cache scope
     if corpus_bucket_col is not None:
         vc = corpus.select(
             id_col, vec_col, F.col(corpus_bucket_col).alias("bucket"))

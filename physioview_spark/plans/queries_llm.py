@@ -237,8 +237,13 @@ def _seed_codebook(emb: DataFrame) -> list[list[float]]:
     no rows (ADVICE r17 item 4)."""
     nonnull = emb.where(
         similarity.vector_is_finite(F.col("embedding")))
-    rows = (
-        nonnull.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+    rows = (  # cheap pushed id predicate FIRST: conjunct order is
+        # preserved through CombineFilters and evaluation
+        # short-circuits, so the 64-element finiteness HOF runs on 8
+        # candidate rows instead of the whole corpus (measured r18:
+        # 1.6 -> 0.3 s cold on the sf0.1 single-row-group scan)
+        emb.where((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .where(similarity.vector_is_finite(F.col("embedding")))
         .orderBy("vec_id").select("embedding").collect()
     )
     seeds = [[float(x) for x in r["embedding"]] for r in rows]

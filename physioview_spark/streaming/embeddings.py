@@ -135,25 +135,40 @@ def semantic_dedup_batch_processor(
             else spark.createDataFrame([], batch.select(
                 id_col, vec_col).schema)
         )
-        decisions = semantic_dedup_delta(
-            batch, prior, centroids, threshold=threshold,
-            id_col=id_col, vec_col=vec_col,
-            max_bucket_size=max_bucket_size, scoring=scoring)
-        (decisions.withColumn("batch_id", F.lit(int(batch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(decisions_path))
-        (batch.select(
-            id_col, vec_col,
-            assign_ivf_bucket(F.col(vec_col), centroids).alias("bucket"))
-         .withColumn("batch_id", F.lit(int(batch_id)))
-         .write.mode("append")
-         .partitionBy("batch_id")
-         .bucketBy(n_buckets, "bucket")
-         # external table rooted in state_dir (same rationale as the
-         # near-dup band table: files live and die with the stream)
-         .option("path", os.path.join(state_dir, "vectors"))
-         .format("parquet").saveAsTable(table))
+        # bucket the batch ONCE (r18): the decision path and the state
+        # write both need the k x dim assignment fold — computing it on
+        # one pinned frame halves the per-batch map work (the fold is
+        # the dominant per-vector cost) and drops one batch re-read;
+        # the scope releases every per-batch pin (this one plus
+        # semantic_dedup_delta's internal lineage pins) so a long
+        # stream's storage blocks stay bounded per batch, not
+        # accumulated per stream (cache.py lifecycle contract).
+        from physioview_spark import cache as _cache
+
+        with _cache.pinned_frames():
+            bucketed = _cache.pin(batch.select(
+                id_col, vec_col,
+                assign_ivf_bucket(F.col(vec_col), centroids)
+                .alias("bucket")))
+            decisions = semantic_dedup_delta(
+                bucketed, prior, centroids, threshold=threshold,
+                id_col=id_col, vec_col=vec_col,
+                max_bucket_size=max_bucket_size, scoring=scoring,
+                new_bucket_col="bucket")
+            (decisions.withColumn("batch_id", F.lit(int(batch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(decisions_path))
+            (bucketed
+             .withColumn("batch_id", F.lit(int(batch_id)))
+             .write.mode("append")
+             .partitionBy("batch_id")
+             .bucketBy(n_buckets, "bucket")
+             # external table rooted in state_dir (same rationale as
+             # the near-dup band table: files live and die with the
+             # stream)
+             .option("path", os.path.join(state_dir, "vectors"))
+             .format("parquet").saveAsTable(table))
 
     return _process
 

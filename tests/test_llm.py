@@ -420,6 +420,64 @@ def test_cosine_arrow_gear_parity(spark):
     assert sorted(map(tuple, pa)) == sorted(map(tuple, pb))
 
 
+def test_lit_matrix_bit_identical_to_elementwise_lit(spark):
+    """lit_matrix ships a codebook as ONE parsed SQL string (r18: the
+    element-wise F.lit(list) recursion cost a py4j round-trip per
+    element — 0.74 s of driver time per 16x64 codebook). The parsed
+    literal must be BIT-identical to F.lit's element-wise build on
+    adversarial doubles: repr() is the shortest round-tripping decimal
+    and Double.parseDouble is correctly rounded, so this pins the
+    whole contract, not a lucky subset."""
+    adv = [
+        [0.1, 1 / 3, 5e-324, 1.7976931348623157e308, -0.0,
+         2.2250738585072014e-308, -1e-07, 123456789.123456789,
+         1e16, -5.551115123125783e-17],
+        [float(np.nextafter(0.95, 1.0)), -2.5, 1e-300, 3.0],
+    ]
+    for rows in (adv[:1], adv[1:], adv):
+        elementwise = F.lit([[float(x) for x in r] for r in rows])
+        parsed = similarity.lit_matrix(rows)
+        got = spark.range(1).select(
+            F.zip_with(
+                # SQL '=' calls -0.0 equal to 0.0, so ALSO compare the
+                # string renders — same JVM formatter both sides, so
+                # equal strings <=> equal bits for non-NaN doubles
+                F.flatten(elementwise), F.flatten(parsed),
+                lambda a, b: a.eqNullSafe(b)
+                & a.cast("string").eqNullSafe(b.cast("string")),
+            ).alias("eq")).collect()[0]
+        assert all(got["eq"]), rows
+
+
+def test_semantic_dedup_delta_new_bucket_col_parity(spark):
+    """Pre-bucketing the NEW side (new_bucket_col — the streaming
+    processor's bucket-once path, r18) must produce decisions
+    identical to the internal assignment on the same centroids,
+    including NULL-bucket (non-finite) vectors."""
+    rng = np.random.RandomState(7)
+    cents = [[float(x) for x in rng.randn(8)] for _ in range(4)]
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    vecs[5] = (5, list(vecs[3][1]))          # a batch dup
+    vecs[9] = (9, None)                      # excluded vector
+    new = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in rng.randn(8)])
+         for i in range(10)] + [(1100, list(vecs[7][1]))],
+        "vec_id long, embedding array<double>")
+    base = similarity.semantic_dedup_delta(
+        new, corpus, cents, threshold=0.9).collect()
+    pre = new.select(
+        "vec_id", "embedding",
+        similarity.assign_ivf_bucket(
+            F.col("embedding"), cents).alias("bucket"))
+    got = similarity.semantic_dedup_delta(
+        pre, corpus, cents, threshold=0.9,
+        new_bucket_col="bucket").collect()
+    key = lambda r: r["vec_id"]
+    assert sorted(got, key=key) == sorted(base, key=key)
+
+
 def test_ivf_assignment_gears_agree(spark):
     """The Arrow-vectorized centroid-assignment gear (large codebooks)
     must bucket identically to the JVM expression gear on
