@@ -2647,16 +2647,19 @@ def doc_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.decontaminate(train, bench, k=3, min_hits=3)
         .select("doc_id", F.lit(True).alias("__contam"))
     )
-    quality = text.quality_score(docs).select("doc_id", "quality_score")
+    # quality_score already computes n_tokens (coalesce(size(tokens),0) ==
+    # token_count's greatest(size,0) on every input incl. NULL text), so
+    # reusing its column drops a redundant scan+tokenize+join of the
+    # corpus (r18 opt: 6 corpus passes -> 5; guide §1.2 step 1).
+    quality = text.quality_score(docs).select(
+        "doc_id", "quality_score", "n_tokens")
     pstats = dedup.dedup_passages(docs, passage_tokens=16).select(
         "doc_id", "n_passages", "n_removed")
-    ntok = text.token_count(docs).select("doc_id", "n_tokens")
     pre = (
         base.join(clusters, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .join(quality, "doc_id")
         .join(pstats, "doc_id")
-        .join(ntok, "doc_id")
         .withColumn(
             "drop_reason",
             F.when(F.col("__exk") != F.col("doc_id"), "drop_duplicate")
