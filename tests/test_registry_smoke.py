@@ -239,9 +239,11 @@ def test_changed_queries_reachability_ground_truth():
     def who_reaches(mod, name):
         return {q for q, pairs in reach.items() if (mod, name) in pairs}
 
+    # (curation v3 dropped its token_count pass in r18 — it reuses the
+    # n_tokens column quality_score already computes, so token_count no
+    # longer reaches it)
     assert who_reaches("physioview_spark.llm.text", "token_count") == {
-        "doc_temperature_mixture", "doc_mixture_sample",
-        "doc_curation_pipeline_v3"}
+        "doc_temperature_mixture", "doc_mixture_sample"}
     assert who_reaches(
         "physioview_spark.llm.dedup", "hamming_banded_pairs") == {
         "doc_simhash_near_dups", "multimodal_image_near_dups",
