@@ -2638,9 +2638,15 @@ def doc_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read(spark, sf_dir, "documents")
+    # The two shingle+md5 stages (LSH edges, decontamination grams) are
+    # the compute-heavy map work over the single-file scan — fan ONLY
+    # those out (r18, guide §2.5 input skew); the window/aggregate
+    # stages (exact keeper, quality, passages) keep the plain read so
+    # they don't pay an extra exchange before their own shuffles.
+    docs_sh = _read_fanned(spark, sf_dir, "documents", "doc_id")
     exact_keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     base = docs.select("doc_id", "lang", exact_keeper.alias("__exk"))
-    clusters = dedup.dup_clusters(docs).select("doc_id", "cluster_id")
+    clusters = dedup.dup_clusters(docs_sh).select("doc_id", "cluster_id")
     bench = docs.where(F.col("doc_id") % 25 == 0)
     train = docs.where(F.col("doc_id") % 25 != 0)
     contam = (
