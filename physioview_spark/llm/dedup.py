@@ -119,6 +119,41 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
+def _seed_minhash_cols(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+) -> DataFrame:
+    """One groupBy(id) pass with every seed's minhash as a COLUMN:
+    ``(id, __mh0 .. __mh{n-1})`` where ``__mh{s}`` = min over shingles
+    of md5(s || '|' || shingle) — the same value the former
+    explode(seeds)+groupBy(id, seed) pipeline produced per (id, seed)
+    row (``concat(cast(s as string), '|', sh)`` == ``concat('s|', sh)``
+    for a literal seed).
+
+    Why columns instead of exploded rows (r18, guide §2.3/§2.4): the
+    seed explode multiplied the shingle frame 8x before the partial
+    aggregate — every shingle string copied into 8 rows, 8 hash-map
+    probes per shingle on the (id, seed) key — and banding then needed
+    a SECOND shuffle to regroup (id, seed) rows by (id, band). Columns
+    do the identical md5 work with one probe per shingle row on the
+    bare id key, one output-sized exchange, and band hashes become a
+    plain projection (no second aggregate).
+
+    The shingle frame is NOT deduped first: min over a multiset equals
+    min over its set, so skipping the distinct removes the only
+    corpus-size shuffle — the groupBy map-side combines to one partial
+    row per id per task."""
+    sh = shingle_frame(df, text_col, id_col, k, distinct=False)
+    return sh.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))))
+        .alias(f"__mh{s}")
+        for s in range(num_hashes)
+    ])
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -129,18 +164,31 @@ def minhash_signatures(
     """(id, seed, minhash) rows: minhash = min over shingles of
     md5(seed || '|' || shingle). Engine-portable by construction.
 
-    The shingle frame is NOT deduped first: min over a multiset equals
-    min over its set, so skipping the distinct removes the only
-    corpus-size shuffle — the groupBy below map-side combines to one
-    (id, seed, min) partial per task."""
-    sh = shingle_frame(df, text_col, id_col, k, distinct=False)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    exploded = sh.select(id_col, "shingle", seeds)
-    return exploded.groupBy(id_col, "seed").agg(
-        F.min(
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
-                           F.col("shingle")))
-        ).alias("minhash")
+    Computed column-wise in one groupBy(id) pass (see
+    :func:`_seed_minhash_cols`) and unpivoted with ``stack`` — an
+    output-sized generate, not a shuffle. Row set, values, and types
+    are identical to the former explode(seeds) form: every id with at
+    least one shingle emits exactly ``num_hashes`` (seed, minhash)
+    rows, seed is the same int, minhash the same md5 string."""
+    if os.environ.get("PHYSIOVIEW_LSH_ONEPASS", "1") == "0":  # temp A/B gate
+        sh = shingle_frame(df, text_col, id_col, k, distinct=False)
+        seeds = F.explode(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+        exploded = sh.select(id_col, "shingle", seeds)
+        return exploded.groupBy(id_col, "seed").agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
+                               F.col("shingle")))
+            ).alias("minhash")
+        )
+    mins = _seed_minhash_cols(df, text_col, id_col, k, num_hashes)
+    pairs: list = []
+    for s in range(num_hashes):
+        pairs.append(F.lit(s))
+        pairs.append(F.col(f"__mh{s}"))
+    return mins.select(
+        id_col,
+        F.stack(F.lit(num_hashes), *pairs).alias("seed", "minhash"),
     )
 
 
@@ -153,13 +201,38 @@ def _lsh_bands(
     band_size: int,
 ) -> DataFrame:
     """(id, band, band_hash) rows: band = hash of ``band_size``
-    consecutive minhash values."""
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    return sig.withColumn(
-        "band", F.floor(F.col("seed") / band_size)
-    ).groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash"))))
-        .alias("band_hash")
+    consecutive minhash values.
+
+    Band hashes are projected straight off the one-pass seed-minhash
+    columns (r18): ``sort_array(array(__mh{b*bs} ..))`` over a band's
+    literal seed set equals ``sort_array(collect_list(minhash))`` over
+    its (id, band) group — every id carries every seed (the min
+    aggregate runs over >= 1 shingle row for each id in the frame), so
+    the collected list was exactly the band's ``band_size`` mins, and
+    the former groupBy(id, band) exchange disappears. ``band`` keeps
+    the BIGINT type ``floor(seed / band_size)`` produced."""
+    if os.environ.get("PHYSIOVIEW_LSH_ONEPASS", "1") == "0":  # temp A/B gate
+        sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+        return sig.withColumn(
+            "band", F.floor(F.col("seed") / band_size)
+        ).groupBy(id_col, "band").agg(
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash"))))
+            .alias("band_hash")
+        )
+    mins = _seed_minhash_cols(df, text_col, id_col, k, num_hashes)
+    n_bands = -(-num_hashes // band_size)
+    pairs: list = []
+    for b in range(n_bands):
+        members = [
+            F.col(f"__mh{s}")
+            for s in range(b * band_size,
+                           min((b + 1) * band_size, num_hashes))
+        ]
+        pairs.append(F.lit(b).cast("long"))
+        pairs.append(F.md5(F.concat_ws(",", F.sort_array(F.array(*members)))))
+    return mins.select(
+        id_col,
+        F.stack(F.lit(n_bands), *pairs).alias("band", "band_hash"),
     )
 
 
