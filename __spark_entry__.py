@@ -51,16 +51,9 @@ _CHANGED_IN_ROUND = {
     # trigram_typicality, llm.similarity.semantic_dedup_delta, or the
     # metrics pin sites re-attests (tools/changed_queries.py list).
     # CORRECTNESS_r17 does not exist yet, so the edit round is 17.
-    "doc_decontaminate": 17,
-    "doc_dedup_delta": 17,
-    "doc_dup_clusters": 17,
-    "doc_hash_split": 17,
     "doc_jaccard_pairs": 17,
-    "doc_minhash_lsh_candidates": 17,
     "doc_passage_dedup": 17,
     "doc_simhash_near_dups": 17,
-    "doc_tfidf_topk": 17,
-    "doc_trigram_typicality": 17,
     "kernel_cardiac_rolling_ppg": 17,
     "multimodal_audio_near_dups": 17,
     "multimodal_blocks_near_dups": 17,
@@ -121,9 +114,10 @@ _CHANGED_IN_ROUND = {
     # token_budget_sample gap on the null axis). sf0.01 + all three
     # hostile axes re-green on the full touched set before commit;
     # null axis now 100 ok + 1 knife-edge stale / 0 FAIL.
-    "doc_curation_pipeline_v3": 18,
+    # (doc_curation_pipeline_v3 / doc_minhash_signatures also took this
+    # r18 wave; their entries moved to the r19 block below — later edit
+    # supersedes.)
     "doc_materialize_packed": 18,
-    "doc_minhash_signatures": 18,
     "doc_mixture_sample": 18,
     "doc_model_quality": 18,
     "doc_pack_sequences": 18,
@@ -231,6 +225,34 @@ _CHANGED_IN_ROUND = {
     # deliberately NOT re-listed here — both full-registry oracle
     # sweeps of the A/B session (fan-out on, and after the reverts)
     # ran 101 ok / 0 FAIL on current bytes.
+    #
+    # r18 backfill (VERDICT r18 item 2): these three took the r18 scan
+    # fan-out opt-in (behavioral plan change) but kept their inert r17
+    # entries and were NOT in the r18 driver sample — the r18 bytes are
+    # locally oracle-green (two full 101-ok sweeps) but never
+    # driver-attested. Entry = 18 (the round that edited them) so they
+    # jump the r19 queue.
+    "doc_decontaminate": 18,
+    "doc_tfidf_topk": 18,
+    "doc_trigram_typicality": 18,
+    # r19: the one-pass LSH rewrite (llm/dedup.py _seed_minhash_cols /
+    # minhash_signatures / _lsh_bands — swept into the r18 snapshot
+    # commit 04ce421 without receipts, VERDICT r18 item 1) is now
+    # receipted: interleaved A/B vs the legacy explode+collect_list
+    # gear (OPTIMIZATION_r19.md), before/after plans in plans/r19/,
+    # plan census regenerated (obj_agg 18->0 / 4->0 — the collect_list
+    # ObjectHashAggregates became projections), and the temp
+    # PHYSIOVIEW_LSH_ONEPASS gate DELETED (plans proven identical
+    # modulo expression IDs post-delete). Every reacher of the
+    # rewritten defs re-attests on the final bytes; CORRECTNESS_r18
+    # exists, so the edit round is 19.
+    "doc_curation_pipeline_v3": 19,
+    "doc_dedup_delta": 19,
+    "doc_dup_clusters": 19,
+    "doc_hash_split": 19,
+    "doc_minhash_lsh_candidates": 19,
+    "doc_minhash_signatures": 19,
+    "streaming_near_dup_pairs": 19,
 }
 
 

@@ -145,7 +145,16 @@ def _seed_minhash_cols(
     The shingle frame is NOT deduped first: min over a multiset equals
     min over its set, so skipping the distinct removes the only
     corpus-size shuffle — the groupBy map-side combines to one partial
-    row per id per task."""
+    row per id per task.
+
+    Scaling limit (ADVICE r18): the aggregate emits one column per
+    seed, and past ~100 columns (num_hashes >> the default 8, e.g. a
+    128-hash MinHash config) the operator exceeds
+    ``spark.sql.codegen.maxFields`` and falls off whole-stage codegen —
+    a silent perf cliff, not a correctness one (min-of-string already
+    runs as SortAggregate either way). Callers needing very wide
+    signatures should raise ``maxFields`` or shard the seed range into
+    multiple passes joined on id."""
     sh = shingle_frame(df, text_col, id_col, k, distinct=False)
     return sh.groupBy(id_col).agg(*[
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))))
@@ -169,18 +178,14 @@ def minhash_signatures(
     output-sized generate, not a shuffle. Row set, values, and types
     are identical to the former explode(seeds) form: every id with at
     least one shingle emits exactly ``num_hashes`` (seed, minhash)
-    rows, seed is the same int, minhash the same md5 string."""
-    if os.environ.get("PHYSIOVIEW_LSH_ONEPASS", "1") == "0":  # temp A/B gate
-        sh = shingle_frame(df, text_col, id_col, k, distinct=False)
-        seeds = F.explode(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-        exploded = sh.select(id_col, "shingle", seeds)
-        return exploded.groupBy(id_col, "seed").agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
-                               F.col("shingle")))
-            ).alias("minhash")
-        )
+    rows, seed is the same int, minhash the same md5 string.
+
+    (The former seed-explode + groupBy(id, seed) pipeline was kept
+    behind a temp ``PHYSIOVIEW_LSH_ONEPASS`` A/B gate through r18 and
+    deleted in r19 after the interleaved on/off receipts in
+    OPTIMIZATION_r19.md — the one-pass form's equality argument above
+    is additionally pinned by the committed before/after plans in
+    plans/r19/ and the oracle gate on every reacher.)"""
     mins = _seed_minhash_cols(df, text_col, id_col, k, num_hashes)
     pairs: list = []
     for s in range(num_hashes):
@@ -211,14 +216,6 @@ def _lsh_bands(
     the collected list was exactly the band's ``band_size`` mins, and
     the former groupBy(id, band) exchange disappears. ``band`` keeps
     the BIGINT type ``floor(seed / band_size)`` produced."""
-    if os.environ.get("PHYSIOVIEW_LSH_ONEPASS", "1") == "0":  # temp A/B gate
-        sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-        return sig.withColumn(
-            "band", F.floor(F.col("seed") / band_size)
-        ).groupBy(id_col, "band").agg(
-            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash"))))
-            .alias("band_hash")
-        )
     mins = _seed_minhash_cols(df, text_col, id_col, k, num_hashes)
     n_bands = -(-num_hashes // band_size)
     pairs: list = []
