@@ -263,3 +263,42 @@ def test_changed_queries_reachability_ground_truth():
     cvx = {q for q, pairs in reach.items()
            if any(m == "physioview_spark.functions.cvxeda" for m, _ in pairs)}
     assert cvx == {"kernel_eda_scr"}
+
+
+def test_changed_queries_stale_entry_rule():
+    """The attestation gate must fail on STALE entries, not just
+    missing ones (VERDICT r18 item 2): the diff base is the last
+    driver-verified state, so a query reached by a behavioral change
+    needs an entry ABOVE its last driver-green round — an entry at or
+    below it is inert in _serve_order (the query never re-enters the
+    driver window) and the changed bytes ship unverified. Until r19
+    seven r18-changed queries rode inert r17 entries past the sample
+    this way."""
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from changed_queries import entry_status
+
+    declared = {"q_stale", "q_active", "q_missing", "q_new"}
+    last = {"q_stale": 17, "q_active": 17, "q_missing": 17}
+
+    # entry round == last green round -> inert -> gate must fail
+    status, bad = entry_status("q_stale", declared, last, {"q_stale": 17})
+    assert bad and "STALE" in status
+    # entry round below last green -> also inert -> fail
+    _, bad = entry_status("q_stale", declared, last, {"q_stale": 16})
+    assert bad
+    # entry round above last green -> active -> pass
+    status, bad = entry_status("q_active", declared, last, {"q_active": 18})
+    assert not bad and "PRESENT" in status
+    # no entry at all -> fail (the pre-r19 rule, still enforced)
+    status, bad = entry_status("q_missing", declared, last, {})
+    assert bad and "MISSING" in status
+    # never driver-verified -> no entry needed (rotation serves it first)
+    _, bad = entry_status("q_new", declared, last, {})
+    assert not bad
+    # retired -> no entry needed
+    _, bad = entry_status("q_retired", declared, last, {})
+    assert not bad

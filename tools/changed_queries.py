@@ -41,7 +41,15 @@ Usage:
     python tools/changed_queries.py HEAD~3     # vs any ref
 
 Exit 1 iff a driver-green declared query reaches a behavioral change
-and has no `_CHANGED_IN_ROUND` entry.
+and has no **active** `_CHANGED_IN_ROUND` entry. Active means the entry
+round is GREATER than the query's last driver-green round — the diff
+base is the last driver-verified state (the round-start commit), so any
+behavioral change in the diff is newer than every recorded green, and
+an entry at or below the last green round can never make the query jump
+the re-verification queue (`_serve_order` treats it as inert). Until
+r19 the gate accepted *any* entry, any round — which let seven queries
+whose plans changed in r18 ride inert r17 entries straight past the
+driver's sample (VERDICT r18 item 2).
 """
 
 from __future__ import annotations
@@ -349,6 +357,32 @@ def classify_changes(ref: str):
     return out
 
 
+def entry_status(
+    qname: str,
+    declared: set[str],
+    last_verified: dict[str, int],
+    changed_map: dict[str, int],
+) -> tuple[str, bool]:
+    """Ledger verdict for one query flagged as reaching a behavioral
+    change: (human-readable status, is_missing). Factored out of main()
+    so the stale-entry rule is unit-testable on synthetic fixtures
+    (VERDICT r18 item 2 hardening)."""
+    if qname not in declared:
+        return "NOT DECLARED (retired — no entry)", False
+    if qname not in last_verified:
+        return ("never-verified (new — no entry needed; the "
+                "rotation serves it ahead of stale tiers)"), False
+    entry = changed_map.get(qname)
+    if entry is None:
+        return "needs _CHANGED_IN_ROUND entry — MISSING", True
+    if entry <= last_verified[qname]:
+        return (f"needs _CHANGED_IN_ROUND entry — STALE (entry r{entry} "
+                f"<= last green r{last_verified[qname]}: inert, the "
+                "query never re-enters the driver window; bump the "
+                "entry to the current round)"), True
+    return f"needs _CHANGED_IN_ROUND entry — PRESENT (active, r{entry})", False
+
+
 def main() -> None:
     ref = sys.argv[1] if len(sys.argv) > 1 else round_start_ref()
     subject = _git("log", "-1", "--format=%h %s", ref).strip()
@@ -401,22 +435,17 @@ def main() -> None:
               "no _CHANGED_IN_ROUND entries needed")
     missing = []
     for qname, hits in need:
-        if qname not in declared:
-            status = "NOT DECLARED (retired — no entry)"
-        elif qname not in last:
-            status = ("never-verified (new — no entry needed; the "
-                      "rotation serves it ahead of stale tiers)")
-        elif qname in e._CHANGED_IN_ROUND:
-            status = "needs _CHANGED_IN_ROUND entry — PRESENT"
-        else:
-            status = "needs _CHANGED_IN_ROUND entry — MISSING"
+        status, bad = entry_status(qname, declared, last,
+                                   e._CHANGED_IN_ROUND)
+        if bad:
             missing.append(qname)
         print(f"  {qname}: {status}  [{', '.join(hits[:4])}"
               f"{', ...' if len(hits) > 4 else ''}]")
     if missing:
-        print(f"\nMISSING entries for: {', '.join(missing)}")
+        print(f"\nMISSING/STALE entries for: {', '.join(missing)}")
         sys.exit(1)
-    print("\nledger consistent — every flagged green query has an entry")
+    print("\nledger consistent — every flagged green query has an "
+          "ACTIVE entry")
 
 
 if __name__ == "__main__":
